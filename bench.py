@@ -1,0 +1,53 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion with a count() action (forces the full
+plan without driver-side result transfer dominating the timing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from graphdb_neo4j_spark.registry import bench_queries
+    from graphdb_neo4j_spark.session import get_spark
+
+    spark = get_spark(app_name="graphdb_neo4j_spark_bench")
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(bench_queries().items()):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
