@@ -16,3 +16,54 @@ register(
     recommend_oracle_sql(1, 100),
     bench=True,
 )
+
+# --- §2.2 projection / filter / point lookup + §2.4 simple aggs -------------
+from graphdb_neo4j_spark.operators import lookup
+
+register("node_names", lookup.q_node_names, lookup.NODE_NAMES_SQL)
+register("point_lookup", lookup.q_point_lookup, lookup.point_lookup_sql())
+register("exists_probe", lookup.q_exists, lookup.exists_sql())
+register("name_ci_lookup", lookup.q_name_ci_lookup, lookup.name_ci_lookup_sql())
+register("max_id", lookup.q_max_id, lookup.MAX_ID_SQL)
+register("count_nodes", lookup.q_count_nodes, lookup.COUNT_NODES_SQL)
+register("top_acctbal", lookup.q_top_acctbal, lookup.top_acctbal_sql())
+
+# --- §2.1/§2.3 edge derivation (S5/S7, J1/J2) -------------------------------
+from graphdb_neo4j_spark.operators import edges
+
+register(
+    "edges_same_college",
+    edges.q_edges_same_college,
+    edges.EDGES_SAME_COLLEGE_SQL,
+    bench=True,
+)
+register("edge_counts_by_type", edges.q_edge_counts_by_type, edges.EDGE_COUNTS_SQL, bench=True)
+register(
+    "edges_shares_interest",
+    edges.q_edges_shares_interest,
+    edges.edges_shares_interest_sql(),
+)
+register("merge_idempotent", edges.q_merge_idempotent, edges.MERGE_IDEMPOTENT_SQL)
+
+# --- §2.3 J4/J5 two-name relationship ---------------------------------------
+from graphdb_neo4j_spark.operators.relationship import (
+    two_name_relationship,
+    two_name_relationship_sql,
+)
+
+register(
+    "two_name_relationship",
+    lambda spark, sf: two_name_relationship(spark, sf),
+    two_name_relationship_sql(),
+)
+
+# --- classic OLAP bench anchors ---------------------------------------------
+from graphdb_neo4j_spark.operators import olap
+
+register("pricing_summary", olap.q_pricing_summary, olap.PRICING_SUMMARY_SQL, bench=True)
+register(
+    "top_parts_by_revenue",
+    olap.q_top_parts_by_revenue,
+    olap.top_parts_by_revenue_sql(),
+    bench=True,
+)

@@ -1,0 +1,263 @@
+"""Derived-edge batch jobs — the reference's backfill (S7 = J1×4 + J2) and
+MERGE upsert (S5).
+
+Reference semantics (/root/reference/fastapi/services/create_relationships.py):
+- four attribute-equality edge types over normalized keys with the
+  ``a.id < b.id`` canonical orientation (:16-77, canonicalization at :19)
+- SHARES_INTEREST where any interest token matches, edge property ``common``
+  = the intersection list (:80-93)
+- MERGE = create-if-absent (student_service.py:62-106)
+
+Spark shapes:
+- J1: the attribute key is pre-normalized at ingest, so each edge type is a
+  plain equi-self-join; Catalyst plans shuffled hash / sort-merge on the key
+  with ``id < id`` as a residual. AQE skew-join handles hot keys (everyone
+  at one college — SURVEY.md §7.4-H6).
+- J2: NEVER the ``arrays_overlap`` nested-loop form. Explode to
+  (id, interest) pairs → equi-join on the token → groupBy (src, dst).
+  Work is proportional to Σ_token (owners(token) choose 2) — the scalable
+  plan (SURVEY.md §2.3 J2).
+- S5 MERGE: left-anti join of candidates against existing (src, dst, type)
+  then union — idempotent without a transactional table format
+  (§7.4-H1; Delta MERGE INTO is the upgrade path).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.graph import ATTRIBUTE_EDGE_TYPES, INTEREST_EDGE_TYPE
+from graphdb_neo4j_spark.sources.tpch import (
+    CUST_PARTS_CTE,
+    NODES_CTE,
+    customer_interest_pairs,
+    customer_nodes,
+)
+
+
+def derive_attribute_edges(nodes: DataFrame, attr: str, edge_type: str) -> DataFrame:
+    """One J1 edge type: pair nodes with equal non-null ``attr``, src < dst."""
+    a = nodes.select(F.col("id").alias("src"), F.col(attr).alias("k")).filter(
+        F.col("k").isNotNull() & (F.col("k") != "")
+    )
+    b = nodes.select(F.col("id").alias("dst"), F.col(attr).alias("k")).filter(
+        F.col("k").isNotNull() & (F.col("k") != "")
+    )
+    return (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.lit(edge_type).alias("type"),
+            F.lit(None).cast("array<string>").alias("common"),
+        )
+    )
+
+
+def derive_shared_interest_edges(
+    interest_pairs: DataFrame,
+    min_common: int = 1,
+    with_common: bool = False,
+) -> DataFrame:
+    """J2 via explode + equi-join. ``interest_pairs`` = distinct (id, interest).
+
+    ``with_common=True`` additionally materializes the sorted interest
+    intersection (the reference's ``r.common`` edge property,
+    create_relationships.py:86).
+
+    Performance: the count-only form is a codegen'd HashAggregate — measured
+    ~50x faster than collect_set over millions of pair-groups. When the
+    ``common`` array is requested, counts are aggregated FIRST and the token
+    join is replayed only for the pairs that survive ``min_common`` —
+    collect_set runs on the reduced set, which is the shape that survives
+    100 TB.
+    """
+    a = interest_pairs.select(F.col("id").alias("src"), "interest")
+    b = interest_pairs.select(F.col("id").alias("dst"), "interest")
+    joined = a.join(b, "interest").filter(F.col("src") < F.col("dst"))
+
+    counted = (
+        joined.groupBy("src", "dst")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    if not with_common:
+        return counted.select(
+            "src",
+            "dst",
+            F.lit(INTEREST_EDGE_TYPE).alias("type"),
+            F.lit(None).cast("array<string>").alias("common"),
+        )
+    survivors = counted.select("src", "dst")
+    return (
+        joined.join(survivors, ["src", "dst"], "left_semi")
+        .groupBy("src", "dst")
+        .agg(F.array_sort(F.collect_set("interest")).alias("common"))
+        .select("src", "dst", F.lit(INTEREST_EDGE_TYPE).alias("type"), "common")
+    )
+
+
+def derive_all_edges(
+    spark: SparkSession, sf_dir: str, min_common: int = 1
+) -> DataFrame:
+    """The full backfill (S7): all five edge types in one batch plan."""
+    nodes = customer_nodes(spark, sf_dir)
+    attr_edges = [
+        derive_attribute_edges(nodes, attr, etype)
+        for etype, attr in ATTRIBUTE_EDGE_TYPES.items()
+    ]
+    interest_edges = derive_shared_interest_edges(
+        customer_interest_pairs(spark, sf_dir), min_common=min_common
+    )
+    return reduce(DataFrame.unionByName, attr_edges + [interest_edges])
+
+
+def merge_edges(existing: DataFrame, candidates: DataFrame) -> DataFrame:
+    """S5 MERGE: keep existing rows, add candidates not already present
+    (matched on (src, dst, type) — the reference's MERGE key)."""
+    new = candidates.join(existing.select("src", "dst", "type"), ["src", "dst", "type"], "left_anti")
+    return existing.unionByName(new)
+
+
+# --- registered query forms + oracles --------------------------------------
+
+
+def q_edges_same_college(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SAME_COLLEGE pair set (the skewed attribute — 25 nations)."""
+    nodes = customer_nodes(spark, sf_dir)
+    return derive_attribute_edges(nodes, "college", "SAME_COLLEGE").select(
+        "src", "dst", "type"
+    )
+
+
+EDGES_SAME_COLLEGE_SQL = f"""
+WITH {NODES_CTE.strip()}
+SELECT a.id AS src, b.id AS dst, 'SAME_COLLEGE' AS type
+FROM nodes a JOIN nodes b
+  ON a.college = b.college AND a.id < b.id
+WHERE a.college IS NOT NULL AND a.college <> ''
+"""
+
+
+def q_edge_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality of every derived edge type — small, hash-stable output.
+
+    Plan note: attribute-edge counts don't materialize pairs at all — a
+    same-key pair count is Σ_key C(n_key, 2), one tiny aggregation per
+    attribute (O(N) vs O(pairs); at sf0.1 that's 15k rows scanned instead
+    of 55M pairs built). Only SHARES_INTEREST needs pair-level dedup, and
+    it uses the count-only token-join form.
+    """
+    nodes = customer_nodes(spark, sf_dir)
+
+    def attr_count(attr: str, etype: str) -> DataFrame:
+        return (
+            nodes.filter(F.col(attr).isNotNull() & (F.col(attr) != ""))
+            .groupBy(attr)
+            .agg(F.count("*").alias("n"))
+            .groupBy()
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("n * (n - 1) DIV 2")), F.lit(0)
+                ).alias("n_edges")
+            )
+            .select(F.lit(etype).alias("type"), "n_edges")
+        )
+
+    counts = [attr_count(attr, etype) for etype, attr in ATTRIBUTE_EDGE_TYPES.items()]
+
+    pairs = customer_interest_pairs(spark, sf_dir)
+    a = pairs.select(F.col("id").alias("src"), "interest")
+    b = pairs.select(F.col("id").alias("dst"), "interest")
+    interest_count = (
+        a.join(b, "interest")
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .groupBy()
+        .agg(F.count("*").alias("n_edges"))
+        .select(F.lit(INTEREST_EDGE_TYPE).alias("type"), "n_edges")
+    )
+    return reduce(DataFrame.unionByName, counts + [interest_count])
+
+
+EDGE_COUNTS_SQL = f"""
+WITH {NODES_CTE.strip()},
+{CUST_PARTS_CTE.strip()},
+attr_edges AS (
+    SELECT 'SAME_COLLEGE' AS type FROM nodes a JOIN nodes b
+      ON a.college = b.college AND a.id < b.id
+      WHERE a.college IS NOT NULL AND a.college <> ''
+    UNION ALL
+    SELECT 'SAME_BOARD' FROM nodes a JOIN nodes b
+      ON a.board = b.board AND a.id < b.id
+      WHERE a.board IS NOT NULL AND a.board <> ''
+    UNION ALL
+    SELECT 'SAME_STREAM' FROM nodes a JOIN nodes b
+      ON a.stream = b.stream AND a.id < b.id
+      WHERE a.stream IS NOT NULL AND a.stream <> ''
+    UNION ALL
+    SELECT 'NEARBY' FROM nodes a JOIN nodes b
+      ON a.address = b.address AND a.id < b.id
+      WHERE a.address IS NOT NULL AND a.address <> ''
+),
+interest_edges AS (
+    SELECT 'SHARES_INTEREST' AS type
+    FROM cust_parts a JOIN cust_parts b
+      ON a.interest = b.interest AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+all_edges AS (SELECT type FROM attr_edges UNION ALL SELECT type FROM interest_edges)
+SELECT type, COUNT(*) AS n_edges FROM all_edges GROUP BY type
+"""
+
+
+def q_edges_shares_interest(
+    spark: SparkSession, sf_dir: str, min_common: int = 3
+) -> DataFrame:
+    """SHARES_INTEREST pairs with ≥ min_common shared tokens; emits the
+    intersection size (scalar) so the oracle hash is representation-stable."""
+    pairs = customer_interest_pairs(spark, sf_dir)
+    a = pairs.select(F.col("id").alias("src"), "interest")
+    b = pairs.select(F.col("id").alias("dst"), "interest")
+    return (
+        a.join(b, "interest")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def edges_shares_interest_sql(min_common: int = 3) -> str:
+    return f"""
+WITH {CUST_PARTS_CTE.strip()}
+SELECT a.id AS src, b.id AS dst, COUNT(*) AS n_common
+FROM cust_parts a JOIN cust_parts b
+  ON a.interest = b.interest AND a.id < b.id
+GROUP BY a.id, b.id
+HAVING COUNT(*) >= {min_common}
+"""
+
+
+def q_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 MERGE oracle form: merging the SAME_COLLEGE set into itself must be
+    a no-op (count unchanged) — the create-only-if-absent contract."""
+    edges = q_edges_same_college(spark, sf_dir)
+    merged = merge_edges(
+        edges.withColumn("common", F.lit(None).cast("array<string>")),
+        edges.withColumn("common", F.lit(None).cast("array<string>")),
+    )
+    return merged.groupBy("type").agg(F.count("*").alias("n_edges"))
+
+
+MERGE_IDEMPOTENT_SQL = f"""
+WITH {NODES_CTE.strip()}
+SELECT 'SAME_COLLEGE' AS type, COUNT(*) AS n_edges
+FROM nodes a JOIN nodes b
+  ON a.college = b.college AND a.id < b.id
+WHERE a.college IS NOT NULL AND a.college <> ''
+"""
