@@ -57,6 +57,39 @@ register(
     two_name_relationship_sql(),
 )
 
+# --- §2.7 F7 array intersection ---------------------------------------------
+from graphdb_neo4j_spark.operators.relationship import (
+    common_interests_pair_sql,
+    q_common_interests_pair,
+)
+
+register(
+    "common_interests_pair",
+    lambda spark, sf: q_common_interests_pair(spark, sf),
+    common_interests_pair_sql(),
+)
+
+# --- §2.9 U1 / §2.5 O3-O4 fuzzy search --------------------------------------
+from graphdb_neo4j_spark.operators import fuzzy
+
+register(
+    "fuzzy_search_lev",
+    fuzzy.q_fuzzy_search_lev,
+    fuzzy.fuzzy_search_lev_sql(),
+    bench=True,
+)
+register("fuzzy_search_indel", fuzzy.q_fuzzy_search_indel, None)  # rows-only
+register("fuzzy_best_match", fuzzy.q_fuzzy_best_match, fuzzy.fuzzy_best_match_sql())
+
+# --- §2.3 J6 variable-length paths ------------------------------------------
+from graphdb_neo4j_spark.operators import paths
+
+register(
+    "bfs_distances",
+    lambda spark, sf: paths.q_bfs_distances(spark, sf),
+    paths.bfs_distances_sql(),
+)
+
 # --- classic OLAP bench anchors ---------------------------------------------
 from graphdb_neo4j_spark.operators import olap
 

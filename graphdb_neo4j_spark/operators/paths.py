@@ -1,0 +1,149 @@
+"""Variable-length path discovery (J6) — bounded-depth BFS over the
+undirected edge view.
+
+The reference's sanitizer anticipates Cypher ``-[r*]-`` variable-length
+patterns (/root/reference/src/llm_cypher.py:211-216) and its relationship
+template walks paths undirected (llm_cypher.py:86-96). Catalyst has no
+iterative-fixpoint primitive, so BFS is a driver-side loop of DataFrame
+joins (SURVEY.md §7.4-H3):
+
+    frontier ⋈ edges → next frontier, anti-join visited, repeat ≤ max_depth
+
+Each iteration is ``localCheckpoint``-ed: the plan would otherwise double in
+depth every hop (lineage growth is the classic iterative-algorithm failure
+mode at scale). Depth is bounded (default 3) — a documented semantic
+restriction vs Cypher's unbounded ``[*]``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.graph import PropertyGraph
+from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
+from graphdb_neo4j_spark.sources.tpch import NODES_CTE, customer_nodes
+
+DEFAULT_MAX_DEPTH = 3
+
+
+def bfs_distances(
+    edges_undirected: DataFrame, source_id: int, max_depth: int = DEFAULT_MAX_DEPTH
+) -> DataFrame:
+    """(id, dist) for every node within ``max_depth`` hops of ``source_id``
+    (minimum hop count; the source itself at dist 0)."""
+    spark = edges_undirected.sparkSession
+    visited = spark.createDataFrame([(source_id, 0)], "id long, dist int")
+    frontier = visited.select("id")
+    edges = edges_undirected.select("src", "dst")
+
+    for depth in range(1, max_depth + 1):
+        next_frontier = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        # Truncate lineage: without this the logical plan doubles per hop.
+        next_frontier = next_frontier.localCheckpoint(eager=True)
+        if not next_frontier.take(1):
+            break
+        visited = visited.unionByName(
+            next_frontier.withColumn("dist", F.lit(depth))
+        )
+        frontier = next_frontier
+    return visited
+
+
+def q_bfs_distances(
+    spark: SparkSession, sf_dir: str, source_id: int = 1, max_depth: int = 2
+) -> DataFrame:
+    """BFS over the sparser edge types (SAME_COLLEGE + NEARBY) from one
+    node, depth ≤ 2 — the oracle unrolls the same two hops in SQL."""
+    nodes = customer_nodes(spark, sf_dir)
+    college = derive_attribute_edges(nodes, "college", "SAME_COLLEGE")
+    nearby = derive_attribute_edges(nodes, "address", "NEARBY")
+    graph = PropertyGraph(nodes=nodes, edges=college.unionByName(nearby))
+    return bfs_distances(graph.edges_undirected(), source_id, max_depth)
+
+
+def bfs_distances_sql(source_id: int = 1) -> str:
+    """Depth-2 unrolled BFS mirror."""
+    return f"""
+WITH {NODES_CTE.strip()},
+base_edges AS (
+    SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b
+      ON a.college = b.college AND a.id < b.id
+      WHERE a.college IS NOT NULL AND a.college <> ''
+    UNION ALL
+    SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b
+      ON a.address = b.address AND a.id < b.id
+      WHERE a.address IS NOT NULL AND a.address <> ''
+),
+und AS (
+    SELECT src, dst FROM base_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM base_edges
+),
+d1 AS (
+    SELECT DISTINCT dst AS id FROM und
+    WHERE src = {source_id} AND dst <> {source_id}
+),
+d2 AS (
+    SELECT DISTINCT e.dst AS id
+    FROM und e JOIN d1 ON e.src = d1.id
+    WHERE e.dst <> {source_id} AND e.dst NOT IN (SELECT id FROM d1)
+)
+SELECT CAST({source_id} AS BIGINT) AS id, 0 AS dist
+UNION ALL SELECT id, 1 AS dist FROM d1
+UNION ALL SELECT id, 2 AS dist FROM d2
+"""
+
+
+def shortest_path(
+    edges_undirected: DataFrame,
+    source_id: int,
+    target_id: int,
+    max_depth: int = DEFAULT_MAX_DEPTH,
+) -> list[int] | None:
+    """Node-id chain of one shortest path source→target (BFS parent
+    pointers), or None if unreachable within ``max_depth``.
+
+    The parent map stays distributed; only the ≤ max_depth chain nodes are
+    ever collected (one point-filter per hop)."""
+    spark = edges_undirected.sparkSession
+    visited = spark.createDataFrame(
+        [(source_id, 0, None)], "id long, dist int, parent long"
+    )
+    frontier = visited.select("id")
+    edges = edges_undirected.select("src", "dst")
+
+    found = source_id == target_id
+    for depth in range(1, max_depth + 1):
+        if found:
+            break
+        next_frontier = (
+            frontier.join(edges, frontier.id == edges.src)
+            .groupBy("dst")
+            .agg(F.min("src").alias("parent"))  # deterministic parent choice
+            .select(F.col("dst").alias("id"), F.lit(depth).alias("dist"), "parent")
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        next_frontier = next_frontier.localCheckpoint(eager=True)
+        if not next_frontier.take(1):
+            break
+        visited = visited.unionByName(next_frontier)
+        frontier = next_frontier.select("id")
+        found = bool(next_frontier.filter(F.col("id") == target_id).take(1))
+
+    if not found:
+        return None
+    chain = [target_id]
+    cur = target_id
+    while cur != source_id:
+        row = visited.filter(F.col("id") == cur).select("parent").first()
+        if row is None or row.parent is None:
+            break
+        cur = row.parent
+        chain.append(cur)
+    return list(reversed(chain))

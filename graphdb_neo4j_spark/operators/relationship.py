@@ -101,6 +101,67 @@ def two_name_relationship(
     )
 
 
+def q_common_interests_pair(
+    spark: SparkSession,
+    sf_dir: str,
+    name_a: str = DEFAULT_A,
+    name_b: str = DEFAULT_B,
+) -> DataFrame:
+    """F7 — the interest-intersection list itself (the reference's
+    ``[x IN a.interests WHERE x IN b.interests]``, llm_cypher.py:95),
+    emitted as a sorted comma-joined string for hash stability."""
+    from graphdb_neo4j_spark.sources.tpch import customer_interests
+
+    nodes = customer_nodes(spark, sf_dir)
+    interests = customer_interests(spark, sf_dir)
+    with_i = nodes.join(interests, "id", "left").withColumn(
+        "interests", F.coalesce("interests", F.array().cast("array<string>"))
+    )
+    a = with_i.filter(F.col("name") == name_a.strip().lower()).select(
+        F.col("id").alias("a_id"), F.col("interests").alias("a_interests")
+    )
+    b = with_i.filter(F.col("name") == name_b.strip().lower()).select(
+        F.col("id").alias("b_id"), F.col("interests").alias("b_interests")
+    )
+    return (
+        a.crossJoin(b)
+        .select(
+            "a_id",
+            "b_id",
+            F.concat_ws(
+                ",", F.array_sort(F.array_intersect("a_interests", "b_interests"))
+            ).alias("common_interests"),
+            F.size(F.array_intersect("a_interests", "b_interests")).alias(
+                "n_common"
+            ),
+        )
+    )
+
+
+def common_interests_pair_sql(
+    name_a: str = DEFAULT_A, name_b: str = DEFAULT_B
+) -> str:
+    ea = name_a.replace("'", "''")
+    eb = name_b.replace("'", "''")
+    return f"""
+WITH {NODES_CTE.strip()},
+{CUST_PARTS_CTE.strip()},
+a AS (SELECT id FROM nodes WHERE name = lower(trim('{ea}'))),
+b AS (SELECT id FROM nodes WHERE name = lower(trim('{eb}'))),
+common AS (
+    SELECT p1.interest
+    FROM (SELECT interest FROM cust_parts JOIN a ON cust_parts.id = a.id) p1
+    JOIN (SELECT interest FROM cust_parts JOIN b ON cust_parts.id = b.id) p2
+      ON p1.interest = p2.interest
+)
+SELECT a.id AS a_id, b.id AS b_id,
+       COALESCE((SELECT string_agg(interest, ',' ORDER BY interest) FROM common), '')
+           AS common_interests,
+       CAST((SELECT COUNT(*) FROM common) AS INT) AS n_common
+FROM a CROSS JOIN b
+"""
+
+
 def two_name_relationship_sql(
     name_a: str = DEFAULT_A, name_b: str = DEFAULT_B
 ) -> str:
