@@ -100,3 +100,43 @@ register(
     olap.top_parts_by_revenue_sql(),
     bench=True,
 )
+
+# --- extensions: text analysis ----------------------------------------------
+from graphdb_neo4j_spark.llmdata import textstats
+
+register("token_stats", textstats.q_token_stats, textstats.TOKEN_STATS_SQL)
+register("quality_scores", textstats.q_quality_scores, textstats.QUALITY_SCORES_SQL)
+register("lang_id", textstats.q_lang_id, textstats.LANG_ID_SQL)
+register("doc_fingerprint", textstats.q_doc_fingerprint, textstats.DOC_FINGERPRINT_SQL)
+register("winnowing_fingerprint", textstats.q_winnowing, None)  # engine hashing
+
+# --- extensions: deduplication ----------------------------------------------
+from graphdb_neo4j_spark.llmdata import dedup
+
+register("dedup_exact", dedup.q_dedup_exact, dedup.DEDUP_EXACT_SQL, bench=True)
+register(
+    "dedup_jaccard",
+    lambda spark, sf: dedup.q_dedup_jaccard(spark, sf),
+    dedup.dedup_jaccard_sql(),
+    bench=True,
+)
+register("dedup_minhash", lambda spark, sf: dedup.q_dedup_minhash(spark, sf), None)
+register("dedup_simhash", lambda spark, sf: dedup.q_dedup_simhash(spark, sf), None)
+
+# --- extensions: similarity search ------------------------------------------
+from graphdb_neo4j_spark.llmdata import simsearch
+
+register("knn_anchor", simsearch.q_knn_anchor, simsearch.knn_anchor_sql(), bench=True)
+register(
+    "cosine_neardup",
+    lambda spark, sf: simsearch.q_cosine_neardup(spark, sf),
+    simsearch.cosine_neardup_sql(),
+)
+register("ann_search", simsearch.q_ann_search, None)  # RNG bucketing
+
+# --- extensions: event analytics --------------------------------------------
+from graphdb_neo4j_spark.operators import events
+
+register("events_hourly", events.q_events_hourly, events.EVENTS_HOURLY_SQL, bench=True)
+register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)
+register("sessionize", events.q_sessionize, events.SESSIONIZE_SQL, bench=True)

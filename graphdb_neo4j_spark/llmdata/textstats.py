@@ -1,0 +1,215 @@
+"""Text analysis over the ``documents`` table: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All hot-path expressions are built-in `pyspark.sql.functions` (JVM-side,
+whole-stage codegen). The winnowing fingerprint uses window functions +
+xxhash64 — engine-specific hashing, so it registers rows-only; everything
+else has an exact DuckDB SQL mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# Whitespace tokenization of trimmed text — mirrored in SQL as
+# regexp_split_to_array(trim(text), '\s+').
+def _tokens(col: F.Column) -> F.Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+STOPWORDS = ("the", "a", "an", "of", "and", "to", "in", "is")
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts — n_tokens, n_distinct, chars_per_token."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS INT)
+           AS n_distinct_tokens,
+       CAST(n_chars AS DOUBLE) / len(regexp_split_to_array(trim(text), '\s+'))
+           AS chars_per_token
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals + a composite
+    score in [0,1]: long enough, low punctuation, a natural stopword rate."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[\w\s]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    punct_ratio = n_punct.cast("double") / F.col("n_chars")
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    length_ok = F.when(n_tokens >= 20, 1).otherwise(0)
+    score = (
+        0.4 * length_ok
+        + 0.3 * F.when(punct_ratio <= 0.1, 1).otherwise(0)
+        + 0.3 * F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+QUALITY_SCORES_SQL = rf"""
+WITH base AS (
+    SELECT doc_id, n_chars,
+           regexp_split_to_array(trim(text), '\s+') AS toks,
+           length(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(n_punct AS INT) AS n_punct,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)
+               AS stop_ratio
+    FROM base
+)
+SELECT doc_id, n_tokens, n_punct,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stop_ratio, 6) AS stopword_ratio,
+       CAST(ROUND(0.4 * (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+           + 0.3 * (CASE WHEN punct_ratio <= 0.1 THEN 1 ELSE 0 END)
+           + 0.3 * (CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 1 ELSE 0 END),
+           2) AS DOUBLE) AS quality_score
+FROM m
+"""
+
+
+# Marker-word profiles for the language-ID heuristic (top function words).
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est"),
+    "es": ("el", "la", "de", "que", "los", "es"),
+}
+_DEFAULT_LANG = "unknown"
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-free language ID: function-word hit counts per language,
+    argmax with deterministic precedence (en > de > fr > es on ties),
+    'unknown' when nothing matches."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = _tokens(F.lower(F.col("text")))
+
+    def hits(markers: tuple[str, ...]) -> F.Column:
+        # NB: the lambda must be unary — F.filter treats a 2-arg lambda as
+        # (element, index)
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hit_cols = {lang: hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best <= 0, F.lit(_DEFAULT_LANG))
+    for lang in LANG_MARKERS:  # insertion order = precedence
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+    return docs.select(
+        "doc_id",
+        *[hit_cols[lang].alias(f"hits_{lang}") for lang in LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    )
+
+
+def _lang_id_sql() -> str:
+    hit_exprs = ",\n           ".join(
+        f"CAST(len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in m)}))) AS INT) AS hits_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'unknown' "
+    for lang in langs:
+        case += f"WHEN hits_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return rf"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+           {hit_exprs}
+    FROM base
+)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)},
+       {case} AS predicted_lang
+FROM hits
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text (the exact-dedup key)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing (Schleimer et al., SIGMOD 2003): hash token k-grams, keep
+    the minimum hash in each sliding window of ``window`` consecutive
+    k-grams — a position-robust fingerprint set per document.
+
+    xxhash64 is engine-specific → registered rows-only; pytest checks
+    determinism and containment behavior.
+    """
+    toks = (
+        docs.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
+    )
+    w_gram = Window.partitionBy("doc_id").orderBy("pos")
+    kgram = F.concat_ws(" ", *[F.lead("tok", i).over(w_gram) for i in range(k)])
+    grams = (
+        toks.select("doc_id", "pos", kgram.alias("kgram"))
+        .filter(F.size(F.split(F.col("kgram"), " ")) == k)
+        .select("doc_id", "pos", F.xxhash64("kgram").alias("h"))
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    fps = (
+        grams.select("doc_id", F.min("h").over(w_min).alias("fp"))
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_set("fp")))).alias("fp_sig"),
+    )
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnowing_fingerprints(docs)

@@ -54,6 +54,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Timestamp parity with the DuckDB oracle (naive UTC).
         .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized reader
+        # rejects; read as raw nanos and convert explicitly (sources layer).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,88 @@
+"""Extension-operator invariants beyond oracle parity: LSH vs exact ground
+truth, ANN recall, winnowing determinism."""
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata import dedup, simsearch, textstats
+
+
+def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
+    """Every high-Jaccard pair (≥0.9) should be produced by the LSH path;
+    every LSH pair must itself pass the exact threshold (verified)."""
+    exact = {
+        (r.a, r.b)
+        for r in dedup.q_dedup_jaccard(spark, sf_dir, threshold=0.9).collect()
+    }
+    lsh_rows = dedup.q_dedup_minhash(spark, sf_dir, threshold=0.9).collect()
+    lsh = {(r.a, r.b) for r in lsh_rows}
+    assert lsh <= exact  # precision 1.0 (candidates exact-verified)
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall {recall} below 0.8 ({len(exact)} pairs)"
+
+
+def test_simhash_identical_docs_zero_hamming(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = dedup.doc_token_sets(docs)
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(toks).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_dedup_exact_flags_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello   World", "en", "s", 11),
+            (2, "hello world", "en", "s", 11),
+            (3, "something else", "en", "s", 14),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("___tmp")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").count().collect()
+    assert sorted(r["count"] for r in groups) == [1, 2]
+
+
+def test_ann_recall_vs_bruteforce(spark, sf_dir):
+    exact = [r.vec_id for r in simsearch.q_knn_anchor(spark, sf_dir, 0, 10).collect()]
+    approx = [r.vec_id for r in simsearch.ann_search(spark, sf_dir, 0, 10).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.3, f"ANN recall {recall} too low"
+
+
+def test_ann_cosines_are_exact_for_returned(spark, sf_dir):
+    """ANN re-rank is exact: any id it returns carries the true cosine."""
+    exact = {
+        r.vec_id: r.cosine
+        for r in simsearch.q_knn_anchor(spark, sf_dir, 0, 500).collect()
+    }
+    for r in simsearch.ann_search(spark, sf_dir, 0, 10).collect():
+        assert abs(exact[r.vec_id] - r.cosine) < 1e-9
+
+
+def test_winnowing_deterministic_and_discriminative(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely unrelated text with other words entirely present here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_fingerprints, r.fp_sig)
+           for r in textstats.winnowing_fingerprints(docs).collect()}
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    # run twice → identical (hash stream is deterministic)
+    again = {r.doc_id: (r.n_fingerprints, r.fp_sig)
+             for r in textstats.winnowing_fingerprints(docs).collect()}
+    assert out == again
