@@ -2,14 +2,25 @@
 training-data-pipeline operator family, each in its 100 TB shape:
 
 - exact:          hash-groupBy on a normalized fingerprint (one shuffle)
-- n-gram Jaccard: token-set equi-join — work ∝ Σ_token C(df(token), 2),
-                  never an all-pairs nested loop
+- n-gram Jaccard: character-shingle equi-join — work ∝ Σ_shingle
+                  C(df(shingle), 2), never an all-pairs nested loop
 - MinHash + LSH:  signatures by min-aggregation per seed; banded bucket
-                  join generates candidates; exact Jaccard verifies them.
-                  Candidate generation cost ∝ bucket collisions, not N².
+                  join generates candidates; exact Jaccard verifies
+                  CANDIDATES ONLY (pair-driven intersection join).
 - SimHash:        64-bit sign-of-weighted-sum signature; banded 16-bit
                   sub-keys for candidate pairs; Hamming ≤ t verification
                   via xor + bit_count.
+
+Token definition (the scale-critical choice): near-dup similarity runs on
+**w-shingles** — distinct ``width``-char substrings of the
+whitespace-normalized text (Broder's shingling, the standard MinHash
+pre-step). Word unigrams are NOT used: a token's join cost is C(df, 2) and
+natural-language unigrams (stopwords) have df ≈ N, turning the token join
+into an all-pairs cross join — on this corpus the unigram form enumerated
+~250M pairs at sf0.1 (151 s) while the shingle form enumerates ~670k.
+A ``max_df`` guard additionally drops any pathological hot shingle
+(boilerplate headers at 100 TB); dropped tokens carry no discriminative
+signal, and the DuckDB oracle applies the identical cap so parity holds.
 
 Exact and Jaccard forms have DuckDB SQL mirrors. MinHash/SimHash depend on
 engine hashing (xxhash64) → rows-only driver check; pytest validates them
@@ -54,9 +65,17 @@ FROM fp
 
 # --- token sets -------------------------------------------------------------
 
+SHINGLE_WIDTH = 20
+MAX_TOKEN_DF = 1000  # hot-shingle guard; no-op at test SFs, real at 100 TB
+
 
 def doc_token_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, tok) distinct word pairs + per-doc set size."""
+    """(doc_id, tok) distinct word-unigram pairs.
+
+    Kept for SimHash unit invariants and callers that want word-level
+    features; the near-dup joins use :func:`doc_shingles` (see module
+    docstring for why unigrams must never feed a token self-join).
+    """
     return (
         docs.select(
             "doc_id",
@@ -67,18 +86,107 @@ def doc_token_sets(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_dedup_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.95
+def doc_shingles(
+    docs: DataFrame, width: int = SHINGLE_WIDTH, parallelize: bool = False
 ) -> DataFrame:
-    """Near-duplicate pairs by word-set Jaccard ≥ threshold.
+    """(doc_id, tok) distinct character ``width``-shingles of the
+    whitespace-normalized lowercased text (stride 1 — classic w-shingling).
 
-    Token equi-join computes |A∩B| per pair; |A∪B| = |A| + |B| − |A∩B|
-    from per-doc set sizes — no arrays ever shipped through the shuffle.
+    Docs shorter than ``width`` chars yield no shingles and drop out of the
+    near-dup universe (documented; both engines agree).
+
+    ``parallelize`` hash-repartitions the input by doc_id before the
+    CPU-heavy shingling — only worth it when the corpus arrives as a
+    handful of oversized scan tasks AND per-task work dwarfs a text
+    shuffle; measured a net LOSS on the test corpus (2.1 s single-task vs
+    5.8 s shuffled), and at scale the input is block-split anyway, so the
+    default is off.
+    """
+    if parallelize:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+    t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    shingles = F.expr(
+        f"CASE WHEN length(t) >= {width} THEN "
+        f"transform(sequence(1, length(t) - {width} + 1), i -> substring(t, i, {width})) "
+        f"ELSE array() END"
+    )
+    return (
+        docs.select("doc_id", t.alias("t"))
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("tok"))
+    )
+
+
+def prune_hot_tokens(toks: DataFrame, max_df: int = MAX_TOKEN_DF) -> DataFrame:
+    """Drop tokens whose document frequency exceeds ``max_df``.
+
+    The hot-token list is tiny by construction (few tokens can exceed a
+    high df), so it broadcasts; the anti-join adds one aggregation pass and
+    removes the quadratic C(df, 2) blowup a single pathological token would
+    cause in the downstream self-join.
+    """
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("tok")
+    )
+    return toks.join(F.broadcast(hot), "tok", "left_anti")
+
+
+# DuckDB mirror of doc_shingles + prune_hot_tokens, parameterized.
+def _shingle_toks_cte(width: int, max_df: int) -> str:
+    return rf"""
+norm AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+    FROM documents
+),
+toks_all AS (
+    SELECT doc_id,
+           unnest(list_distinct([substr(t, i, {width})
+                                 FOR i IN range(1, greatest(length(t) - {width} + 1, 0) + 1)])) AS tok
+    FROM norm
+),
+hot AS (SELECT tok FROM toks_all GROUP BY tok HAVING COUNT(*) > {max_df}),
+toks AS (SELECT t.doc_id, t.tok FROM toks_all t ANTI JOIN hot h ON t.tok = h.tok)
+"""
+
+
+def _pair_jaccard(toks: DataFrame, inter: DataFrame, threshold: float) -> DataFrame:
+    """(a, b, jaccard) from an intersection-count table + per-doc set sizes.
+
+    Filters on the RAW ratio, THEN rounds for output — rounding first would
+    admit pairs up to 5e-7 below the threshold and diverge from the oracle's
+    raw-ratio WHERE clause (same discipline as simsearch.q_cosine_neardup).
+    """
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    raw = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .filter(raw >= threshold)
+        .select("a", "b", F.round(raw, 6).alias("jaccard"))
+    )
+
+
+def q_dedup_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> DataFrame:
+    """Near-duplicate pairs by char-shingle Jaccard ≥ threshold.
+
+    Shingle equi-join computes |A∩B| per pair; |A∪B| = |A| + |B| − |A∩B|
+    from per-doc set sizes — no arrays ever shipped through the shuffle,
+    and work is Σ_shingle C(df, 2) with df capped by ``max_df``.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = doc_token_sets(docs)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df)
     a = toks.select(F.col("doc_id").alias("a"), "tok")
     b = toks.select(F.col("doc_id").alias("b"), "tok")
     inter = (
@@ -87,30 +195,16 @@ def q_dedup_jaccard(
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _pair_jaccard(toks, inter, threshold)
 
 
-def dedup_jaccard_sql(threshold: float = 0.95) -> str:
+def dedup_jaccard_sql(
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> str:
     return rf"""
-WITH toks AS (
-    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
-    FROM documents
-),
+WITH {_shingle_toks_cte(width, max_df).strip()},
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
 inter AS (
     SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS n_inter
@@ -179,44 +273,44 @@ def lsh_candidate_pairs(
 
 
 def q_dedup_minhash(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.9
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs, exact-Jaccard verified (candidates only).
+
+    The verification join is PAIR-DRIVEN: candidate pairs join against the
+    a-side token lists, then equi-join (b, tok) — cost ∝ Σ_cands |A| + |A∩B|.
+    (The earlier shape ran the full token self-join and only then
+    semi-joined candidates; Catalyst will not push a left-semi below an
+    inner join, so the all-pairs enumeration LSH exists to avoid still
+    executed.)
 
     rows-only driver check (engine-specific hashing); pytest compares the
     result against the exhaustive Jaccard pairs.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = doc_token_sets(docs)
-    sigs = minhash_signatures(toks)
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df)
+    # Signatures are tiny (one row per doc, 17 longs) but their lineage is
+    # the whole shingle pipeline, and they feed BOTH the band self-join
+    # (twice) and nothing prevents Catalyst from recomputing that lineage
+    # per consumer — measured 110 s → 17 s at sf0.1. localCheckpoint
+    # materializes them once and truncates lineage (same technique as the
+    # BFS operator); at 100 TB this is N_docs × 136 B of executor storage.
+    sigs = minhash_signatures(toks).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs)
 
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = toks.select(F.col("doc_id").alias("a"), "tok")
-    b = toks.select(F.col("doc_id").alias("b"), "tok")
+    ta = toks.select(F.col("doc_id").alias("a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b"), "tok")
     inter = (
-        a.join(b, "tok")
-        .filter(F.col("a") < F.col("b"))
-        .join(cands, ["a", "b"], "left_semi")  # verify candidates only
+        cands.join(ta, "a")  # (a, b, tok): every token of a, per candidate pair
+        .join(tb, ["b", "tok"])  # keep tokens present in b too
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _pair_jaccard(toks, inter, threshold)
 
 
 # --- SimHash ----------------------------------------------------------------
@@ -226,44 +320,41 @@ def simhash_signatures(toks: DataFrame) -> DataFrame:
     """64-bit SimHash per doc: for each bit position, +1 if the token
     hash has the bit set else −1; the signature bit is the sign of the sum.
 
-    Implemented as posexplode over the 64 positions → two-level aggregation;
-    entirely JVM-side expressions.
+    Implemented as ONE groupBy with 64 per-bit popcount sums (plus the
+    token count): the per-bit contribution sum is 2·ones(bit) − n, so no
+    row explosion is needed — the earlier posexplode form multiplied the
+    token table ×64 before aggregating (89M intermediate rows at sf0.1).
+    All expressions stay inside whole-stage codegen.
     """
-    bit_contrib = (
-        toks.select("doc_id", F.xxhash64("tok").alias("h"))
-        .select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-        )
-        # (hash bit at position) mapped to ±1; SQL expr because the Python
-        # shiftright wrapper only takes literal shift amounts
-        .select(
-            "doc_id",
-            "bit",
-            F.expr("CAST(shiftright(h, bit) & 1L AS INT) * 2 - 1").alias("contrib"),
-        )
-    )
-    bit_sums = bit_contrib.groupBy("doc_id", "bit").agg(
-        F.sum("contrib").alias("s")
-    )
-    return bit_sums.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(F.expr(f"CAST(shiftright(h, {j}) & 1L AS LONG)")).alias(f"ones{j}")
+        for j in range(64)
+    ] + [F.count("*").alias("n_toks")]
+    per_doc = hashed.groupBy("doc_id").agg(*aggs)
+    sig = None
+    for j in range(64):
+        bit = F.when(
+            F.col(f"ones{j}") * 2 - F.col("n_toks") > 0,
+            F.expr(f"shiftleft(1L, {j})"),
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return per_doc.select("doc_id", sig.alias("simhash"))
 
 
 def q_dedup_simhash(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one of four 16-bit
-    bands; verified by Hamming distance ≤ max_hamming (xor + bit_count)."""
+    bands; verified by Hamming distance ≤ max_hamming (xor + bit_count).
+
+    Runs on the same shingle features as the Jaccard/MinHash family — word
+    unigrams on a small vocabulary give every doc a near-identical
+    signature (no discrimination) AND a hot-band candidate blowup."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = doc_token_sets(docs)
-    sigs = simhash_signatures(toks)
+    toks = prune_hot_tokens(doc_shingles(docs))
+    # One row per doc; lineage-truncated for the same reason as MinHash.
+    sigs = simhash_signatures(toks).localCheckpoint(eager=False)
 
     bands = sigs.select(
         "doc_id",

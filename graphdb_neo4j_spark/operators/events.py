@@ -2,9 +2,11 @@
 aggregation, JSON property extraction, sessionization.
 
 The reference has no streaming operators (SURVEY.md §2.8); these are the
-designated extensions over the driver's events fixture. The same logical
-shapes run under Structured Streaming (graphdb_neo4j_spark/streaming/) —
-here they are batch queries with DuckDB oracles.
+designated extensions over the driver's events fixture, expressed as batch
+queries with DuckDB oracles. The same logical shapes (tumbling window agg,
+stateful sessionization) port directly to Structured Streaming
+(readStream + watermark / applyInPandasWithState) when an append source
+exists.
 
 Determinism: window starts are emitted as formatted strings (timestamp
 representation parity), sums run on exact decimals (value is 2-decimal by
@@ -22,10 +24,14 @@ SESSION_GAP_MIN = 30
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table with ``ts`` as a proper timestamp.
 
-    The file stores TIMESTAMP(NANOS); the session reads nanos as LONG
-    (spark.sql.legacy.parquet.nanosAsLong) and we truncate to microseconds
-    here — the same truncation DuckDB applies casting TIMESTAMP_NS →
-    TIMESTAMP, keeping oracle parity."""
+    The file stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects by default (PARQUET_TYPE_ILLEGAL). We set the runtime SQLConf
+    ``spark.sql.legacy.parquet.nanosAsLong`` HERE — not only in get_spark()
+    — so the read works on ANY caller-supplied SparkSession (the driver
+    harness builds its own). Nanos arrive as LONG and are truncated to
+    microseconds — the same truncation DuckDB applies casting TIMESTAMP_NS
+    → TIMESTAMP, keeping oracle parity."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))

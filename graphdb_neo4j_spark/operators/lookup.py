@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.sources.tpch import NODES_CTE, customer_nodes
+from graphdb_neo4j_spark.sources.tpch import (
+    CUST_PARTS_CTE,
+    NODES_CTE,
+    customer_nodes,
+    full_nodes,
+)
 
 
 def q_node_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,19 +44,46 @@ SELECT name FROM nodes WHERE name IS NOT NULL
 
 
 def q_point_lookup(spark: SparkSession, sf_dir: str, node_id: int = 42) -> DataFrame:
-    """P2 — one node, all scalar properties."""
+    """P2 — one node, ALL 7 properties (the reference's detail row returns
+    interests too, student_service.py:110-132). The array is emitted as a
+    sorted comma-join so the oracle hash is representation-stable."""
     return (
-        customer_nodes(spark, sf_dir)
+        full_nodes(spark, sf_dir)
         .filter(F.col("id") == node_id)
-        .select("id", "name", "address", "college", "board", "stream")
+        .select(
+            "id",
+            "name",
+            "address",
+            "college",
+            "board",
+            "stream",
+            F.concat_ws(",", F.array_sort("interests")).alias("interests"),
+        )
     )
 
 
 def point_lookup_sql(node_id: int = 42) -> str:
     return f"""
-WITH {NODES_CTE.strip()}
-SELECT id, name, address, college, board, stream FROM nodes WHERE id = {node_id}
+WITH {NODES_CTE.strip()},
+{CUST_PARTS_CTE.strip()}
+SELECT id, name, address, college, board, stream,
+       COALESCE((SELECT string_agg(interest, ',' ORDER BY interest)
+                 FROM cust_parts cp WHERE cp.id = nodes.id), '') AS interests
+FROM nodes WHERE id = {node_id}
 """
+
+
+def single_student_detail(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """The NL layer's single-student template (llm_cypher.py:98-102) backed
+    by the same plan as P2: point filter on the pre-normalized name."""
+    return (
+        full_nodes(spark, sf_dir)
+        .filter(F.col("name") == F.lower(F.trim(F.lit(name))))
+        .select("id", "name", "address", "college", "board", "stream", "interests")
+        .limit(1)
+    )
 
 
 def q_exists(spark: SparkSession, sf_dir: str, node_id: int = 42) -> DataFrame:
