@@ -44,6 +44,20 @@ register(
     edges.edges_shares_interest_sql(),
 )
 register("merge_idempotent", edges.q_merge_idempotent, edges.MERGE_IDEMPOTENT_SQL)
+register(
+    "edges_with_common",
+    lambda spark, sf: edges.q_edges_with_common(spark, sf),
+    edges.edges_with_common_sql(),
+)
+
+# --- §2.1 write path (S3/S4), bulk normalize (S6), health (S8) --------------
+from graphdb_neo4j_spark.operators import ingest
+
+register(
+    "ingest_students", ingest.q_ingest_students, ingest.ingest_students_sql(), bench=True
+)
+register("normalized_nodes", ingest.q_normalized_nodes, ingest.NORMALIZED_NODES_SQL)
+register("health_check", ingest.q_health, ingest.HEALTH_SQL)
 
 # --- §2.3 J4/J5 two-name relationship ---------------------------------------
 from graphdb_neo4j_spark.operators.relationship import (
@@ -120,7 +134,12 @@ register(
     dedup.dedup_jaccard_sql(),
     bench=True,
 )
-register("dedup_minhash", lambda spark, sf: dedup.q_dedup_minhash(spark, sf), None)
+register(
+    "dedup_minhash",
+    lambda spark, sf: dedup.q_dedup_minhash(spark, sf),
+    None,
+    bench=True,  # the near-dup SCALE path — benched alongside its oracle form
+)
 register("dedup_simhash", lambda spark, sf: dedup.q_dedup_simhash(spark, sf), None)
 
 # --- extensions: similarity search ------------------------------------------
@@ -133,6 +152,22 @@ register(
     simsearch.cosine_neardup_sql(),
 )
 register("ann_search", simsearch.q_ann_search, None)  # RNG bucketing
+
+# --- extensions: multimodal columns -----------------------------------------
+from graphdb_neo4j_spark.llmdata import multimodal
+
+register(
+    "multimodal_stats",
+    multimodal.q_multimodal_stats,
+    multimodal.MULTIMODAL_STATS_SQL,
+    bench=True,
+)
+register("image_meta", multimodal.q_image_meta, multimodal.IMAGE_META_SQL)
+register(
+    "frame_sample",
+    lambda spark, sf: multimodal.q_frame_sample(spark, sf),
+    multimodal.frame_sample_sql(),
+)
 
 # --- extensions: event analytics --------------------------------------------
 from graphdb_neo4j_spark.operators import events

@@ -1,0 +1,209 @@
+"""Multimodal column operators — image/audio/video treated as opaque
+``binary`` payload columns with typed metadata, the fourth
+training-data-pipeline family (alongside dedup / similarity / text stats).
+
+The testdata has no binary fixture, so the asset table is DERIVED
+deterministically from ``documents`` (payload = utf-8 bytes of the text,
+modality assigned round-robin by doc_id, metadata from byte length) — the
+derivation is mirrored exactly in the DuckDB oracles, so every operator
+here is hash-checked, including the Pandas-UDF decode path.
+
+Decode stubs: real decoders (PIL / torchaudio / pyav) are not in this
+container. :func:`decode_image` raises NotImplementedError at the exact
+seam where they plug in; the registered queries use
+:func:`fake_decode_meta` — a deterministic arithmetic stand-in — so the
+Spark-side plumbing that actually matters at 100 TB (binary columns
+through Arrow batches, ``mapInPandas`` schema contract, per-modality
+partition pruning, metadata explode) is real and oracle-tested.
+
+Scale notes: payloads never pass through a shuffle — every operator
+filters/projects first (modality predicate pushes down to the scan) and
+aggregates only scalar metadata. ``mapInPandas`` streams Arrow batches;
+batch size is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+so executor memory holds batch_size × max_payload bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MODALITIES = ("image", "audio", "video")
+
+# Deterministic fake-decode parameters (mirrored in the SQL oracles).
+_W_MULT, _H_MULT, _DIM_MOD = 7919, 104729, 4096
+_FPS = 24
+_MS_PER_BYTE = 13
+
+
+def assets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(asset_id, modality, payload BINARY, n_bytes, duration_ms) — the
+    opaque-payload-plus-typed-metadata column layout."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(*[F.lit(m) for m in MODALITIES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        payload.alias("payload"),
+        F.octet_length(payload).alias("n_bytes"),
+        (F.octet_length(payload) * _MS_PER_BYTE).alias("duration_ms"),
+    )
+
+
+_ASSETS_CTE = f"""
+assets AS (
+    SELECT doc_id AS asset_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+           encode(text) AS payload,
+           octet_length(encode(text)) AS n_bytes,
+           octet_length(encode(text)) * {_MS_PER_BYTE} AS duration_ms
+    FROM documents
+)
+"""
+
+
+def q_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality corpus stats over the binary column: count, total and
+    max payload bytes, average duration. Aggregates scalar metadata only —
+    payload bytes never leave the scan stage."""
+    return (
+        assets_table(spark, sf_dir)
+        .groupBy("modality")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+        )
+    )
+
+
+MULTIMODAL_STATS_SQL = f"""
+WITH {_ASSETS_CTE.strip()}
+SELECT modality,
+       COUNT(*) AS n_assets,
+       SUM(n_bytes) AS total_bytes,
+       MAX(n_bytes) AS max_bytes,
+       SUM(duration_ms) AS total_duration_ms
+FROM assets
+GROUP BY modality
+"""
+
+
+# --- decode seam -------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> "object":
+    """THE decode seam: replace with PIL.Image.open(io.BytesIO(payload))
+    (or pyav / torchaudio per modality) where those libraries exist.
+
+    Not available in this environment by design (SURVEY-era container has
+    no image/audio libs); the Spark plumbing around it is exercised with
+    :func:`fake_decode_meta` instead."""
+    raise NotImplementedError(
+        "image decoding requires PIL/pillow — not available in this container; "
+        "plug the real decoder in here"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode → (width, height): pure arithmetic
+    on the byte length so the DuckDB oracle can mirror it exactly."""
+    n = len(payload)
+    return (n * _W_MULT) % _DIM_MOD + 1, (n * _H_MULT) % _DIM_MOD + 1
+
+
+def decode_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: binary payload Arrow batches in → typed metadata
+    rows out. This is the exact batch shape a real decoder would use
+    (payload bytes available as Python ``bytes`` per row, vectorized
+    columns for the metadata outputs)."""
+    for pdf in batches:
+        dims = [fake_decode_meta(p) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": pd.Series([w for w, _ in dims], dtype="int32"),
+                "height": pd.Series([h for _, h in dims], dtype="int32"),
+                "n_bytes": pdf["n_bytes"].astype("int64"),
+            }
+        )
+
+
+DECODE_META_SCHEMA = "asset_id long, width int, height int, n_bytes long"
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over the image modality via mapInPandas:
+    modality filter first (pruned at the scan — only image payloads are
+    read into Arrow), then the decode kernel."""
+    images = assets_table(spark, sf_dir).filter(F.col("modality") == "image")
+    return images.select("asset_id", "payload", "n_bytes").mapInPandas(
+        decode_meta_batches, DECODE_META_SCHEMA
+    )
+
+
+IMAGE_META_SQL = f"""
+WITH {_ASSETS_CTE.strip()}
+SELECT asset_id,
+       CAST((n_bytes * {_W_MULT}) % {_DIM_MOD} + 1 AS INT) AS width,
+       CAST((n_bytes * {_H_MULT}) % {_DIM_MOD} + 1 AS INT) AS height,
+       n_bytes
+FROM assets
+WHERE modality = 'image'
+"""
+
+
+def q_frame_sample(
+    spark: SparkSession, sf_dir: str, every_n_frames: int = 48, limit_assets: int = 50
+) -> DataFrame:
+    """Frame sampling for the video modality: total frames from
+    duration × fps metadata, one output row per sampled frame index —
+    the explode shape a frame-extraction pipeline fans out on (the
+    per-frame decode would be another mapInPandas over (payload,
+    frame_idx)). Deterministic asset subset keeps the output bounded."""
+    videos = (
+        assets_table(spark, sf_dir)
+        .filter(F.col("modality") == "video")
+        .filter(F.col("asset_id") < limit_assets * 3)  # deterministic subset
+    )
+    # integer division on both engines — DuckDB ROUNDS double→int casts
+    # while Spark truncates, so float division would drift by one frame
+    n_frames = F.expr(f"CAST((duration_ms * {_FPS}) DIV 1000 AS INT)")
+    return (
+        videos.select("asset_id", n_frames.alias("n_frames"))
+        .filter(F.col("n_frames") > 0)  # empty payload → no frames, no rows
+        .select(
+            "asset_id",
+            "n_frames",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.col("n_frames") - 1, F.lit(every_n_frames)
+                )
+            ).alias("frame_idx"),
+        )
+    )
+
+
+def frame_sample_sql(every_n_frames: int = 48, limit_assets: int = 50) -> str:
+    return f"""
+WITH {_ASSETS_CTE.strip()},
+videos AS (
+    SELECT asset_id,
+           CAST((duration_ms * {_FPS}) // 1000 AS INT) AS n_frames
+    FROM assets
+    WHERE modality = 'video' AND asset_id < {limit_assets * 3}
+)
+SELECT asset_id, n_frames, unnest(range(0, n_frames, {every_n_frames})) AS frame_idx
+FROM videos
+WHERE n_frames > 0
+"""

@@ -20,14 +20,20 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType
+from pyspark.sql.types import ArrayType, IntegerType
 
 DIM = 64
-# Few planes on purpose: for neighbours at angle θ the same-bucket
-# probability is (1 − θ/π)^planes; this corpus's nearest neighbours sit
-# around θ≈70°, so 4 planes + 1-bit multiprobe keeps recall ~0.5 while
-# still pruning ~2/3 of the scan. Raise for corpora with tighter clusters.
-N_PLANES = 4
+# Multi-table LSH (OR-amplification): a vector hashes into one bucket PER
+# TABLE; a true neighbour is found if it collides in ANY table. For
+# neighbours at angle θ, per-plane agreement is p = 1 − θ/π, so recall is
+# 1 − (1 − p_table)^L with p_table ≈ p^b + b·p^(b−1)(1−p) under 1-bit
+# multiprobe. This corpus's top-10 neighbours sit at θ ≈ 55–70°
+# (p ≈ 0.61–0.70 — close to random, the hard regime for hyperplane LSH):
+# b=6, L=8 gives recall ≈ 0.95 while touching ~60% of the corpus. On a
+# clustered corpus (p ≥ 0.85) the same parameters touch <5%. Both are
+# parameters of ann_search.
+N_PLANES = 6  # b: planes (bits) per table — AND-amplification
+N_TABLES = 8  # L: independent tables — OR-amplification
 _SEED = 20240813
 
 
@@ -105,22 +111,35 @@ WHERE list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= {thres
 """
 
 
-def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> np.ndarray:
-    return np.random.default_rng(_SEED).standard_normal((n_planes, dim))
+def _hyperplanes(
+    n_tables: int = N_TABLES, n_planes: int = N_PLANES, dim: int = DIM
+) -> np.ndarray:
+    """(L·b, dim) stacked plane matrix, one deterministic seeded draw."""
+    return np.random.default_rng(_SEED).standard_normal((n_tables * n_planes, dim))
 
 
-@F.pandas_udf(IntegerType())
-def _bucket_udf(embs: pd.Series) -> pd.Series:
+@F.pandas_udf(ArrayType(IntegerType()))
+def _buckets_udf(embs: pd.Series) -> pd.Series:
+    """Per vector: the L bucket ids (one per table), in one matmul —
+    Arrow-batched, vectorized over the whole batch."""
     planes = _hyperplanes()
     mat = np.vstack(embs.to_numpy())  # (batch, dim)
-    bits = (mat @ planes.T) > 0  # (batch, n_planes)
-    vals = bits @ (1 << np.arange(planes.shape[0]))
-    return pd.Series(vals.astype("int32"))
+    bits = (mat @ planes.T) > 0  # (batch, L·b)
+    bits = bits.reshape(len(mat), N_TABLES, N_PLANES)
+    vals = bits @ (1 << np.arange(N_PLANES))  # (batch, L)
+    return pd.Series(list(vals.astype("int32")))
 
 
-def ann_buckets(emb: DataFrame) -> DataFrame:
-    """Attach the random-hyperplane LSH bucket id to each vector."""
-    return emb.withColumn("bucket", _bucket_udf(F.col("embedding")))
+def ann_bucket_index(emb: DataFrame) -> DataFrame:
+    """The LSH 'index': one row per (vector, table) with that table's
+    bucket id. At rest this is what you'd write out partitioned/bucketed
+    by (table_idx, bucket) so a probe prunes to matching files."""
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode(_buckets_udf(F.col("embedding"))).alias("table_idx", "bucket"),
+    )
 
 
 def ann_search(
@@ -130,29 +149,29 @@ def ann_search(
     k: int = 10,
     multiprobe_bits: int = 1,
 ) -> DataFrame:
-    """ANN top-k: probe the anchor's bucket plus all buckets within
-    ``multiprobe_bits`` sign flips, exact re-rank inside the candidate set."""
-    emb = ann_buckets(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-    anchor = emb.filter(F.col("vec_id") == anchor_id).select(
-        F.col("embedding").alias("anchor_emb"), F.col("bucket").alias("anchor_bucket")
+    """ANN top-k: probe the anchor's bucket in EVERY table (plus all
+    buckets within ``multiprobe_bits`` sign flips per table), union the
+    candidates, exact re-rank. The probe set is L·(1+b) (table, bucket)
+    keys — a broadcast equi-join against the index, never a full scan."""
+    index = ann_bucket_index(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    anchor = index.filter(F.col("vec_id") == anchor_id).select(
+        F.col("embedding").alias("anchor_emb"), "table_idx", "bucket"
     )
     probe_buckets = F.array(
-        F.col("anchor_bucket"),
+        F.col("bucket"),
         *(
-            [
-                F.col("anchor_bucket").bitwiseXOR(F.lit(1 << i))
-                for i in range(N_PLANES)
-            ]
+            [F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)]
             if multiprobe_bits >= 1
             else []
         ),
     )
-    anchor = anchor.select(
-        "anchor_emb", F.explode(probe_buckets).alias("bucket")
+    probes = anchor.select(
+        "anchor_emb", "table_idx", F.explode(probe_buckets).alias("bucket")
     )
     return (
-        emb.filter(F.col("vec_id") != anchor_id)
-        .join(F.broadcast(anchor), "bucket")
+        index.filter(F.col("vec_id") != anchor_id)
+        .join(F.broadcast(probes), ["table_idx", "bucket"])
+        .dropDuplicates(["vec_id"])  # a candidate may collide in >1 table
         .select(
             "vec_id",
             "label",

@@ -145,12 +145,21 @@ WHERE a.college IS NOT NULL AND a.college <> ''
 
 def q_edge_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality of every derived edge type — small, hash-stable output.
+    Emits one row per edge type INCLUDING zero-count types (the engine
+    knows its five types statically; the oracle mirrors this with a VALUES
+    list LEFT JOINed to the counts, so degenerate data stays hash-equal).
 
-    Plan note: attribute-edge counts don't materialize pairs at all — a
-    same-key pair count is Σ_key C(n_key, 2), one tiny aggregation per
-    attribute (O(N) vs O(pairs); at sf0.1 that's 15k rows scanned instead
-    of 55M pairs built). Only SHARES_INTEREST needs pair-level dedup, and
-    it uses the count-only token-join form.
+    Plan notes:
+    - attribute-edge counts don't materialize pairs at all — a same-key
+      pair count is Σ_key C(n_key, 2), one tiny aggregation per attribute
+      (O(N) vs O(pairs); at sf0.1 that's 15k rows scanned instead of 55M
+      pairs built).
+    - SHARES_INTEREST is the one type that needs pair-level dedup (a pair
+      sharing k tokens must count once). The token join feeds a
+      groupBy(src, dst) partial-aggregate, then a map-side count — the
+      same shape as the registered edge query, so partial aggregation
+      collapses duplicate pairs before the shuffle instead of shipping
+      every token-match row.
     """
     nodes = customer_nodes(spark, sf_dir)
 
@@ -176,7 +185,8 @@ def q_edge_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     interest_count = (
         a.join(b, "interest")
         .filter(F.col("src") < F.col("dst"))
-        .dropDuplicates(["src", "dst"])
+        .groupBy("src", "dst")
+        .count()  # partial agg collapses duplicate pairs map-side
         .groupBy()
         .agg(F.count("*").alias("n_edges"))
         .select(F.lit(INTEREST_EDGE_TYPE).alias("type"), "n_edges")
@@ -210,8 +220,12 @@ interest_edges AS (
       ON a.interest = b.interest AND a.id < b.id
     GROUP BY a.id, b.id
 ),
-all_edges AS (SELECT type FROM attr_edges UNION ALL SELECT type FROM interest_edges)
-SELECT type, COUNT(*) AS n_edges FROM all_edges GROUP BY type
+all_edges AS (SELECT type FROM attr_edges UNION ALL SELECT type FROM interest_edges),
+counts AS (SELECT type, COUNT(*) AS n_edges FROM all_edges GROUP BY type)
+SELECT t.type, COALESCE(c.n_edges, 0) AS n_edges
+FROM (VALUES ('SAME_COLLEGE'), ('SAME_BOARD'), ('SAME_STREAM'), ('NEARBY'),
+             ('SHARES_INTEREST')) AS t(type)
+LEFT JOIN counts c ON c.type = t.type
 """
 
 
@@ -239,6 +253,40 @@ SELECT a.id AS src, b.id AS dst, COUNT(*) AS n_common
 FROM cust_parts a JOIN cust_parts b
   ON a.interest = b.interest AND a.id < b.id
 GROUP BY a.id, b.id
+HAVING COUNT(*) >= {min_common}
+"""
+
+
+def q_edges_with_common(
+    spark: SparkSession, sf_dir: str, min_common: int = 3
+) -> DataFrame:
+    """A5 — SHARES_INTEREST edges WITH the materialized ``common``
+    intersection list (the reference's ``SET r.common``,
+    create_relationships.py:86), via the count-first-then-replay plan of
+    ``derive_shared_interest_edges(with_common=True)``. The array is
+    emitted as a sorted comma-join for hash stability."""
+    edges = derive_shared_interest_edges(
+        customer_interest_pairs(spark, sf_dir),
+        min_common=min_common,
+        with_common=True,
+    )
+    return edges.select(
+        "src",
+        "dst",
+        F.concat_ws(",", "common").alias("common"),
+        F.size("common").alias("n_common"),
+    )
+
+
+def edges_with_common_sql(min_common: int = 3) -> str:
+    return f"""
+WITH {CUST_PARTS_CTE.strip()}
+SELECT p1.id AS src, p2.id AS dst,
+       string_agg(p1.interest, ',' ORDER BY p1.interest) AS common,
+       CAST(COUNT(*) AS INT) AS n_common
+FROM cust_parts p1 JOIN cust_parts p2
+  ON p1.interest = p2.interest AND p1.id < p2.id
+GROUP BY p1.id, p2.id
 HAVING COUNT(*) >= {min_common}
 """
 

@@ -1,0 +1,290 @@
+"""Write path — node creation and incremental edge derivation (S3/S4),
+plus the bulk-normalize (S6) and health-check (S8) operators.
+
+Reference semantics:
+- S4 ``save_student`` (/root/reference/fastapi/services/student_service.py:21-108):
+  allocate id = MAX(id)+1, create the node (all strings lowercased at the
+  route, student_routes.py:28-32), then MERGE the five derived edge types
+  between the new node and every existing node (:62-106).
+- S3 ``create_user`` (/root/reference/src/graphdb.py:32-40): bare 1-row
+  node append.
+- S6 ``sync_lowercase_students`` (student_service.py:201-220): bulk
+  lowercase rewrite of every string property.
+- S8 ``ping`` (student_service.py:192-199): RETURN 1 round-trip.
+
+Spark shapes:
+- id allocation (SURVEY.md §7.4-H2): the reference's per-row MAX(id)+1 is
+  a read-modify-write race AND a serialization point; the batch form is
+  ``max(id) + row_number() OVER (ORDER BY name)`` — one aggregate plus a
+  window over the (small) ingest batch. Ids are dense per batch, not
+  globally contiguous under concurrent writers (documented tolerance).
+- incremental edges: the ingest batch is broadcast against the existing
+  node table, so deriving edges for k new nodes scans the graph ONCE
+  (k·N comparisons via hash lookup, no N² rebuild, no shuffle of the big
+  side). New-vs-new pairs inside the batch fall out of the same join
+  because the batch is unioned into the probe side first.
+- MERGE: new ids cannot collide with existing edges by construction; for
+  re-ingest idempotency compose with
+  :func:`graphdb_neo4j_spark.operators.edges.merge_edges`.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.graph import (
+    ATTRIBUTE_EDGE_TYPES,
+    INTEREST_EDGE_TYPE,
+    normalize_string,
+    normalize_string_array,
+)
+from graphdb_neo4j_spark.sources.tpch import (
+    CUST_PARTS_CTE,
+    NODES_CTE,
+    customer_interest_pairs,
+    customer_nodes,
+)
+
+# Deterministic demo ingest batch (mixed case / stray whitespace on purpose
+# — the route-level lowercase invariant must normalize it). Interests are
+# part keys that exist at every test SF.
+DEMO_STUDENTS = [
+    ("  Alice Example  ", "addr_5", "CANADA", "AMERICA", "BUILDING", ["42", "100"]),
+    ("Bob Example", "addr_5", "india", "ASIA", "MACHINERY", ["7"]),
+    ("Carol Example", "addr_9999", "canada", "america", "building", ["42"]),
+]
+DEMO_SCHEMA = (
+    "name string, address string, college string, board string, stream string,"
+    " interests array<string>"
+)
+
+
+def normalize_batch(new_raw: DataFrame) -> DataFrame:
+    """Route-level ingest normalization (student_routes.py:28-32): every
+    string lowercased/trimmed, every interests element too."""
+    return new_raw.select(
+        normalize_string("name").alias("name"),
+        normalize_string("address").alias("address"),
+        normalize_string("college").alias("college"),
+        normalize_string("board").alias("board"),
+        normalize_string("stream").alias("stream"),
+        normalize_string_array("interests").alias("interests"),
+    )
+
+
+def allocate_ids(nodes: DataFrame, batch: DataFrame) -> DataFrame:
+    """H2 batch id allocation: base = COALESCE(MAX(id), 0) over the node
+    table (one aggregate, A1), offset = row_number over the batch ordered
+    by name (deterministic). The single-partition window is fine — it runs
+    over the INGEST BATCH, not the graph."""
+    base = nodes.groupBy().agg(
+        F.coalesce(F.max("id"), F.lit(0)).alias("_base")
+    )
+    w = Window.orderBy("name")
+    return (
+        batch.withColumn("_rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("_base") + F.col("_rn")).cast("long").alias("id"),
+            "name",
+            "address",
+            "college",
+            "board",
+            "stream",
+            "interests",
+        )
+    )
+
+
+def create_node(nodes: DataFrame, row_df: DataFrame) -> DataFrame:
+    """S3 — bare node append (graphdb.py:32-40): union of a 1-row frame.
+    The parquet sink form is ``row_df.write.mode('append')``."""
+    return nodes.unionByName(row_df, allowMissingColumns=True)
+
+
+def derive_edges_for_batch(
+    existing_nodes: DataFrame,
+    existing_interest_pairs: DataFrame,
+    new_nodes: DataFrame,
+) -> DataFrame:
+    """All derived edges incident to the ingest batch, canonical src < dst.
+
+    The batch side is broadcast (it is k rows); the graph side streams
+    through a hash join — the incremental analog of the reference's five
+    MERGE statements per onboard (student_service.py:62-106)."""
+    probe = existing_nodes.select("id", "name", "address", "college", "board", "stream").unionByName(
+        new_nodes.select("id", "name", "address", "college", "board", "stream")
+    )
+
+    def attr_edges(attr: str, etype: str) -> DataFrame:
+        n = F.broadcast(
+            new_nodes.select(F.col("id").alias("n_id"), F.col(attr).alias("k")).filter(
+                F.col("k").isNotNull() & (F.col("k") != "")
+            )
+        )
+        p = probe.select(F.col("id").alias("p_id"), F.col(attr).alias("k")).filter(
+            F.col("k").isNotNull() & (F.col("k") != "")
+        )
+        return (
+            p.join(n, "k")
+            .filter(F.col("p_id") != F.col("n_id"))
+            .select(
+                F.least("p_id", "n_id").alias("src"),
+                F.greatest("p_id", "n_id").alias("dst"),
+                F.lit(etype).alias("type"),
+                F.lit(None).cast("array<string>").alias("common"),
+            )
+            .dropDuplicates(["src", "dst"])  # new-new pairs arrive twice
+        )
+
+    attr = [attr_edges(a, t) for t, a in ATTRIBUTE_EDGE_TYPES.items()]
+
+    new_cp = new_nodes.select(
+        "id", F.explode("interests").alias("interest")
+    ).distinct()
+    all_cp = existing_interest_pairs.unionByName(new_cp)
+    interest = (
+        all_cp.withColumnRenamed("id", "p_id")
+        .join(
+            F.broadcast(new_cp.withColumnRenamed("id", "n_id")),
+            "interest",
+        )
+        .filter(F.col("p_id") != F.col("n_id"))
+        .select(
+            F.least("p_id", "n_id").alias("src"),
+            F.greatest("p_id", "n_id").alias("dst"),
+            "interest",
+        )
+        .groupBy("src", "dst")
+        .agg(F.array_sort(F.collect_set("interest")).alias("common"))
+        .select("src", "dst", F.lit(INTEREST_EDGE_TYPE).alias("type"), "common")
+    )
+    return reduce(DataFrame.unionByName, attr + [interest])
+
+
+def ingest_students(
+    spark: SparkSession, sf_dir: str, new_raw: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """S4 end-to-end: normalize → allocate ids → append → derive the new
+    edges. Returns (nodes_after, new_edges)."""
+    nodes = customer_nodes(spark, sf_dir)
+    batch = allocate_ids(nodes, normalize_batch(new_raw))
+    nodes_after = nodes.unionByName(batch.drop("interests"))
+    new_edges = derive_edges_for_batch(
+        nodes, customer_interest_pairs(spark, sf_dir), batch
+    )
+    return nodes_after, new_edges
+
+
+# --- registered query forms + oracles --------------------------------------
+
+
+def q_ingest_students(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-ingest verification: per-type count of the NEW edges created by
+    onboarding the demo batch (every edge type exercised; zero-count types
+    kept so the row set is schema-stable)."""
+    new_raw = spark.createDataFrame(DEMO_STUDENTS, DEMO_SCHEMA)
+    _, new_edges = ingest_students(spark, sf_dir, new_raw)
+    counted = new_edges.groupBy("type").agg(F.count("*").alias("n_edges"))
+    types = spark.createDataFrame(
+        [(t,) for t in [*ATTRIBUTE_EDGE_TYPES, INTEREST_EDGE_TYPE]], "type string"
+    )
+    return types.join(counted, "type", "left").select(
+        "type", F.coalesce("n_edges", F.lit(0)).alias("n_edges")
+    )
+
+
+def _demo_values_sql() -> tuple[str, str]:
+    rows = ", ".join(
+        f"('{n.strip().lower()}', '{a}', '{c.lower()}', '{b.lower()}', '{s.lower()}', {i})"
+        for i, (n, a, c, b, s, _) in enumerate(DEMO_STUDENTS, start=1)
+    )
+    parts = ", ".join(
+        f"({i}, '{tok}')"
+        for i, (_, _, _, _, _, toks) in enumerate(DEMO_STUDENTS, start=1)
+        for tok in toks
+    )
+    return rows, parts
+
+
+def ingest_students_sql() -> str:
+    rows, parts = _demo_values_sql()
+    return f"""
+WITH base_{NODES_CTE.strip()},
+base_{CUST_PARTS_CTE.strip()},
+maxid AS (SELECT COALESCE(MAX(id), 0) AS m FROM base_nodes),
+new_raw(name, address, college, board, stream, rn) AS (VALUES {rows}),
+new_nodes AS (
+    SELECT m + rn AS id, name, address, college, board, stream
+    FROM new_raw, maxid
+),
+new_parts_raw(rn, interest) AS (VALUES {parts}),
+new_cp AS (SELECT DISTINCT m + rn AS id, interest FROM new_parts_raw, maxid),
+nodes AS (SELECT * FROM base_nodes UNION ALL SELECT * FROM new_nodes),
+cust_parts AS (SELECT * FROM base_cust_parts UNION ALL SELECT * FROM new_cp),
+new_ids AS (SELECT id FROM new_nodes),
+new_edges AS (
+    SELECT 'SAME_COLLEGE' AS type, a.id AS src, b.id AS dst
+    FROM nodes a JOIN nodes b ON a.college = b.college AND a.id < b.id
+    WHERE a.college <> '' AND (a.id IN (SELECT id FROM new_ids) OR b.id IN (SELECT id FROM new_ids))
+    UNION ALL
+    SELECT 'SAME_BOARD', a.id, b.id
+    FROM nodes a JOIN nodes b ON a.board = b.board AND a.id < b.id
+    WHERE a.board <> '' AND (a.id IN (SELECT id FROM new_ids) OR b.id IN (SELECT id FROM new_ids))
+    UNION ALL
+    SELECT 'SAME_STREAM', a.id, b.id
+    FROM nodes a JOIN nodes b ON a.stream = b.stream AND a.id < b.id
+    WHERE a.stream <> '' AND (a.id IN (SELECT id FROM new_ids) OR b.id IN (SELECT id FROM new_ids))
+    UNION ALL
+    SELECT 'NEARBY', a.id, b.id
+    FROM nodes a JOIN nodes b ON a.address = b.address AND a.id < b.id
+    WHERE a.address <> '' AND (a.id IN (SELECT id FROM new_ids) OR b.id IN (SELECT id FROM new_ids))
+    UNION ALL
+    SELECT 'SHARES_INTEREST', p1.id, p2.id
+    FROM cust_parts p1 JOIN cust_parts p2
+      ON p1.interest = p2.interest AND p1.id < p2.id
+    WHERE (p1.id IN (SELECT id FROM new_ids) OR p2.id IN (SELECT id FROM new_ids))
+    GROUP BY p1.id, p2.id
+),
+counts AS (SELECT type, COUNT(*) AS n_edges FROM new_edges GROUP BY type)
+SELECT t.type, COALESCE(c.n_edges, 0) AS n_edges
+FROM (VALUES ('SAME_COLLEGE'), ('SAME_BOARD'), ('SAME_STREAM'), ('NEARBY'),
+             ('SHARES_INTEREST')) AS t(type)
+LEFT JOIN counts c ON c.type = t.type
+"""
+
+
+def q_normalized_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — bulk lowercase/trim over RAW store values (the testdata's
+    unprojected customer strings stand in for a store whose invariant
+    drifted, the exact situation sync_lowercase_students repairs)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    raw = customer.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("stream"),
+    )
+    return raw.select(
+        "id",
+        normalize_string("name").alias("name"),
+        normalize_string("stream").alias("stream"),
+    )
+
+
+NORMALIZED_NODES_SQL = """
+SELECT c_custkey AS id,
+       lower(trim(COALESCE(c_name, ''))) AS name,
+       lower(trim(COALESCE(c_mktsegment, ''))) AS stream
+FROM customer
+"""
+
+
+def q_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — RETURN 1 round-trip (ping, student_service.py:192-199)."""
+    return spark.range(1).select((F.col("id") + 1).cast("long").alias("ok"))
+
+
+HEALTH_SQL = "SELECT CAST(1 AS BIGINT) AS ok"
