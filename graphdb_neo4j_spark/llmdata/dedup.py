@@ -186,7 +186,14 @@ def q_dedup_jaccard(
     and work is Σ_shingle C(df, 2) with df capped by ``max_df``.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = prune_hot_tokens(doc_shingles(docs, width), max_df)
+    # The pruned token table feeds three different shuffles (join a-side,
+    # hot-set agg, per-doc sizes); materialize it once instead of
+    # re-running the shingle pipeline per consumer — the single-query
+    # analog of the "write the shingle table, then join" step every
+    # at-scale dedup pipeline has (token table ≈ 0.3× corpus bytes).
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
+        eager=False
+    )
     a = toks.select(F.col("doc_id").alias("a"), "tok")
     b = toks.select(F.col("doc_id").alias("b"), "tok")
     inter = (
@@ -292,7 +299,9 @@ def q_dedup_minhash(
     result against the exhaustive Jaccard pairs.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = prune_hot_tokens(doc_shingles(docs, width), max_df)
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
+        eager=False
+    )  # reused by signatures, verification a/b sides, and sizes
     # Signatures are tiny (one row per doc, 17 longs) but their lineage is
     # the whole shingle pipeline, and they feed BOTH the band self-join
     # (twice) and nothing prevents Catalyst from recomputing that lineage

@@ -1,0 +1,58 @@
+"""Streaming/batch parity: each Structured Streaming operator run with
+trigger(availableNow=True) over the bounded fixture must agree with its
+batch twin — the unified-model guarantee the streaming package claims."""
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.events import load_events, q_events_hourly
+from graphdb_neo4j_spark.streaming import (
+    hourly_stream,
+    run_available_now,
+    session_window_stream,
+    stream_events,
+    user_counts_stateful_stream,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_hourly_stream_matches_batch(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(spark, hourly_stream(ev), "hourly_avail")
+    batch = q_events_hourly(spark, sf_dir)
+    cols = ["window_start", "event_type", "n", "sum_value"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_session_window_stream_counts(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(spark, session_window_stream(ev), "sessions_avail")
+    # session totals must cover every event exactly once
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_events(spark, sf_dir).count()
+    assert total == n_events
+    # per-user totals match a batch groupBy
+    per_user = out.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    batch = load_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n")
+    )
+    assert _rows(per_user, ["user_id", "n"]) == _rows(batch, ["user_id", "n"])
+
+
+def test_stateful_user_counts_match_batch(spark, sf_dir):
+    ev = stream_events(spark, sf_dir)
+    out = run_available_now(
+        spark,
+        user_counts_stateful_stream(ev),
+        "user_counts_avail",
+        output_mode="update",
+    )
+    # update mode may emit one row per micro-batch per key: keep the max
+    # (the final running count) per user
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    batch = load_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n")
+    )
+    assert _rows(final, ["user_id", "n"]) == _rows(batch, ["user_id", "n"])
