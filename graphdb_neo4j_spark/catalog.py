@@ -123,6 +123,11 @@ register("quality_scores", textstats.q_quality_scores, textstats.QUALITY_SCORES_
 register("lang_id", textstats.q_lang_id, textstats.LANG_ID_SQL)
 register("doc_fingerprint", textstats.q_doc_fingerprint, textstats.DOC_FINGERPRINT_SQL)
 register("winnowing_fingerprint", textstats.q_winnowing, None)  # engine hashing
+register(
+    "tfidf_top_terms",
+    lambda spark, sf: textstats.q_tfidf_top_terms(spark, sf),
+    textstats.tfidf_top_terms_sql(),
+)
 
 # --- extensions: deduplication ----------------------------------------------
 from graphdb_neo4j_spark.llmdata import dedup
@@ -152,6 +157,7 @@ register(
     simsearch.cosine_neardup_sql(),
 )
 register("ann_search", simsearch.q_ann_search, None)  # RNG bucketing
+register("ivf_search", simsearch.q_ivf_search, None)  # KMeans centroids
 
 # --- extensions: multimodal columns -----------------------------------------
 from graphdb_neo4j_spark.llmdata import multimodal

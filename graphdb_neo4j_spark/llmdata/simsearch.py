@@ -1,13 +1,17 @@
 """Similarity search over the ``embeddings`` table (array<float>, unit-norm).
 
-Two paths:
+Three paths:
 - brute-force cosine top-k (the exactness baseline): one scan, dot product
   as a codegen'd array fold, TakeOrderedAndProject — O(N·d) per query.
-- LSH-bucketed ANN (the scale path): random-hyperplane signatures narrow
-  the scan to one bucket (plus multiprobe flips), exact re-rank inside.
-  Hyperplanes come from a seeded NumPy RNG inside a Pandas UDF — the
-  100 TB-relevant property is that bucketing is a narrow Arrow-batched
-  projection and the candidate join is an equi-join on the bucket key.
+- LSH-bucketed ANN (scale path 1): multi-table random-hyperplane
+  signatures narrow the scan to bucket collisions (plus multiprobe
+  flips), exact re-rank inside. Hyperplanes come from a seeded NumPy RNG
+  inside a Pandas UDF — the 100 TB-relevant property is that bucketing is
+  a narrow Arrow-batched projection and the candidate join is an
+  equi-join on the (table, bucket) key.
+- IVF-Flat (scale path 2): KMeans coarse quantizer → inverted lists;
+  probes scan the n_probe nearest lists only. Index build is offline
+  (sample-fit at scale); search is a broadcast equi-join on list_id.
 
 The embedding-cosine near-dup pair query is the all-pairs variant with a
 threshold, oracle-checked against DuckDB's list_cosine_similarity.
@@ -186,3 +190,87 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only registered form (bucketing depends on the NumPy RNG
     stream, not portable to SQL); pytest measures recall vs q_knn_anchor."""
     return ann_search(spark, sf_dir, anchor_id=0, k=10)
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+N_LISTS = 16
+N_PROBE = 8  # this corpus clusters weakly (near-orthogonal); 8/16 lists → recall ≥0.9
+
+
+def ivf_index(
+    emb: DataFrame, n_lists: int = N_LISTS, seed: int = _SEED
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: KMeans over the embeddings; every vector is
+    assigned to its nearest centroid's inverted list.
+
+    Returns (assigned, centroids): ``assigned`` = the vectors + ``list_id``
+    (at rest you'd write this partitioned by list_id so probes prune
+    files); ``centroids`` = (list_id, center array) — k rows, broadcast
+    everywhere it is used. At 100 TB the fit runs on a sample
+    (KMeans cost is per-iteration O(N·k·d)); assignment stays a single
+    scan through the model transform.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = emb.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(feats)
+    assigned = (
+        model.transform(feats)
+        .withColumnRenamed("prediction", "list_id")
+        .drop("features")
+    )
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id int, center array<double>",
+    )
+    return assigned, centroids
+
+
+def ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    anchor_id: int = 0,
+    k: int = 10,
+    n_lists: int = N_LISTS,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF top-k: rank centroids by cosine to the anchor, scan the
+    ``n_probe`` nearest inverted lists, exact re-rank inside them —
+    the classic IVF-Flat search, all as DataFrame ops (the centroid
+    ranking is a k-row crossJoin, not a collect)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, centroids = ivf_index(emb, n_lists=n_lists)
+    anchor = emb.filter(F.col("vec_id") == anchor_id).select(
+        F.col("embedding").alias("anchor_emb")
+    )
+    probe_lists = (
+        centroids.crossJoin(F.broadcast(anchor))
+        .select(
+            "list_id",
+            "anchor_emb",
+            _dot(F.col("center"), F.col("anchor_emb")).alias("c_sim"),
+        )
+        .orderBy(F.desc("c_sim"))
+        .limit(n_probe)
+        .select("list_id", "anchor_emb")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != anchor_id)
+        .join(F.broadcast(probe_lists), "list_id")
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("embedding"), F.col("anchor_emb")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only registered form (KMeans centroids are engine-specific);
+    pytest measures recall vs q_knn_anchor."""
+    return ivf_search(spark, sf_dir, anchor_id=0, k=10)

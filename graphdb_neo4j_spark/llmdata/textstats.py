@@ -213,3 +213,64 @@ def winnowing_fingerprints(
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return winnowing_fingerprints(docs)
+
+
+# --- TF-IDF -----------------------------------------------------------------
+
+
+def q_tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, top_k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by tf·idf (idf = ln(N/df)).
+
+    Three aggregations, all keyed and partial-agg friendly: term counts
+    per (doc, term), document frequency per term (from the already-distinct
+    (doc, term) rows — no second scan of raw tokens), and the scalar corpus
+    size broadcast into the scoring join. Ranking is row_number over
+    (score DESC, term ASC) per doc — deterministic under ties — planned as
+    a per-doc-partition window, no global sort.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score", F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def tfidf_top_terms_sql(top_k: int = 3) -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+    FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, term, score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, term, ROUND(score, 6) AS score, rank
+FROM ranked WHERE rank <= {top_k}
+"""

@@ -76,13 +76,30 @@ FROM nodes WHERE id = {node_id}
 def single_student_detail(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:
-    """The NL layer's single-student template (llm_cypher.py:98-102) backed
-    by the same plan as P2: point filter on the pre-normalized name."""
-    return (
-        full_nodes(spark, sf_dir)
+    """The NL layer's single-student template (llm_cypher.py:98-102):
+    point filter on the pre-normalized name; interests gathered by the
+    scan-only broadcast probe (dynamic id — see interest_pairs_for)
+    instead of the full-corpus interests aggregation."""
+    from graphdb_neo4j_spark.sources.tpch import interest_pairs_for
+
+    node = (
+        customer_nodes(spark, sf_dir)
         .filter(F.col("name") == F.lower(F.trim(F.lit(name))))
-        .select("id", "name", "address", "college", "board", "stream", "interests")
         .limit(1)
+    )
+    interests = (
+        interest_pairs_for(spark, sf_dir, node.select("id"))
+        .groupBy("id")
+        .agg(F.collect_set("interest").alias("interests"))
+    )
+    return node.join(interests, "id", "left").select(
+        "id",
+        "name",
+        "address",
+        "college",
+        "board",
+        "stream",
+        F.coalesce("interests", F.array().cast("array<string>")).alias("interests"),
     )
 
 

@@ -35,8 +35,8 @@ from pyspark.sql import functions as F
 from graphdb_neo4j_spark.sources.tpch import (
     CUST_PARTS_CTE,
     NODES_CTE,
-    customer_interest_pairs,
     customer_nodes,
+    interest_pairs_for,
 )
 
 DEFAULT_A = "Customer#000000042"
@@ -60,7 +60,6 @@ def two_name_relationship(
 ) -> DataFrame:
     """Relationship summary between two nodes looked up by name."""
     nodes = customer_nodes(spark, sf_dir)
-    pairs = customer_interest_pairs(spark, sf_dir)
 
     def side(name: str, prefix: str) -> DataFrame:
         return nodes.filter(F.col("name") == name.strip().lower()).select(
@@ -72,8 +71,15 @@ def two_name_relationship(
 
     pair = side(name_a, "a").crossJoin(side(name_b, "b"))  # 1 × 1
 
-    # Interest intersection of exactly this pair: two point-filtered token
-    # sets joined on the token — O(|a| + |b|), not an all-pairs aggregation.
+    # Interest intersection of exactly this pair: the token lists come from
+    # interest_pairs_for (fact tables scanned, never shuffled — the ids are
+    # dynamic so this is the broadcast-probe substitute for predicate
+    # pushdown), then two point-filtered sets join on the token —
+    # O(|a| + |b|), not an all-pairs aggregation.
+    both_ids = pair.select(F.col("a_id").alias("id")).unionByName(
+        pair.select(F.col("b_id").alias("id"))
+    )
+    pairs = interest_pairs_for(spark, sf_dir, both_ids)
     pa = pairs.join(pair.select("a_id"), pairs.id == F.col("a_id")).select("interest")
     pb = pairs.join(pair.select("b_id"), pairs.id == F.col("b_id")).select("interest")
     common = pa.join(pb, "interest").groupBy().agg(
@@ -190,20 +196,35 @@ def q_common_interests_pair(
 ) -> DataFrame:
     """F7 — the interest-intersection list itself (the reference's
     ``[x IN a.interests WHERE x IN b.interests]``, llm_cypher.py:95),
-    emitted as a sorted comma-joined string for hash stability."""
-    from graphdb_neo4j_spark.sources.tpch import customer_interests
+    emitted as a sorted comma-joined string for hash stability.
 
+    Interests are gathered per node by interest_pairs_for (scan-only fact
+    access for dynamic ids) and re-assembled into the array representation
+    — the full-corpus interests aggregation would build every customer's
+    array to read two of them."""
     nodes = customer_nodes(spark, sf_dir)
-    interests = customer_interests(spark, sf_dir)
-    with_i = nodes.join(interests, "id", "left").withColumn(
-        "interests", F.coalesce("interests", F.array().cast("array<string>"))
-    )
-    a = with_i.filter(F.col("name") == name_a.strip().lower()).select(
-        F.col("id").alias("a_id"), F.col("interests").alias("a_interests")
-    )
-    b = with_i.filter(F.col("name") == name_b.strip().lower()).select(
-        F.col("id").alias("b_id"), F.col("interests").alias("b_interests")
-    )
+
+    def node_with_interests(name: str, prefix: str) -> DataFrame:
+        n = nodes.filter(F.col("name") == name.strip().lower()).select(
+            F.col("id").alias(f"{prefix}_id")
+        )
+        toks = interest_pairs_for(
+            spark, sf_dir, n.select(F.col(f"{prefix}_id").alias("id"))
+        )
+        arr = toks.groupBy("id").agg(
+            F.collect_set("interest").alias(f"{prefix}_interests")
+        )
+        return n.join(
+            arr, n[f"{prefix}_id"] == arr.id, "left"
+        ).select(
+            f"{prefix}_id",
+            F.coalesce(
+                f"{prefix}_interests", F.array().cast("array<string>")
+            ).alias(f"{prefix}_interests"),
+        )
+
+    a = node_with_interests(name_a, "a")
+    b = node_with_interests(name_b, "b")
     return (
         a.crossJoin(b)
         .select(

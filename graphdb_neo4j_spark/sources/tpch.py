@@ -119,6 +119,38 @@ def customer_interest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer_interest_pairs_raw(spark, sf_dir).distinct()
 
 
+def interest_pairs_for(
+    spark: SparkSession, sf_dir: str, ids: DataFrame
+) -> DataFrame:
+    """(id, interest) distinct pairs for a SMALL node-id set, scan-only.
+
+    For name-resolved point queries the id is dynamic, so Catalyst cannot
+    constant-fold it into the fact scans the way it does for literal-id
+    lookups (point_lookup's plan shows ``EqualTo(o_custkey, 42)`` pushed
+    into the orders scan). This helper restores the point-query shape at
+    plan level: broadcast the id set into orders (hash semi-probe, no
+    orders shuffle), broadcast the surviving order keys into lineitem —
+    the fact tables are scanned but never shuffled, and the distinct runs
+    on the ~tens of surviving rows. ``ids`` must be a DataFrame with one
+    column ``id`` and a handful of rows (it is broadcast twice).
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    my_orders = orders.join(
+        F.broadcast(ids), orders.o_custkey == ids.id
+    ).select("o_orderkey", "o_custkey")
+    return (
+        lineitem.join(
+            F.broadcast(my_orders), lineitem.l_orderkey == F.col("o_orderkey")
+        )
+        .select(
+            F.col("o_custkey").cast("long").alias("id"),
+            F.col("l_partkey").cast("string").alias("interest"),
+        )
+        .distinct()
+    )
+
+
 def customer_interests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, interests: array<string>) — the reference's array representation."""
     return (

@@ -59,6 +59,13 @@ def test_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.8, f"ANN recall {recall} below 0.8"
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = [r.vec_id for r in simsearch.q_knn_anchor(spark, sf_dir, 0, 10).collect()]
+    approx = [r.vec_id for r in simsearch.ivf_search(spark, sf_dir, 0, 10).collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.7, f"IVF recall {recall} below 0.7"
+
+
 def test_ann_cosines_are_exact_for_returned(spark, sf_dir):
     """ANN re-rank is exact: any id it returns carries the true cosine."""
     exact = {
