@@ -179,5 +179,6 @@ register(
 from graphdb_neo4j_spark.operators import events
 
 register("events_hourly", events.q_events_hourly, events.EVENTS_HOURLY_SQL, bench=True)
+register("asof_join", events.q_asof_join, events.ASOF_JOIN_SQL)
 register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)
 register("sessionize", events.q_sessionize, events.SESSIONIZE_SQL, bench=True)

@@ -124,6 +124,77 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_events(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """As-of join: each ``left_type`` event picks up the latest
+    ``right_type`` event of the same user at-or-before its timestamp
+    (``l.ts >= r.ts`` semantics, DuckDB/kdb ASOF JOIN), plus the running
+    count of prior right-side events.
+
+    Spark has no as-of join primitive; the naive encodings are a range
+    join (BroadcastNestedLoop / O(L·R) per user) or a per-key
+    ``merge_asof`` in Python. This is the scale form instead: union both
+    sides, ONE shuffle on ``user_id``, one ordered window scan with
+    ``last(..., ignorenulls)`` — linear in events, no pair blow-up, and
+    the same shape a 1000-executor run wants (each user's timeline sorts
+    within its partition; AQE handles skewed users).
+
+    Tie discipline: at equal ``ts`` the right row sorts before the left
+    row (``is_l`` ascending), which is exactly the ``>=`` match. Outputs
+    are epoch-millis BIGINTs, deterministic even when several right
+    events share a timestamp (only max ts and counts are emitted, never
+    an arbitrary surviving payload row).
+    """
+    u = events.filter(
+        F.col("event_type").isin(left_type, right_type)
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == left_type).cast("int").alias("is_l"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_l").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_ts = F.when(F.col("is_l") == 0, F.col("ts"))
+    return (
+        u.withColumn("prior_ts", F.last(right_ts, ignorenulls=True).over(w))
+        .withColumn("n_prior", F.sum(1 - F.col("is_l")).over(w))
+        .filter(F.col("is_l") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.unix_millis("prior_ts").alias("prior_ts_ms"),
+            (F.unix_millis("ts") - F.unix_millis("prior_ts")).alias("lag_ms"),
+            "n_prior",
+        )
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_events(load_events(spark, sf_dir))
+
+
+ASOF_JOIN_SQL = """
+WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'purchase')
+SELECT l.event_id,
+       l.user_id,
+       epoch_ms(l.ts) AS ts_ms,
+       epoch_ms(r.ts) AS prior_ts_ms,
+       epoch_ms(l.ts) - epoch_ms(r.ts) AS lag_ms,
+       (SELECT COUNT(*) FROM r r2
+         WHERE r2.user_id = l.user_id AND r2.ts <= l.ts) AS n_prior
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 SESSIONIZE_SQL = f"""
 WITH ordered AS (
     SELECT user_id, event_id, ts,
