@@ -175,10 +175,28 @@ register(
     multimodal.frame_sample_sql(),
 )
 
+# --- §2.10 NL layer (N1-N7) — template dispatch + canned-codegen forms ------
+from graphdb_neo4j_spark.nl import queries as nlq
+
+register("nl_single_name", nlq.q_nl_single_name, nlq.nl_single_name_sql())
+register("nl_two_name", nlq.q_nl_two_name, nlq.nl_two_name_sql())
+register("nl_codegen_count", nlq.q_nl_codegen_count, nlq.NL_CODEGEN_COUNT_SQL)
+
 # --- extensions: event analytics --------------------------------------------
 from graphdb_neo4j_spark.operators import events
 
 register("events_hourly", events.q_events_hourly, events.EVENTS_HOURLY_SQL, bench=True)
+
+# --- extensions: Structured Streaming (availableNow-bounded) -----------------
+from graphdb_neo4j_spark.streaming import events_stream
+
+register("stream_hourly", events_stream.q_stream_hourly, events.EVENTS_HOURLY_SQL)
+register(
+    "stream_sessions",
+    events_stream.q_stream_sessions,
+    events_stream.STREAM_SESSIONS_SQL,
+)
+register("stream_user_counts", events_stream.q_stream_user_counts, None)
 register("asof_join", events.q_asof_join, events.ASOF_JOIN_SQL)
 register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)
 register("sessionize", events.q_sessionize, events.SESSIONIZE_SQL, bench=True)

@@ -153,3 +153,63 @@ def run_available_now(
     finally:
         q.stop()
     return spark.table(query_name)
+
+
+# --- registered query forms + oracles ---------------------------------------
+#
+# availableNow over the bounded fixture makes every streaming operator
+# oracle-checkable: the final memory-sink table must equal the batch
+# answer (nothing is late on a bounded source), so the DuckDB oracle is
+# the SAME SQL the batch twin uses.
+
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window agg, run to completion and compared
+    against the batch oracle (twin of operators/events.q_events_hourly)."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(spark, hourly_stream(ev), "stream_hourly_sink")
+
+
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window state operator run to completion. Session
+    boundary discipline: session_window merges an event iff it lands
+    STRICTLY within ``gap`` of the window end, so the oracle breaks
+    sessions on ``diff >= gap`` (the batch gaps-and-islands form uses
+    ``> gap`` — equivalent unless an exact-gap pair exists)."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(spark, session_window_stream(ev), "stream_sessions_sink")
+
+
+STREAM_SESSIONS_SQL = f"""
+WITH ordered AS (
+    SELECT user_id, ts::TIMESTAMP AS ts,
+           CASE WHEN epoch_ms(ts::TIMESTAMP)
+                     - epoch_ms(lag(ts::TIMESTAMP) OVER (PARTITION BY user_id ORDER BY ts))
+                     >= {30 * 60 * 1000} THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom applyInPandasWithState operator run to completion. Update-mode
+    emissions are per-micro-batch, so the row set depends on batch split —
+    registered rows-only; the pytest invariant checks final totals."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        spark,
+        user_counts_stateful_stream(ev),
+        "stream_user_counts_sink",
+        output_mode="update",
+    )
