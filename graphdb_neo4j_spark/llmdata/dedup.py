@@ -87,7 +87,7 @@ def doc_token_sets(docs: DataFrame) -> DataFrame:
 
 
 def doc_shingles(
-    docs: DataFrame, width: int = SHINGLE_WIDTH, parallelize: bool = False
+    docs: DataFrame, width: int = SHINGLE_WIDTH, parallelize: bool | None = None
 ) -> DataFrame:
     """(doc_id, tok) distinct character ``width``-shingles of the
     whitespace-normalized lowercased text (stride 1 — classic w-shingling).
@@ -96,16 +96,18 @@ def doc_shingles(
     near-dup universe (documented; both engines agree).
 
     ``parallelize`` hash-repartitions the input by doc_id before the
-    CPU-heavy shingling — only worth it when the corpus arrives as a
-    handful of oversized scan tasks AND per-task work dwarfs a text
-    shuffle; measured a net LOSS on the test corpus (2.1 s single-task vs
-    5.8 s shuffled), and at scale the input is block-split anyway, so the
-    default is off.
+    CPU-heavy shingling. Default (None) decides from the scan: a corpus
+    that arrives as fewer partitions than the cluster has cores would run
+    the whole shingle+hash pipeline on a handful of tasks (the sf0.1
+    fixture is ONE 15 MB row group → one task → ~17 s serial), so the tiny
+    text shuffle buys full-width parallelism. A block-split 100 TB corpus
+    already has ≥cores partitions and skips the shuffle.
     """
+    sc = docs.sparkSession.sparkContext
+    if parallelize is None:
+        parallelize = docs.rdd.getNumPartitions() < sc.defaultParallelism
     if parallelize:
-        docs = docs.repartition(
-            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-        )
+        docs = docs.repartition(sc.defaultParallelism, "doc_id")
     t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     shingles = F.expr(
         f"CASE WHEN length(t) >= {width} THEN "
@@ -233,17 +235,33 @@ N_HASHES = 16
 BAND_SIZE = 4  # 4 bands of 4 hashes
 
 
-def minhash_signatures(toks: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+# Universal-hash permutation family over the Mersenne prime 2^31−1: every
+# intermediate stays < 2^62, so the arithmetic is ANSI-safe (Spark 4 throws
+# on signed-64 overflow). Constants are fixed pseudo-random values derived
+# from splitmix64 finalizer constants.
+_PERM_P = (1 << 31) - 1
+_PERM_AS = [(0x9E3779B97F4A7C15 * (2 * i + 1)) % _PERM_P or 1 for i in range(64)]
+_PERM_BS = [(0xBF58476D1CE4E5B9 * (i + 1)) % _PERM_P for i in range(64)]
+
+
+def minhash_signatures(hashed: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     """One row per doc with n_hashes min-hash columns h0..h{n-1}.
 
-    Each permutation is xxhash64(seed || token); the signature is a plain
-    min-aggregation — a single shuffle over the token pairs, no UDFs.
+    ``hashed`` is (doc_id, h: long) — the token hashed ONCE with xxhash64.
+    Permutation i is the universal family ``(a_i·(h mod p) + b_i) mod p``
+    (p = 2^31−1), so each extra hash costs a multiply-add instead of
+    re-hashing the 20-char shingle string — 16 string hashes per token
+    collapse to 1. The signature is a plain min-aggregation — one shuffle,
+    no UDFs, all inside whole-stage codegen.
     """
+    hp = F.pmod(F.col("h"), F.lit(_PERM_P))
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"{i}:"), F.col("tok")))).alias(f"h{i}")
+        F.min(
+            F.pmod(hp * F.lit(_PERM_AS[i]) + F.lit(_PERM_BS[i]), F.lit(_PERM_P))
+        ).alias(f"h{i}")
         for i in range(n_hashes)
     ]
-    return toks.groupBy("doc_id").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -299,8 +317,16 @@ def q_dedup_minhash(
     result against the exhaustive Jaccard pairs.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
-        eager=False
+    # Token table hashed to longs ONCE: every downstream consumer
+    # (signatures, verification joins, set sizes) works on 8-byte keys
+    # instead of 20-char strings — smaller shuffles, cheaper compares. A
+    # 64-bit collision can perturb n_inter by ±1 for one pair (P ≈ 1e-5
+    # corpus-wide); this form is rows-only + pytest-verified against the
+    # exact string-token Jaccard, which is where that tolerance is checked.
+    th = (
+        prune_hot_tokens(doc_shingles(docs, width), max_df)
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .localCheckpoint(eager=False)
     )  # reused by signatures, verification a/b sides, and sizes
     # Signatures are tiny (one row per doc, 17 longs) but their lineage is
     # the whole shingle pipeline, and they feed BOTH the band self-join
@@ -308,18 +334,28 @@ def q_dedup_minhash(
     # per consumer — measured 110 s → 17 s at sf0.1. localCheckpoint
     # materializes them once and truncates lineage (same technique as the
     # BFS operator); at 100 TB this is N_docs × 136 B of executor storage.
-    sigs = minhash_signatures(toks).localCheckpoint(eager=False)
+    sigs = minhash_signatures(th).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs)
 
-    ta = toks.select(F.col("doc_id").alias("a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("b"), "tok")
+    # Verification touches only docs that appear in some candidate pair:
+    # semi-join the token table down FIRST (candidate docs ≪ corpus), so
+    # the expensive (b, h) equi-join runs on the reduced sliver, not the
+    # full token table.
+    cand_docs = (
+        cands.select(F.col("a").alias("doc_id"))
+        .unionByName(cands.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    ct = th.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    ta = ct.select(F.col("doc_id").alias("a"), "h")
+    tb = ct.select(F.col("doc_id").alias("b"), "h")
     inter = (
-        cands.join(ta, "a")  # (a, b, tok): every token of a, per candidate pair
-        .join(tb, ["b", "tok"])  # keep tokens present in b too
+        cands.join(ta, "a")  # (a, b, h): every token of a, per candidate pair
+        .join(tb, ["b", "h"])  # keep tokens present in b too
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
-    return _pair_jaccard(toks, inter, threshold)
+    return _pair_jaccard(th, inter, threshold)  # sizes only need doc_id rows
 
 
 # --- SimHash ----------------------------------------------------------------

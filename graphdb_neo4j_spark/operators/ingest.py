@@ -44,7 +44,7 @@ from graphdb_neo4j_spark.graph import (
 from graphdb_neo4j_spark.sources.tpch import (
     CUST_PARTS_CTE,
     NODES_CTE,
-    customer_interest_pairs,
+    customer_interest_pairs_raw,
     customer_nodes,
 )
 
@@ -107,7 +107,7 @@ def create_node(nodes: DataFrame, row_df: DataFrame) -> DataFrame:
 
 def derive_edges_for_batch(
     existing_nodes: DataFrame,
-    existing_interest_pairs: DataFrame,
+    existing_interest_pairs: DataFrame,  # raw or distinct (id, interest) pairs
     new_nodes: DataFrame,
 ) -> DataFrame:
     """All derived edges incident to the ingest batch, canonical src < dst.
@@ -145,7 +145,16 @@ def derive_edges_for_batch(
     new_cp = new_nodes.select(
         "id", F.explode("interests").alias("interest")
     ).distinct()
-    all_cp = existing_interest_pairs.unionByName(new_cp)
+    # Only tokens the batch actually carries can create SHARES_INTEREST
+    # edges: semi-join the (possibly raw/duplicated) existing pairs down to
+    # that tiny broadcast token set FIRST, then dedup the surviving sliver.
+    # This keeps the global (id, interest) distinct — the one full-fact
+    # shuffle in the old plan — out of the ingest path entirely.
+    batch_tokens = new_cp.select("interest").distinct()
+    existing_relevant = existing_interest_pairs.join(
+        F.broadcast(batch_tokens), "interest", "left_semi"
+    ).distinct()
+    all_cp = existing_relevant.unionByName(new_cp)
     interest = (
         all_cp.withColumnRenamed("id", "p_id")
         .join(
@@ -174,7 +183,7 @@ def ingest_students(
     batch = allocate_ids(nodes, normalize_batch(new_raw))
     nodes_after = nodes.unionByName(batch.drop("interests"))
     new_edges = derive_edges_for_batch(
-        nodes, customer_interest_pairs(spark, sf_dir), batch
+        nodes, customer_interest_pairs_raw(spark, sf_dir), batch
     )
     return nodes_after, new_edges
 
