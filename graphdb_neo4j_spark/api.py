@@ -237,6 +237,16 @@ class GraphService:
             batch,
         )
 
+    def backfill_edges(self) -> DataFrame:
+        """S7 — the startup backfill (reference launches it in a daemon
+        thread on app start, src/main.py:25-35): full derived-edge rebuild
+        as one batch plan. Persist with sources.sink.write_edges; schedule
+        with any batch orchestrator or a Structured Streaming
+        ``trigger(availableNow=True)`` run over an append source."""
+        from graphdb_neo4j_spark.operators.edges import derive_all_edges
+
+        return derive_all_edges(self.spark, self.sf_dir)
+
     def sync_lowercase_students(self) -> int:
         """S6 bulk normalize — returns rows processed (student_service.py
         :201-220). The projection is already normalized at read; count is

@@ -58,6 +58,12 @@ register(
 )
 register("normalized_nodes", ingest.q_normalized_nodes, ingest.NORMALIZED_NODES_SQL)
 register("health_check", ingest.q_health, ingest.HEALTH_SQL)
+register("create_user", ingest.q_create_user, ingest.CREATE_USER_SQL)
+register(
+    "interests_transformed",
+    lookup.q_interests_transformed,
+    lookup.INTERESTS_TRANSFORMED_SQL,
+)
 
 # --- §2.3 J4/J5 two-name relationship ---------------------------------------
 from graphdb_neo4j_spark.operators.relationship import (
@@ -146,6 +152,11 @@ register(
     bench=True,  # the near-dup SCALE path — benched alongside its oracle form
 )
 register("dedup_simhash", lambda spark, sf: dedup.q_dedup_simhash(spark, sf), None)
+register(
+    "dedup_components",
+    lambda spark, sf: dedup.q_dedup_components(spark, sf),
+    dedup.dedup_components_sql(),
+)
 
 # --- extensions: similarity search ------------------------------------------
 from graphdb_neo4j_spark.llmdata import simsearch

@@ -32,13 +32,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graphdb_neo4j_spark.session import widen_scan
+
 # --- exact dedup ------------------------------------------------------------
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-id assignment by exact normalized-text fingerprint:
     (doc_id, fingerprint, canonical_id, is_duplicate)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
     w = Window.partitionBy("fingerprint")
@@ -103,11 +105,12 @@ def doc_shingles(
     text shuffle buys full-width parallelism. A block-split 100 TB corpus
     already has ≥cores partitions and skips the shuffle.
     """
-    sc = docs.sparkSession.sparkContext
     if parallelize is None:
-        parallelize = docs.rdd.getNumPartitions() < sc.defaultParallelism
-    if parallelize:
-        docs = docs.repartition(sc.defaultParallelism, "doc_id")
+        docs = widen_scan(docs, "doc_id")
+    elif parallelize:
+        docs = docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     shingles = F.expr(
         f"CASE WHEN length(t) >= {width} THEN "
@@ -432,3 +435,130 @@ def q_dedup_simhash(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- near-dup clustering (connected components) ------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """(node, component) for the undirected graph given as (a, b) pairs —
+    component = min node id reachable (canonical-doc assignment over the
+    near-dup pair graph; the batch analog of union-find).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbours; converges in
+    O(diameter) rounds (near-dup clusters are shallow — chains longer than
+    a handful of hops are rare because near-duplication is ~transitive).
+    Each round is ONE groupBy over the edge list plus a join; the label
+    frontier is ``localCheckpoint``ed per round to truncate lineage
+    (same discipline as BFS, operators/paths.py). The loop stops early as
+    soon as a round changes no label — a driver-side count of a tiny
+    changed-set, not a collect of data rows.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        # join on distinct column names so the lineage-sharing frames can't
+        # trip the ambiguous-self-join analyzer
+        neighbour_min = (
+            edges.select(F.col("x").alias("node"), F.col("y").alias("nbr"))
+            .join(
+                labels.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nbr_label")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nbr_label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def q_dedup_components(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> DataFrame:
+    """Canonical-document assignment: cluster the exact-Jaccard near-dup
+    pair graph and emit (doc_id, canonical_id, cluster_size) for every doc
+    that belongs to a near-dup cluster. The keep-one-per-cluster policy of
+    a training-data pipeline is then a filter (doc_id = canonical_id)."""
+    pairs = q_dedup_jaccard(spark, sf_dir, threshold, width, max_df)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+        )
+    )
+
+
+def dedup_components_sql(
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> str:
+    """Recursive-CTE oracle: min reachable id per node over the pair graph."""
+    return rf"""
+WITH RECURSIVE {_shingle_toks_cte(width, max_df).strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS n_inter
+    FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+    GROUP BY t1.doc_id, t2.doc_id
+),
+pairs AS (
+    SELECT a, b
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(x, y) AS (
+    SELECT x, y FROM edges
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (
+    SELECT x AS node, LEAST(x, MIN(y)) AS component
+    FROM reach GROUP BY x
+)
+SELECT c.node AS doc_id,
+       c.component AS canonical_id,
+       s.cluster_size
+FROM comp c
+JOIN (SELECT component, COUNT(*) AS cluster_size
+      FROM comp GROUP BY component) s USING (component)
+"""

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphdb_neo4j_spark.session import widen_scan
+
 MODALITIES = ("image", "audio", "video")
 
 # Deterministic fake-decode parameters (mirrored in the SQL oracles).
@@ -43,7 +45,7 @@ _MS_PER_BYTE = 13
 def assets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(asset_id, modality, payload BINARY, n_bytes, duration_ms) — the
     opaque-payload-plus-typed-metadata column layout."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     payload = F.encode(F.col("text"), "UTF-8")
     return docs.select(
         F.col("doc_id").alias("asset_id"),

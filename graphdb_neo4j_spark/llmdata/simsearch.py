@@ -24,6 +24,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.session import widen_scan
 from pyspark.sql.types import ArrayType, IntegerType
 
 DIM = 64
@@ -55,7 +57,7 @@ def q_knn_anchor(
 ) -> DataFrame:
     """Exact cosine top-k neighbours of one vector (embeddings are
     unit-norm, so cosine = dot). Anchor broadcast; single scan."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     anchor = emb.filter(F.col("vec_id") == anchor_id).select(
         F.col("embedding").alias("anchor_emb")
     )
@@ -94,7 +96,7 @@ def q_cosine_neardup(
     Brute-force O(N²/2) — correct baseline, oracle-checkable; the LSH path
     (ann_buckets) is the scale alternative for the same semantics.
     """
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
     return (
@@ -157,7 +159,7 @@ def ann_search(
     buckets within ``multiprobe_bits`` sign flips per table), union the
     candidates, exact re-rank. The probe set is L·(1+b) (table, bucket)
     keys — a broadcast equi-join against the index, never a full scan."""
-    index = ann_bucket_index(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    index = ann_bucket_index(widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet")))
     anchor = index.filter(F.col("vec_id") == anchor_id).select(
         F.col("embedding").alias("anchor_emb"), "table_idx", "bucket"
     )
@@ -241,7 +243,7 @@ def ivf_search(
     ``n_probe`` nearest inverted lists, exact re-rank inside them —
     the classic IVF-Flat search, all as DataFrame ops (the centroid
     ranking is a k-row crossJoin, not a collect)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     assigned, centroids = ivf_index(emb, n_lists=n_lists)
     anchor = emb.filter(F.col("vec_id") == anchor_id).select(
         F.col("embedding").alias("anchor_emb")

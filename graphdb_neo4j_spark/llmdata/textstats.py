@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graphdb_neo4j_spark.session import widen_scan
+
 # Whitespace tokenization of trimmed text — mirrored in SQL as
 # regexp_split_to_array(trim(text), '\s+').
 def _tokens(col: F.Column) -> F.Column:
@@ -24,7 +26,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token counts — n_tokens, n_distinct, chars_per_token."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = _tokens(F.col("text"))
     return docs.select(
         "doc_id",
@@ -48,7 +50,7 @@ FROM documents
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals + a composite
     score in [0,1]: long enough, low punctuation, a natural stopword rate."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     n_punct = F.length(F.regexp_replace(F.col("text"), r"[\w\s]", ""))
@@ -114,7 +116,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram-free language ID: function-word hit counts per language,
     argmax with deterministic precedence (en > de > fr > es on ties),
     'unknown' when nothing matches."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = _tokens(F.lower(F.col("text")))
 
     def hits(markers: tuple[str, ...]) -> F.Column:
@@ -167,7 +169,7 @@ LANG_ID_SQL = _lang_id_sql()
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document fingerprint: md5 of whitespace-normalized lowercase
     text (the exact-dedup key)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
@@ -211,7 +213,7 @@ def winnowing_fingerprints(
 
 
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return winnowing_fingerprints(docs)
 
 
@@ -230,7 +232,7 @@ def q_tfidf_top_terms(
     (score DESC, term ASC) per doc — deterministic under ties — planned as
     a per-doc-partition window, no global sort.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
     )

@@ -297,3 +297,31 @@ def q_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HEALTH_SQL = "SELECT CAST(1 AS BIGINT) AS ok"
+
+
+def q_create_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — bare single-node create + echo (graphdb.py:32-40): allocate the
+    next id, union the row in, return it (the reference echoes the created
+    node's properties back)."""
+    nodes = customer_nodes(spark, sf_dir)
+    batch = allocate_ids(
+        nodes,
+        normalize_batch(
+            spark.createDataFrame(
+                [("  Demo User  ", "addr_0", "", "", "", [])], DEMO_SCHEMA
+            )
+        ),
+    ).drop("interests")
+    return create_node(nodes, batch).join(
+        F.broadcast(batch.select(F.col("id").alias("new_id"))),
+        F.col("id") == F.col("new_id"),
+    ).select("id", "name", "address", "college", "board", "stream")
+
+
+CREATE_USER_SQL = f"""
+WITH {NODES_CTE.strip()}
+SELECT COALESCE(MAX(id), 0) + 1 AS id,
+       'demo user' AS name, 'addr_0' AS address,
+       '' AS college, '' AS board, '' AS stream
+FROM nodes
+"""

@@ -186,3 +186,27 @@ def top_acctbal_sql(k: int = 25) -> str:
 SELECT c_custkey AS id, c_acctbal AS acctbal
 FROM customer ORDER BY acctbal DESC, id ASC LIMIT {k}
 """
+
+
+def q_interests_transformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 — per-element array transform (the reference's
+    ``[x IN l | toLower(x)]``, student_service.py:215), applied as a
+    visible prefix-tag so the transform itself is oracle-checked; emitted
+    as a sorted comma-join for hash stability."""
+    return full_nodes(spark, sf_dir).select(
+        "id",
+        F.concat_ws(
+            ",",
+            F.array_sort(F.transform("interests", lambda x: F.concat(F.lit("p_"), x))),
+        ).alias("tagged_interests"),
+    )
+
+
+INTERESTS_TRANSFORMED_SQL = f"""
+WITH {NODES_CTE.strip()},
+{CUST_PARTS_CTE.strip()}
+SELECT n.id,
+       COALESCE((SELECT string_agg('p_' || interest, ',' ORDER BY 'p_' || interest)
+                 FROM cust_parts cp WHERE cp.id = n.id), '') AS tagged_interests
+FROM nodes n
+"""

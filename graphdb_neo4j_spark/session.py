@@ -64,3 +64,23 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def widen_scan(df, key: str | None = None):
+    """Repartition a DataFrame that arrived NARROWER than the cluster is
+    wide, so CPU-heavy narrow stages (hashing, shingling, regex) don't
+    serialize onto a handful of tasks.
+
+    A small parquet table is often a single row group → a single scan task
+    → every downstream narrow transform runs on ONE core of N (the sf0.1
+    documents table cost ~17 s single-task vs ~1 s wide). A block-split
+    production table already has ≥ parallelism partitions and passes
+    through untouched, so this is free at 100 TB scale and only fires on
+    the narrow-input case. ``key`` hash-partitions (co-locates downstream
+    per-key work); None round-robins.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
+    n = sc.defaultParallelism
+    return df.repartition(n, key) if key else df.repartition(n)

@@ -1,0 +1,63 @@
+"""Graph persistence — the parquet sink half of the source/sink contract.
+
+The reference's store is Neo4j (writes happen inside MERGE/CREATE Cypher,
+student_service.py:40-106); this engine's durable form is columnar files:
+
+- nodes: plain parquet, optionally repartitioned by id range so point
+  lookups prune row groups on the id min/max statistics.
+- edges: parquet partitioned by ``type`` — every registered query that
+  touches one edge type (the common case: one MATCH pattern = one type)
+  reads exactly one directory, and partition pruning is visible in the
+  scan (``PartitionFilters: [isnotnull(type), (type = SAME_COLLEGE)]``).
+- table-format note: swap ``parquet`` for Delta/Iceberg to get S5 MERGE
+  as a real ``MERGE INTO`` instead of the left-anti union
+  (operators/edges.merge_edges); the layout contract stays identical.
+
+Append mode is the S3/S4 write path (one small file per ingest batch —
+compact periodically); overwrite is the S7 backfill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from graphdb_neo4j_spark.graph import PropertyGraph
+
+
+def write_nodes(
+    nodes: DataFrame, path: str, mode: str = "overwrite", files: int | None = None
+) -> None:
+    """Persist the node table. ``files`` caps output file count (sorted by
+    id so each file covers a contiguous id range → row-group pruning for
+    point lookups)."""
+    df = nodes.repartitionByRange(files, "id") if files else nodes
+    df.write.mode(mode).parquet(path)
+
+
+def write_edges(edges: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist edges partitioned by type (reads of one edge type prune to
+    one directory)."""
+    edges.write.mode(mode).partitionBy("type").parquet(path)
+
+
+def write_graph(graph: PropertyGraph, base: str, mode: str = "overwrite") -> None:
+    write_nodes(graph.nodes, f"{base}/nodes", mode=mode)
+    write_edges(graph.edges, f"{base}/edges", mode=mode)
+
+
+def read_graph(spark: SparkSession, base: str) -> PropertyGraph:
+    """Load a persisted graph back; inverse of :func:`write_graph`."""
+    return PropertyGraph(
+        nodes=spark.read.parquet(f"{base}/nodes"),
+        edges=spark.read.parquet(f"{base}/edges"),
+    )
+
+
+def append_ingest_batch(
+    new_nodes: DataFrame, new_edges: DataFrame, base: str
+) -> None:
+    """S4 durable form: append the ingest batch's nodes and freshly derived
+    edges (ids were allocated against the pre-append table, so the append
+    is conflict-free by construction)."""
+    write_nodes(new_nodes, f"{base}/nodes", mode="append")
+    write_edges(new_edges, f"{base}/edges", mode="append")

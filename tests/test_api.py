@@ -1,5 +1,7 @@
 """U3 — GraphService boundary marshalling + write-path visibility."""
 
+from pyspark.sql import functions as F
+
 from graphdb_neo4j_spark.api import GraphService, StudentCreate
 
 
@@ -73,6 +75,18 @@ def test_save_student_visibility(spark, sf_dir):
     assert edge_types <= {
         "SAME_COLLEGE", "SAME_BOARD", "SAME_STREAM", "NEARBY", "SHARES_INTEREST",
     }
+
+
+def test_backfill_edges(spark, sf_dir):
+    svc = _svc(spark, sf_dir)
+    counts = {
+        r["type"]: r["n"]
+        for r in svc.backfill_edges().groupBy("type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {
+        "SAME_COLLEGE", "SAME_BOARD", "SAME_STREAM", "NEARBY", "SHARES_INTEREST",
+    }
+    assert all(v > 0 for v in counts.values())
 
 
 def test_chat_template_paths(spark, sf_dir):

@@ -93,3 +93,15 @@ def test_winnowing_deterministic_and_discriminative(spark):
     again = {r.doc_id: (r.n_fingerprints, r.fp_sig)
              for r in textstats.winnowing_fingerprints(docs).collect()}
     assert out == again
+
+
+def test_connected_components_chain_and_islands(spark):
+    from graphdb_neo4j_spark.llmdata.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)], "a long, b long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}

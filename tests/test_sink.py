@@ -1,0 +1,75 @@
+"""Parquet sink round-trip: write_graph → read_graph preserves data, edge
+partitioning prunes by type, and the ingest append path composes."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.graph import PropertyGraph
+from graphdb_neo4j_spark.operators.edges import q_edges_same_college
+from graphdb_neo4j_spark.operators.ingest import (
+    DEMO_SCHEMA,
+    DEMO_STUDENTS,
+    ingest_students,
+)
+from graphdb_neo4j_spark.sources.sink import (
+    append_ingest_batch,
+    read_graph,
+    write_graph,
+)
+from graphdb_neo4j_spark.sources.tpch import full_nodes
+
+
+@pytest.fixture()
+def tmp_base():
+    d = tempfile.mkdtemp(prefix="graph_sink_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_write_read_roundtrip(spark, sf_dir, tmp_base):
+    nodes = full_nodes(spark, sf_dir)
+    edges = q_edges_same_college(spark, sf_dir).withColumn(
+        "common", F.lit(None).cast("array<string>")
+    )
+    g = PropertyGraph(nodes=nodes, edges=edges)
+    write_graph(g, tmp_base)
+
+    g2 = read_graph(spark, tmp_base)
+    assert g2.nodes.count() == nodes.count()
+    assert g2.edges.count() == edges.count()
+    # hash-partition layout check: one directory per edge type
+    assert g2.edges.select("type").distinct().count() == 1
+
+    # partition pruning: a one-type read must show a partition filter, not
+    # a post-scan filter over all types
+    plan = g2.edges.filter(F.col("type") == "SAME_COLLEGE")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "SAME_COLLEGE" in plan
+
+
+def test_append_ingest_batch(spark, sf_dir, tmp_base):
+    nodes = full_nodes(spark, sf_dir)
+    g = PropertyGraph(
+        nodes=nodes,
+        edges=q_edges_same_college(spark, sf_dir).withColumn(
+            "common", F.lit(None).cast("array<string>")
+        ),
+    )
+    write_graph(g, tmp_base)
+    n_nodes, n_edges = (
+        read_graph(spark, tmp_base).nodes.count(),
+        read_graph(spark, tmp_base).edges.count(),
+    )
+
+    new_raw = spark.createDataFrame(DEMO_STUDENTS, DEMO_SCHEMA)
+    nodes_after, new_edges = ingest_students(spark, sf_dir, new_raw)
+    batch_nodes = nodes_after.join(
+        nodes.select("id"), "id", "left_anti"
+    ).withColumn("interests", F.array().cast("array<string>"))
+    append_ingest_batch(batch_nodes, new_edges, tmp_base)
+
+    g2 = read_graph(spark, tmp_base)
+    assert g2.nodes.count() == n_nodes + 3
+    assert g2.edges.count() == n_edges + new_edges.count()
