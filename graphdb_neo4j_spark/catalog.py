@@ -158,6 +158,16 @@ register(
     dedup.dedup_components_sql(),
 )
 
+# --- extensions: end-to-end training-set filter ------------------------------
+from graphdb_neo4j_spark.llmdata import filterset
+
+register(
+    "training_filter",
+    filterset.q_training_filter,
+    filterset.training_filter_sql(),
+    bench=True,
+)
+
 # --- extensions: similarity search ------------------------------------------
 from graphdb_neo4j_spark.llmdata import simsearch
 

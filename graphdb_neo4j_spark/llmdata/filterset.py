@@ -1,0 +1,114 @@
+"""Training-set filter — the end-to-end keep/drop decision a pretraining
+data pipeline applies per document, composed from the engine's own
+operators (quality scoring, language ID, exact dedup, near-dup
+canonicalization):
+
+    keep = quality_score ≥ 0.7
+         ∧ predicted_lang = 'en'
+         ∧ not an exact duplicate (non-canonical copy)
+         ∧ not a non-canonical near-duplicate (Jaccard cluster member
+           that is not the cluster's min-id representative)
+
+``drop_reason`` reports the FIRST failing gate in that order (the order a
+real pipeline evaluates: cheap scans first, pair-graph work last), so the
+output doubles as a per-gate attrition report:
+
+    SELECT drop_reason, COUNT(*) FROM training_filter GROUP BY 1
+
+Plan shape: three single-scan branches (quality, lang, fingerprint) joined
+on doc_id, plus the near-dup component labels (pair-graph work happens
+only on docs with ≥0.8-Jaccard partners — a tiny fraction of the corpus).
+All joins are on the same key; at 100 TB the three scan branches
+column-prune to (doc_id, text, n_chars) and the join is co-partitioned by
+doc_id end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata.dedup import (
+    DEDUP_EXACT_SQL,
+    dedup_components_sql,
+    q_dedup_components,
+    q_dedup_exact,
+)
+from graphdb_neo4j_spark.llmdata.textstats import (
+    LANG_ID_SQL,
+    QUALITY_SCORES_SQL,
+    q_lang_id,
+    q_quality_scores,
+)
+
+MIN_QUALITY = 0.7
+KEEP_LANG = "en"
+
+
+def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, quality_score, predicted_lang, is_exact_dup, near_dup_drop,
+    keep, drop_reason) for every document."""
+    quality = q_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    lang = q_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    exact = q_dedup_exact(spark, sf_dir).select(
+        "doc_id", F.col("is_duplicate").alias("is_exact_dup")
+    )
+    comp = q_dedup_components(spark, sf_dir).select(
+        "doc_id", (F.col("doc_id") != F.col("canonical_id")).alias("near_dup_drop")
+    )
+
+    joined = (
+        quality.join(lang, "doc_id")
+        .join(exact, "doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("near_dup_drop", F.coalesce("near_dup_drop", F.lit(False)))
+    )
+    reason = (
+        F.when(F.col("quality_score") < MIN_QUALITY, "quality")
+        .when(F.col("predicted_lang") != KEEP_LANG, "lang")
+        .when(F.col("is_exact_dup"), "exact_dup")
+        .when(F.col("near_dup_drop"), "near_dup")
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id",
+        "quality_score",
+        "predicted_lang",
+        "is_exact_dup",
+        "near_dup_drop",
+        (reason == "keep").alias("keep"),
+        reason.alias("drop_reason"),
+    )
+
+
+def training_filter_sql() -> str:
+    return f"""
+WITH q AS (SELECT * FROM ({QUALITY_SCORES_SQL.strip()})),
+l AS (SELECT * FROM ({LANG_ID_SQL.strip()})),
+e AS (SELECT * FROM ({DEDUP_EXACT_SQL.strip()})),
+c AS (SELECT * FROM ({dedup_components_sql().strip()})),
+joined AS (
+    SELECT q.doc_id,
+           q.quality_score,
+           l.predicted_lang,
+           e.is_duplicate AS is_exact_dup,
+           COALESCE(c.doc_id <> c.canonical_id, FALSE) AS near_dup_drop
+    FROM q
+    JOIN l ON l.doc_id = q.doc_id
+    JOIN e ON e.doc_id = q.doc_id
+    LEFT JOIN c ON c.doc_id = q.doc_id
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN quality_score < {MIN_QUALITY} THEN 'quality'
+                WHEN predicted_lang <> '{KEEP_LANG}' THEN 'lang'
+                WHEN is_exact_dup THEN 'exact_dup'
+                WHEN near_dup_drop THEN 'near_dup'
+                ELSE 'keep' END AS drop_reason
+    FROM joined
+)
+SELECT doc_id, quality_score, predicted_lang, is_exact_dup, near_dup_drop,
+       drop_reason = 'keep' AS keep,
+       drop_reason
+FROM flagged
+"""

@@ -32,6 +32,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     microseconds — the same truncation DuckDB applies casting TIMESTAMP_NS
     → TIMESTAMP, keeping oracle parity."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date_format renders in the session timezone; the oracle's strftime is
+    # naive-UTC. Pin it here so parity holds on ANY caller-supplied session
+    # (same reasoning as the nanos conf above — both are runtime SQLConfs).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     if dict(ev.dtypes)["ts"] == "bigint":
         ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))

@@ -50,6 +50,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture with ``ts`` as a proper
     timestamp (micros truncation identical to operators/events.load_events)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # see load_events
     ev = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         # file source requires a DIRECTORY; glob-filter to the events table
