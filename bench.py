@@ -26,6 +26,9 @@ def main() -> None:
     from graphdb_neo4j_spark.session import get_spark
 
     spark = get_spark(app_name="graphdb_neo4j_spark_bench")
+    # JVM/codegen warmup so the first measured query isn't charged for
+    # executor-thread spin-up and whole-stage-codegen compiler init.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(bench_queries().items()):

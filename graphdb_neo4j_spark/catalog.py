@@ -178,6 +178,9 @@ register(
     simsearch.cosine_neardup_sql(),
 )
 register("ann_search", simsearch.q_ann_search, None)  # RNG bucketing
+register(
+    "embedding_norms", simsearch.q_embedding_norms, simsearch.EMBEDDING_NORMS_SQL
+)
 register("ivf_search", simsearch.q_ivf_search, None)  # KMeans centroids
 
 # --- extensions: multimodal columns -----------------------------------------
@@ -220,4 +223,5 @@ register(
 register("stream_user_counts", events_stream.q_stream_user_counts, None)
 register("asof_join", events.q_asof_join, events.ASOF_JOIN_SQL)
 register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)
+register("events_cube", events.q_events_cube, events.EVENTS_CUBE_SQL)
 register("sessionize", events.q_sessionize, events.SESSIONIZE_SQL, bench=True)

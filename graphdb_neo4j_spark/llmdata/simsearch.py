@@ -276,3 +276,36 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only registered form (KMeans centroids are engine-specific);
     pytest measures recall vs q_knn_anchor."""
     return ivf_search(spark, sf_dir, anchor_id=0, k=10)
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector hygiene stats a similarity pipeline runs before indexing:
+    per-vector L2 norm + the normalized first component (catches
+    un-normalized or degenerate embeddings). Pure `aggregate()` over the
+    array — JVM-side, no UDF."""
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    norm = F.sqrt(sq)
+    return emb.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias(
+            "first_component_normed"
+        ),
+        F.size("embedding").alias("dim"),
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6) AS l2_norm,
+       ROUND(CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 6)
+           AS first_component_normed,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+"""

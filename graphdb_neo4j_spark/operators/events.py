@@ -224,3 +224,41 @@ SELECT user_id,
 FROM per_session
 GROUP BY user_id
 """
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP cube over the event stream: counts + exact sums for every
+    (event_type × day) combination INCLUDING both marginals and the grand
+    total — Spark's ``cube`` plans a single pass with partial aggregation
+    per grouping set (an operator family the reference lacks; §2.4 notes
+    Spark provides it natively).
+
+    Null grouping cells are labeled '(all)' so the oracle hash is stable
+    (DuckDB CUBE emits NULLs the same way)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("event_type"),
+            F.coalesce("day", F.lit("(all)")).alias("day"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_CUBE_SQL = """
+SELECT COALESCE(event_type, '(all)') AS event_type,
+       COALESCE(strftime(time_bucket(INTERVAL '1 day', ts::TIMESTAMP), '%Y-%m-%d'), '(all)') AS day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, time_bucket(INTERVAL '1 day', ts::TIMESTAMP))
+"""
