@@ -134,6 +134,11 @@ register(
     lambda spark, sf: textstats.q_tfidf_top_terms(spark, sf),
     textstats.tfidf_top_terms_sql(),
 )
+register(
+    "doc_chunks",
+    lambda spark, sf: textstats.q_doc_chunks(spark, sf),
+    textstats.doc_chunks_sql(),
+)
 
 # --- extensions: deduplication ----------------------------------------------
 from graphdb_neo4j_spark.llmdata import dedup

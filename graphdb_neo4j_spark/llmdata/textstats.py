@@ -276,3 +276,68 @@ ranked AS (
 SELECT doc_id, term, ROUND(score, 6) AS score, rank
 FROM ranked WHERE rank <= {top_k}
 """
+
+
+# --- document chunking -------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def q_doc_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Sliding-window token chunks — the context-window splitting step of a
+    training/RAG pipeline: windows of ``chunk_tokens`` whitespace tokens
+    starting every ``chunk_tokens - overlap`` tokens, while the start lies
+    within max(n_tokens - overlap, 1) (so a final short window is emitted
+    once and empty docs yield exactly one chunk).
+
+    All array ops (split / sequence / slice / array_join) are JVM built-ins
+    exploded via posexplode — no UDF; work is one narrow pass per doc.
+    ``chunk_idx`` derives from the start offset, so the output is
+    deterministic regardless of row order.
+    """
+    stride = chunk_tokens - overlap
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("start")
+    )
+    chunk = F.slice("toks", F.col("start"), chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+def doc_chunks_sql(
+    chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk_tokens - overlap
+    return rf"""
+WITH base AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+    FROM documents
+),
+exploded AS (
+    SELECT doc_id, toks,
+           unnest(range(1, greatest(len(toks) - {overlap}, 1) + 1, {stride})) AS start
+    FROM base
+)
+SELECT doc_id,
+       CAST((start - 1) / {stride} AS INT) AS chunk_idx,
+       CAST(len(toks[start : start + {chunk_tokens} - 1]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(toks[start : start + {chunk_tokens} - 1], ' ')) AS chunk_md5
+FROM exploded
+"""

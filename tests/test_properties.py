@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the pure kernels: the Indel-ratio
+scorer and connected-components labeling."""
+
+from hypothesis import given, settings, strategies as st
+
+from graphdb_neo4j_spark.functions.fuzz import indel_ratio
+
+TEXT = st.text(alphabet="abcde #", max_size=12)
+
+
+def _lcs_ref(a: str, b: str) -> int:
+    """Independent O(n·m) LCS for cross-checking the engine kernel."""
+    prev = [0] * (len(b) + 1)
+    for ca in a:
+        cur = [0]
+        for j, cb in enumerate(b, 1):
+            cur.append(prev[j - 1] + 1 if ca == cb else max(prev[j], cur[-1]))
+        prev = cur
+    return prev[-1]
+
+
+@given(TEXT, TEXT)
+def test_indel_ratio_matches_reference_formula(a, b):
+    total = len(a) + len(b)
+    expected = 100.0 if total == 0 else 100.0 * 2.0 * _lcs_ref(a, b) / total
+    assert abs(indel_ratio(a, b) - expected) < 1e-9
+
+
+@given(TEXT, TEXT)
+def test_indel_ratio_symmetric_and_bounded(a, b):
+    r = indel_ratio(a, b)
+    assert 0.0 <= r <= 100.0
+    assert r == indel_ratio(b, a)
+
+
+@given(TEXT)
+def test_indel_ratio_identity(a):
+    assert indel_ratio(a, a) == 100.0
+
+
+def _components_ref(pairs):
+    """Union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_connected_components_matches_union_find(spark, pairs):
+    from graphdb_neo4j_spark.llmdata.dedup import connected_components
+
+    df = spark.createDataFrame([(int(a), int(b)) for a, b in pairs], "a long, b long")
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _components_ref(pairs)
