@@ -182,7 +182,7 @@ register(
     lambda spark, sf: simsearch.q_cosine_neardup(spark, sf),
     simsearch.cosine_neardup_sql(),
 )
-register("ann_search", simsearch.q_ann_search, None)  # RNG bucketing
+register("ann_search", simsearch.q_ann_search, None, bench=True)  # RNG bucketing; the 100 TB similarity path
 register(
     "embedding_norms", simsearch.q_embedding_norms, simsearch.EMBEDDING_NORMS_SQL
 )
@@ -226,6 +226,7 @@ register(
     events_stream.STREAM_SESSIONS_SQL,
 )
 register("stream_user_counts", events_stream.q_stream_user_counts, None)
+register("stream_asof", events_stream.q_stream_asof, events.ASOF_JOIN_SQL)
 register("asof_join", events.q_asof_join, events.ASOF_JOIN_SQL)
 register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)
 register("events_cube", events.q_events_cube, events.EVENTS_CUBE_SQL)

@@ -91,9 +91,9 @@ MULTIMODAL_STATS_SQL = f"""
 WITH {_ASSETS_CTE.strip()}
 SELECT modality,
        COUNT(*) AS n_assets,
-       SUM(n_bytes) AS total_bytes,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
        MAX(n_bytes) AS max_bytes,
-       SUM(duration_ms) AS total_duration_ms
+       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
 FROM assets
 GROUP BY modality
 """

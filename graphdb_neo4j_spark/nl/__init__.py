@@ -8,6 +8,7 @@ and unit-tested against the reference's authoritative golden Q→A pairs
 (/root/reference/src/llm_cypher.py:104-124) with a mocked LLM.
 """
 
+from graphdb_neo4j_spark.nl.http_client import LLMClientError, http_llm_client
 from graphdb_neo4j_spark.nl.names import NameDictionary, correct_names
 from graphdb_neo4j_spark.nl.pipeline import (
     NLAnswer,
@@ -20,9 +21,11 @@ from graphdb_neo4j_spark.nl.pipeline import (
 )
 
 __all__ = [
+    "LLMClientError",
     "NLAnswer",
     "NLEngine",
     "NameDictionary",
+    "http_llm_client",
     "build_prompt",
     "correct_names",
     "explain_result",

@@ -21,25 +21,41 @@ from pyspark.sql import functions as F
 SESSION_GAP_MIN = 30
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table with ``ts`` as a proper timestamp.
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the ``ts`` column to session-zoned TIMESTAMP regardless of
+    how the fixture encoded it. Three encodings have been observed across
+    driver rounds, and this helper must stay robust to all of them:
 
-    The file stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    rejects by default (PARQUET_TYPE_ILLEGAL). We set the runtime SQLConf
-    ``spark.sql.legacy.parquet.nanosAsLong`` HERE — not only in get_spark()
-    — so the read works on ANY caller-supplied SparkSession (the driver
-    harness builds its own). Nanos arrive as LONG and are truncated to
-    microseconds — the same truncation DuckDB applies casting TIMESTAMP_NS
-    → TIMESTAMP, keeping oracle parity."""
+    - ``bigint``        — epoch NANOS surfaced by ``nanosAsLong``; truncate
+      to micros (same truncation DuckDB applies for TIMESTAMP_NS → TIMESTAMP).
+    - ``timestamp_ntz`` — plain parquet ``timestamp[us]`` without a UTC flag.
+      The session timezone is pinned UTC by the loaders, so casting to
+      TIMESTAMP reinterprets the naive value as the identical UTC instant —
+      DuckDB oracles (naive strftime/epoch_ms) keep matching.
+    - ``timestamp``     — already what we want.
+    """
+    dt = dict(df.dtypes)[col]
+    if dt == "bigint":
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} DIV 1000)"))
+    if dt.startswith("timestamp_ntz"):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with ``ts`` as a proper (session-zoned) timestamp.
+
+    ``spark.sql.legacy.parquet.nanosAsLong`` is set HERE — not only in
+    get_spark() — so a TIMESTAMP(NANOS) fixture reads on ANY
+    caller-supplied SparkSession (the driver harness builds its own);
+    for micros fixtures the conf is a no-op. :func:`normalize_ts` then
+    maps whatever encoding arrived onto TIMESTAMP."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # date_format renders in the session timezone; the oracle's strftime is
     # naive-UTC. Pin it here so parity holds on ANY caller-supplied session
     # (same reasoning as the nanos conf above — both are runtime SQLConfs).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes)["ts"] == "bigint":
-        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return ev
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +104,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_JSON_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -219,7 +235,7 @@ per_session AS (
 )
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        MAX(n_events) AS max_session_events
 FROM per_session
 GROUP BY user_id

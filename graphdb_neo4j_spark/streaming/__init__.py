@@ -11,6 +11,7 @@ promises.
 """
 
 from graphdb_neo4j_spark.streaming.events_stream import (
+    asof_stream,
     hourly_stream,
     run_available_now,
     session_window_stream,
@@ -19,6 +20,7 @@ from graphdb_neo4j_spark.streaming.events_stream import (
 )
 
 __all__ = [
+    "asof_stream",
     "hourly_stream",
     "run_available_now",
     "session_window_stream",

@@ -21,9 +21,13 @@ window forms. The parquet source here is the test fixture — swap
 ``readStream.parquet`` for Kafka/files-on-arrival in production; every
 transform below is source-agnostic.
 
-The TIMESTAMP(NANOS) fixture quirk is handled the same way as the batch
-reader (nanosAsLong + truncate to micros), so both paths see identical
-timestamps.
+Fixture-encoding robustness: the ``ts`` column has shipped as
+TIMESTAMP(NANOS), plain ``timestamp[us]`` (TIMESTAMP_NTZ to Spark), and
+TIMESTAMP across driver rounds. Streaming reads require an explicit
+schema, so we take it from the parquet footer (one cheap batch
+``spark.read`` — footer only, no data scan) instead of hardcoding an
+encoding, then run the SAME ``normalize_ts`` the batch reader uses, so
+both paths see identical timestamps whatever the file says.
 """
 
 from __future__ import annotations
@@ -37,27 +41,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-SESSION_GAP = "30 minutes"
+from graphdb_neo4j_spark.operators.events import normalize_ts
 
-# events.parquet under nanosAsLong: ts arrives as BIGINT nanos.
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string,"
-    " value double, props string"
-)
+SESSION_GAP = "30 minutes"
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture with ``ts`` as a proper
-    timestamp (micros truncation identical to operators/events.load_events)."""
+    timestamp, identical to operators/events.load_events for every
+    observed fixture encoding (see module docstring)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # see load_events
+    # The file source needs a schema up front; read it from the footer so
+    # nanos-as-bigint / timestamp_ntz / timestamp fixtures all work.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     ev = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         # file source requires a DIRECTORY; glob-filter to the events table
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return ev.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return normalize_ts(ev)
 
 
 def hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -125,6 +129,94 @@ def user_counts_stateful_stream(events: DataFrame) -> DataFrame:
         outputStructType=_COUNT_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming as-of join (stateful twin of operators/events.asof_join) ------
+#
+# The batch as-of join is a union + ordered window scan; streams can't sort
+# globally, so the streaming twin keeps per-user state = (latest right-side
+# event ts, count of right-side events seen) and enriches each left-side
+# event as it arrives. Within a micro-batch rows are sorted by event time
+# with the batch operator's exact tie rule (right before left at equal ts);
+# ACROSS micro-batches the operator assumes event-time-ordered arrival per
+# key — the standard contract for streaming as-of (out-of-order lefts would
+# need a watermark-deep buffer in state; noted, not needed on the bounded
+# ordered fixture, where the availableNow run must equal the batch answer
+# exactly — pytest-checked).
+#
+# events_cube has NO streaming twin by design: CUBE is a multi-grouping-set
+# COMPLETE aggregation (every output row, including the grand total, keeps
+# changing until the stream ends), which Structured Streaming's incremental
+# model forbids for unbounded sources (grouping-set aggs are unsupported on
+# streaming DataFrames). The streaming-native decomposition IS
+# hourly_stream: emit finalized per-(window, type) cells under a watermark
+# and roll marginals up downstream/at read time.
+
+_ASOF_STATE_SCHEMA = "last_right_us bigint, n_prior bigint"
+_ASOF_OUT_SCHEMA = (
+    "event_id bigint, user_id bigint, ts_ms bigint, prior_ts_ms bigint,"
+    " lag_ms bigint, n_prior bigint"
+)
+_ASOF_LEFT_TYPE = "click"
+_ASOF_RIGHT_TYPE = "purchase"
+
+
+def _asof_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user as-of state machine, vectorized per Arrow batch: forward-
+    fill the right-side timestamps over the time-sorted rows (seeded from
+    state), cumulative-count the right side, emit enriched left rows."""
+    last_right_us, n_seen = state.get if state.exists else (None, 0)
+    for pdf in batches:
+        pdf = pdf.copy()
+        pdf["is_l"] = (pdf["event_type"] == _ASOF_LEFT_TYPE).astype("int64")
+        # datetime64[ns] and datetime64[us] inputs both land on epoch-us
+        pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+        pdf = pdf.sort_values(["us", "is_l", "event_id"])  # right wins ties
+        right_us = pdf["us"].where(pdf["is_l"] == 0).ffill()
+        if last_right_us is not None:
+            right_us = right_us.fillna(last_right_us)
+        n_prior = n_seen + (pdf["is_l"] == 0).cumsum()
+        left = pdf["is_l"] == 1
+        prior_ms = (right_us[left] // 1000).astype("Int64")  # NA: no right yet
+        ts_ms = pdf.loc[left, "us"] // 1000
+        out = pd.DataFrame(
+            {
+                "event_id": pdf.loc[left, "event_id"],
+                "user_id": key[0],
+                "ts_ms": ts_ms,
+                "prior_ts_ms": prior_ms,
+                "lag_ms": ts_ms - prior_ms,
+                "n_prior": n_prior[left],
+            }
+        )
+        batch_rights = pdf.loc[pdf["is_l"] == 0, "us"]
+        if len(batch_rights):
+            last_right_us = int(batch_rights.iloc[-1])
+        n_seen = int(n_prior.iloc[-1]) if len(pdf) else n_seen
+        yield out
+    state.update((last_right_us, n_seen))
+
+
+def asof_stream(
+    events: DataFrame,
+    left_type: str = _ASOF_LEFT_TYPE,
+    right_type: str = _ASOF_RIGHT_TYPE,
+) -> DataFrame:
+    """Streaming as-of: each ``left_type`` event is enriched with the
+    latest at-or-before ``right_type`` event of the same user (state =
+    2 longs per user, emissions append-only)."""
+    filtered = events.filter(F.col("event_type").isin(left_type, right_type))
+    return filtered.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
@@ -201,6 +293,16 @@ SELECT user_id,
 FROM numbered
 GROUP BY user_id, session_id
 """
+
+
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of join run to completion. On the bounded ordered
+    fixture the result equals the batch ``asof_join`` exactly, so it
+    registers against the SAME DuckDB ASOF JOIN oracle."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(
+        spark, asof_stream(ev), "stream_asof_sink", output_mode="append"
+    )
 
 
 def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

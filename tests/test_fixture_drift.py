@@ -1,0 +1,92 @@
+"""Fixture-drift guard: catches the next events.parquet re-encoding in
+seconds of pytest instead of a crashed driver round.
+
+Round-2 postmortem: the driver regenerated ``events.parquet`` from
+TIMESTAMP(NANOS) to plain ``timestamp[us]`` (TIMESTAMP_NTZ to Spark) and
+the old readers either crashed (``unix_millis`` on NTZ) or silently
+decoded every event into January 1970 (streaming's hardcoded
+nanos-as-bigint schema). These tests pin the three invariants that break
+under any such drift:
+
+1. the loaded ``ts`` is session-zoned TimestampType (not NTZ, not bigint);
+2. the decoded instants agree with an independent pyarrow read of the
+   same file (epoch-micros exact, no 1970 shift, no ns/us confusion);
+3. batch and streaming readers decode identically.
+"""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+from graphdb_neo4j_spark.operators.events import load_events
+from graphdb_neo4j_spark.streaming import run_available_now, stream_events
+
+
+def _pyarrow_epoch_us(sf_dir: str) -> dict[int, int]:
+    """Independent ground truth: event_id -> epoch micros straight from the
+    parquet file, normalized from whatever unit pyarrow reports."""
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ts = t.column("ts")
+    typ = ts.type
+    if str(typ).startswith("timestamp"):
+        unit_div = {"s": 1, "ms": 1, "us": 1, "ns": 1000}[typ.unit]
+        unit_mul = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": 1}[typ.unit]
+        raw = ts.cast("int64").to_pylist()
+        vals = [v * unit_mul // unit_div if v is not None else None for v in raw]
+    else:  # bigint nanos encoding
+        vals = [v // 1000 for v in ts.to_pylist()]
+    return dict(zip(t.column("event_id").to_pylist(), vals))
+
+
+def test_events_ts_is_timestamp_type(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    assert isinstance(ev.schema["ts"].dataType, TimestampType), (
+        f"events.ts loaded as {ev.schema['ts'].dataType}; fixture encoding "
+        "drifted — extend normalize_ts in operators/events.py"
+    )
+
+
+def test_events_epoch_matches_pyarrow(spark, sf_dir):
+    truth = _pyarrow_epoch_us(sf_dir)
+    got = {
+        r["event_id"]: r["us"]
+        for r in load_events(spark, sf_dir)
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .limit(50)
+        .collect()
+    }
+    assert got, "no events read"
+    for eid, us in got.items():
+        assert us == truth[eid], (
+            f"event {eid}: Spark decoded epoch_us={us}, file says {truth[eid]} "
+            "(1970-shift / unit-confusion class of bug)"
+        )
+
+
+def test_events_not_in_1970(spark, sf_dir):
+    # cheap year-range sanity independent of the pyarrow cross-check
+    lo, hi = (
+        load_events(spark, sf_dir)
+        .agg(F.min(F.year("ts")), F.max(F.year("ts")))
+        .collect()[0]
+    )
+    assert 2000 <= lo <= hi <= 2100, f"event years [{lo}, {hi}] out of range"
+
+
+def test_stream_events_decodes_like_batch(spark, sf_dir):
+    batch = load_events(spark, sf_dir).select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    streamed = run_available_now(
+        spark,
+        stream_events(spark, sf_dir).select(
+            "event_id", F.unix_micros("ts").alias("us")
+        ),
+        "fixture_drift_stream_sink",
+        output_mode="append",
+    )
+    b = sorted((r["event_id"], r["us"]) for r in batch.collect())
+    s = sorted((r["event_id"], r["us"]) for r in streamed.collect())
+    assert b == s

@@ -4,8 +4,13 @@ batch twin — the unified-model guarantee the streaming package claims."""
 
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.operators.events import load_events, q_events_hourly
+from graphdb_neo4j_spark.operators.events import (
+    asof_join_events,
+    load_events,
+    q_events_hourly,
+)
 from graphdb_neo4j_spark.streaming import (
+    asof_stream,
     hourly_stream,
     run_available_now,
     session_window_stream,
@@ -39,6 +44,18 @@ def test_session_window_stream_counts(spark, sf_dir):
         F.count("*").alias("n")
     )
     assert _rows(per_user, ["user_id", "n"]) == _rows(batch, ["user_id", "n"])
+
+
+def test_asof_stream_matches_batch(spark, sf_dir):
+    out = run_available_now(
+        spark,
+        asof_stream(stream_events(spark, sf_dir)),
+        "asof_avail",
+        output_mode="append",
+    )
+    batch = asof_join_events(load_events(spark, sf_dir))
+    cols = ["event_id", "user_id", "ts_ms", "prior_ts_ms", "lag_ms", "n_prior"]
+    assert _rows(out, cols) == _rows(batch, cols)
 
 
 def test_stateful_user_counts_match_batch(spark, sf_dir):
