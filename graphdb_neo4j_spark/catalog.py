@@ -125,6 +125,9 @@ register(
 from graphdb_neo4j_spark.llmdata import textstats
 
 register("token_stats", textstats.q_token_stats, textstats.TOKEN_STATS_SQL)
+register(
+    "bpe_token_stats", textstats.q_bpe_token_stats, textstats.BPE_TOKEN_STATS_SQL
+)
 register("quality_scores", textstats.q_quality_scores, textstats.QUALITY_SCORES_SQL)
 register("lang_id", textstats.q_lang_id, textstats.LANG_ID_SQL)
 register("doc_fingerprint", textstats.q_doc_fingerprint, textstats.DOC_FINGERPRINT_SQL)
@@ -198,6 +201,12 @@ register(
     bench=True,
 )
 register("image_meta", multimodal.q_image_meta, multimodal.IMAGE_META_SQL)
+register("asset_features", multimodal.q_asset_features, None)  # BLOB byte stats
+register(
+    "image_resize_plan",
+    multimodal.q_image_resize_plan,
+    multimodal.IMAGE_RESIZE_PLAN_SQL,
+)
 register(
     "frame_sample",
     lambda spark, sf: multimodal.q_frame_sample(spark, sf),

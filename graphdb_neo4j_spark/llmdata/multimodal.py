@@ -165,6 +165,124 @@ WHERE modality = 'image'
 """
 
 
+# --- feature extraction seam -------------------------------------------------
+
+FEATURE_DIM = 8
+
+
+def extract_features_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: payload bytes → fixed-dim float feature vector.
+    The deterministic stand-in computes byte-level statistics (a real
+    pipeline plugs a vision/audio encoder into this exact batch shape:
+    payload bytes in, ``array<float>`` out, Arrow both ways). NumPy-
+    vectorized per payload; output dim is fixed so downstream simsearch
+    operators (`llmdata/simsearch.py`) consume it unchanged."""
+    import numpy as np
+
+    for pdf in batches:
+        feats = []
+        for p in pdf["payload"]:
+            a = np.frombuffer(bytes(p), dtype=np.uint8)
+            if a.size == 0:
+                feats.append([0.0] * FEATURE_DIM)
+                continue
+            feats.append(
+                [
+                    float(a.size),
+                    float(a.mean()),
+                    float(a.std()),
+                    float(a.min()),
+                    float(a.max()),
+                    float(a[0]),
+                    float(a[-1]),
+                    float(np.unique(a).size),
+                ]
+            )
+        yield pd.DataFrame({"asset_id": pdf["asset_id"], "features": feats})
+
+
+FEATURES_SCHEMA = "asset_id long, features array<float>"
+
+
+def q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over every modality (the encoder-inference
+    shape): payload-pruned scan → Arrow batches → fixed-dim vectors.
+    Registered rows-only (byte statistics of BLOBs aren't expressible in
+    the oracle's SQL); pytest pins exact values on crafted payloads and
+    determinism across runs."""
+    assets = assets_table(spark, sf_dir)
+    return assets.select("asset_id", "payload").mapInPandas(
+        extract_features_batches, FEATURES_SCHEMA
+    )
+
+
+# --- resize seam -------------------------------------------------------------
+
+RESIZE_BOX = 256
+
+
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """THE pixel-resize seam (PIL's ``Image.resize`` where available) —
+    same contract as :func:`decode_image`: stubbed in this container,
+    plumbing exercised via the plan query below."""
+    raise NotImplementedError(
+        "pixel resize requires PIL/pillow — not available in this container; "
+        "plug the real resizer in here"
+    )
+
+
+def q_image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit of every image into a RESIZE_BOX² box — the
+    metadata half of a resize pipeline (the pixel half is
+    :func:`resize_image` over (payload, target_w, target_h)). Integer
+    arithmetic only, so the DuckDB oracle matches exactly: no upscaling;
+    the long side lands on RESIZE_BOX."""
+    images = assets_table(spark, sf_dir).filter(F.col("modality") == "image")
+    w = (F.col("n_bytes") * _W_MULT) % _DIM_MOD + 1
+    h = (F.col("n_bytes") * _H_MULT) % _DIM_MOD + 1
+    dims = images.select("asset_id", w.alias("width"), h.alias("height"))
+    m = F.greatest("width", "height")
+    no_resize = m <= RESIZE_BOX
+    return dims.select(
+        "asset_id",
+        "width",
+        "height",
+        F.when(no_resize, F.col("width"))
+        .otherwise(F.expr(f"(width * {RESIZE_BOX}) DIV greatest(width, height)"))
+        .cast("int")
+        .alias("target_w"),
+        F.when(no_resize, F.col("height"))
+        .otherwise(F.expr(f"(height * {RESIZE_BOX}) DIV greatest(width, height)"))
+        .cast("int")
+        .alias("target_h"),
+        no_resize.alias("is_noop"),
+    )
+
+
+IMAGE_RESIZE_PLAN_SQL = f"""
+WITH {_ASSETS_CTE.strip()},
+dims AS (
+    SELECT asset_id,
+           (n_bytes * {_W_MULT}) % {_DIM_MOD} + 1 AS width,
+           (n_bytes * {_H_MULT}) % {_DIM_MOD} + 1 AS height
+    FROM assets WHERE modality = 'image'
+)
+SELECT asset_id,
+       width,
+       height,
+       CAST(CASE WHEN GREATEST(width, height) <= {RESIZE_BOX} THEN width
+                 ELSE (width * {RESIZE_BOX}) // GREATEST(width, height) END AS INT)
+           AS target_w,
+       CAST(CASE WHEN GREATEST(width, height) <= {RESIZE_BOX} THEN height
+                 ELSE (height * {RESIZE_BOX}) // GREATEST(width, height) END AS INT)
+           AS target_h,
+       GREATEST(width, height) <= {RESIZE_BOX} AS is_noop
+FROM dims
+"""
+
+
 def q_frame_sample(
     spark: SparkSession, sf_dir: str, every_n_frames: int = 48, limit_assets: int = 50
 ) -> DataFrame:

@@ -47,6 +47,49 @@ FROM documents
 """
 
 
+# BPE-style pre-tokenization (the GPT-2 pre-tokenizer shape, ASCII-safe so
+# Java regex and DuckDB RE2 agree byte-for-byte): contraction suffixes,
+# space-prefixed letter runs, space-prefixed digit runs, space-prefixed
+# punctuation runs. This is the unit a byte-pair encoder merges WITHIN, so
+# its count is the standard pre-merge estimate of BPE token counts (an
+# upper bound: merges only ever reduce it).
+BPE_SPLIT_PATTERN = r"'[sS]|'[tT]|'[rR][eE]|'[vV][eE]|'[mM]|'[lL][lL]|'[dD]| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BPE-ish token counts next to the whitespace count —
+    the pair a data pipeline budgets sequence lengths with. All built-in
+    JVM expressions (`regexp_extract_all`), no UDF."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    pieces = F.expr(f"regexp_extract_all(text, \"{BPE_SPLIT_PATTERN}\", 0)")
+    ws = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_tokens"),
+        F.size(ws).alias("n_ws_tokens"),
+        (F.size(pieces).cast("double") / F.size(ws)).alias("bpe_per_word"),
+        (F.col("n_chars").cast("double") / F.size(pieces)).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+_BPE_SQL_PATTERN = BPE_SPLIT_PATTERN.replace("'", "''")  # SQL-literal escape
+
+BPE_TOKEN_STATS_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}', 0)) AS INT)
+           AS n_bpe_tokens,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}', 0)) AS DOUBLE)
+           / len(regexp_split_to_array(trim(text), '\s+')) AS bpe_per_word,
+       CAST(n_chars AS DOUBLE)
+           / len(regexp_extract_all(text, '{_BPE_SQL_PATTERN}', 0))
+           AS chars_per_bpe_token
+FROM documents
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals + a composite
     score in [0,1]: long enough, low punctuation, a natural stopword rate."""

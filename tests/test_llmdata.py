@@ -21,6 +21,27 @@ def test_minhash_finds_exact_jaccard_pairs(spark, sf_dir):
         assert recall >= 0.8, f"LSH recall {recall} below 0.8 ({len(exact)} pairs)"
 
 
+def test_bpe_pretokenizer_semantics(spark):
+    """The BPE-ish regex must split the way a GPT-2-style pre-tokenizer
+    does on contractions, digit runs, and punctuation runs — checked
+    against a pure-Python re reference on a crafted string (the parquet
+    fixture's text is plain lowercase words, which exercises none of
+    this)."""
+    import re as _re
+
+    text = "I'll say it's 2024: costs rose 10% (again)... don't ask!"
+    expected = _re.findall(textstats.BPE_SPLIT_PATTERN, text)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = df.select(
+        F.expr(
+            f'regexp_extract_all(text, "{textstats.BPE_SPLIT_PATTERN}", 0)'
+        ).alias("p")
+    ).collect()[0]["p"]
+    assert got == expected
+    # sanity on the shape: contraction suffixes split off, runs stay intact
+    assert "'ll" in got and "'t" in got and " 2024" in got and " rose" in got
+
+
 def test_simhash_identical_docs_zero_hamming(spark):
     docs = spark.createDataFrame(
         [

@@ -44,6 +44,54 @@ def test_image_meta_runs_through_map_in_pandas(spark, sf_dir):
     assert (sample["width"], sample["height"]) == (w, h)
 
 
+def test_asset_features_exact_values(spark):
+    """Pin the feature kernel on a crafted payload: Spark output must
+    equal a pure-Python computation byte for byte."""
+    import numpy as np
+
+    payload = bytes([10, 200, 10, 30])
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "asset_id long, payload binary"
+    )
+    [row] = df.mapInPandas(
+        multimodal.extract_features_batches, multimodal.FEATURES_SCHEMA
+    ).collect()
+    a = np.frombuffer(payload, dtype=np.uint8)
+    expected = [
+        4.0, float(a.mean()), float(a.std()), 10.0, 200.0, 10.0, 30.0, 3.0,
+    ]
+    assert row["features"] == pytest.approx(expected, rel=1e-6)
+
+
+def test_asset_features_shape_and_determinism(spark, sf_dir):
+    feats = multimodal.q_asset_features(spark, sf_dir)
+    rows1 = sorted((r["asset_id"], tuple(r["features"])) for r in feats.collect())
+    rows2 = sorted(
+        (r["asset_id"], tuple(r["features"]))
+        for r in multimodal.q_asset_features(spark, sf_dir).collect()
+    )
+    assert rows1 == rows2
+    assert all(len(f) == multimodal.FEATURE_DIM for _, f in rows1)
+
+
+def test_resize_seam_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG...", 128, 96)
+
+
+def test_resize_plan_invariants(spark, sf_dir):
+    plan = multimodal.q_image_resize_plan(spark, sf_dir)
+    rows = plan.collect()
+    assert rows
+    for r in rows:
+        long_side = max(r["target_w"], r["target_h"])
+        if r["is_noop"]:
+            assert (r["target_w"], r["target_h"]) == (r["width"], r["height"])
+        else:
+            assert long_side == multimodal.RESIZE_BOX  # long side lands on box
+        assert r["target_w"] <= r["width"] and r["target_h"] <= r["height"]
+
+
 def test_frame_sample_stride(spark, sf_dir):
     frames = multimodal.q_frame_sample(spark, sf_dir, every_n_frames=48)
     bad = frames.filter(
