@@ -110,6 +110,12 @@ register(
     paths.bfs_distances_sql(),
 )
 
+# --- whole-graph analytics (extension family with J6/components) -------------
+from graphdb_neo4j_spark.operators import graphalgo
+
+register("degree_stats", graphalgo.q_degree_stats, graphalgo.DEGREE_STATS_SQL)
+register("pagerank", graphalgo.q_pagerank, None)  # iterative float fixpoint
+
 # --- classic OLAP bench anchors ---------------------------------------------
 from graphdb_neo4j_spark.operators import olap
 

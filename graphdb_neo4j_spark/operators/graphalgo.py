@@ -1,0 +1,179 @@
+"""Whole-graph analytics over the derived property graph: degree
+statistics and PageRank — the batch graph-algorithm family a GraphX-style
+relational encoding supports (SURVEY.md §2 notes the reference has no
+whole-graph analytics beyond the edge backfill; these are the designated
+extensions, same family as BFS/connected-components).
+
+Scale shapes:
+
+- **Degree stats never materialize pairs.** For an attribute edge type
+  (equal non-null key ⇒ clique per key), degree(node) = |key group| − 1 —
+  one tiny per-key aggregation joined back, exactly the Σ_key C(n,2)
+  discipline `edge_counts_by_type` uses (operators/edges.py:146). Only
+  SHARES_INTEREST counts distinct partners through the token equi-join
+  (work Σ_tok df² — bounded by the token-df cap at ingest), never an
+  array-overlap nested loop.
+- **PageRank is the standard iterative DataFrame loop**: contributions =
+  ranks/degree joined to the edge list, one shuffle per iteration on the
+  grouping key, `localCheckpoint` per round to truncate lineage (the BFS
+  / connected-components discipline, operators/paths.py). Undirected
+  edges contribute both ways; isolated nodes hold the teleport floor.
+  Registered rows-only (iterative float fixpoint — not SQL-expressible
+  for the driver oracle); pytest pins closed-form graphs (star, cycle)
+  and the Σranks = N invariant.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.graph import ATTRIBUTE_EDGE_TYPES
+from graphdb_neo4j_spark.sources.tpch import (
+    CUST_PARTS_CTE,
+    NODES_CTE,
+    customer_interest_pairs,
+    customer_nodes,
+)
+
+
+def _attr_degrees(nodes: DataFrame, attr: str, out: str) -> DataFrame:
+    """degree over one attribute edge type WITHOUT pair materialization:
+    every node in a key group of size n has degree n − 1."""
+    valid = nodes.filter(F.col(attr).isNotNull() & (F.col(attr) != "")).select(
+        "id", F.col(attr).alias("k")
+    )
+    sizes = valid.groupBy("k").agg((F.count("*") - 1).alias(out))
+    return valid.join(sizes, "k").select("id", out)
+
+
+def _interest_degrees(pairs: DataFrame, out: str = "shares_interest_deg") -> DataFrame:
+    """distinct-partner count through the token equi-join (J2 shape)."""
+    a = pairs.select(F.col("id").alias("a"), "interest")
+    b = pairs.select(F.col("id").alias("b"), "interest")
+    return (
+        a.join(b, "interest")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy(F.col("a").alias("id"))
+        .agg(F.count_distinct("b").alias(out))
+    )
+
+
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree for every derived edge type + total degree —
+    the graph's structural profile in one pass family."""
+    nodes = customer_nodes(spark, sf_dir)
+    cols = {etype.lower() + "_deg": attr for etype, attr in ATTRIBUTE_EDGE_TYPES.items()}
+    parts = [
+        _attr_degrees(nodes, attr, out) for out, attr in cols.items()
+    ] + [_interest_degrees(customer_interest_pairs(spark, sf_dir))]
+    joined = reduce(
+        lambda acc, d: acc.join(d, "id", "left"), parts, nodes.select("id")
+    )
+    deg_cols = list(cols) + ["shares_interest_deg"]
+    filled = joined.select(
+        "id", *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in deg_cols]
+    )
+    total = reduce(lambda x, y: x + y, [F.col(c) for c in deg_cols])
+    return filled.withColumn("total_deg", total.cast("long"))
+
+
+DEGREE_STATS_SQL = f"""
+WITH {NODES_CTE.strip()},
+{CUST_PARTS_CTE.strip()},
+college_sz AS (SELECT college AS k, COUNT(*) - 1 AS d FROM nodes
+               WHERE college IS NOT NULL AND college <> '' GROUP BY 1),
+board_sz AS (SELECT board AS k, COUNT(*) - 1 AS d FROM nodes
+             WHERE board IS NOT NULL AND board <> '' GROUP BY 1),
+stream_sz AS (SELECT stream AS k, COUNT(*) - 1 AS d FROM nodes
+              WHERE stream IS NOT NULL AND stream <> '' GROUP BY 1),
+addr_sz AS (SELECT address AS k, COUNT(*) - 1 AS d FROM nodes
+            WHERE address IS NOT NULL AND address <> '' GROUP BY 1),
+int_deg AS (
+    SELECT a.id, COUNT(DISTINCT b.id) AS d
+    FROM cust_parts a JOIN cust_parts b
+      ON a.interest = b.interest AND a.id <> b.id
+    GROUP BY a.id
+)
+SELECT n.id,
+       CAST(COALESCE(c.d, 0) AS BIGINT) AS same_college_deg,
+       CAST(COALESCE(bd.d, 0) AS BIGINT) AS same_board_deg,
+       CAST(COALESCE(s.d, 0) AS BIGINT) AS same_stream_deg,
+       CAST(COALESCE(ad.d, 0) AS BIGINT) AS nearby_deg,
+       CAST(COALESCE(i.d, 0) AS BIGINT) AS shares_interest_deg,
+       CAST(COALESCE(c.d, 0) + COALESCE(bd.d, 0) + COALESCE(s.d, 0)
+            + COALESCE(ad.d, 0) + COALESCE(i.d, 0) AS BIGINT) AS total_deg
+FROM nodes n
+LEFT JOIN college_sz c ON n.college = c.k
+LEFT JOIN board_sz bd ON n.board = bd.k
+LEFT JOIN stream_sz s ON n.stream = s.k
+LEFT JOIN addr_sz ad ON n.address = ad.k
+LEFT JOIN int_deg i ON n.id = i.id
+"""
+
+
+# --- PageRank ----------------------------------------------------------------
+
+DAMPING = 0.85
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(id, rank) after ``iterations`` rounds of damped PageRank on an
+    UNDIRECTED edge list (src, dst), ranks normalized so Σrank = N.
+
+    Each round: contribution = rank/degree pushed across each edge in
+    both directions (one union, one shuffle on the receiving id), then
+    rank' = (1−d) + d·Σcontrib. Isolated nodes keep the teleport floor.
+    Per-round ``localCheckpoint`` truncates the iterative lineage —
+    without it round k replans a 2^k-deep DAG."""
+    both = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    degrees = both.groupBy("u").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(iterations):
+        contribs = (
+            both.join(degrees, "u")
+            .join(ranks.select(F.col("id").alias("u"), "rank"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            nodes.select("id")
+            .join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str, iterations: int = 5) -> DataFrame:
+    """PageRank over the SAME_COLLEGE ∪ SAME_BOARD graph (the two clique
+    families give meaningful rank spread), rounded for stable comparison."""
+    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
+
+    nodes = customer_nodes(spark, sf_dir)
+    edges = derive_attribute_edges(nodes, "college", "SAME_COLLEGE").unionByName(
+        derive_attribute_edges(nodes, "board", "SAME_BOARD")
+    ).select("src", "dst")
+    return pagerank(nodes, edges, iterations=iterations).select(
+        "id", F.round("rank", 6).alias("rank")
+    )

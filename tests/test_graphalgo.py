@@ -1,0 +1,100 @@
+"""Whole-graph analytics: degree stats vs hand-count, PageRank vs
+closed-form solutions on known graphs + global invariants."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators import graphalgo
+
+
+def _nodes(spark, n):
+    return spark.createDataFrame([(i,) for i in range(n)], "id long")
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    """On a cycle every node is symmetric → rank = 1 for all, any
+    iteration count."""
+    n = 5
+    ranks = graphalgo.pagerank(
+        _nodes(spark, n),
+        _edges(spark, [(i, (i + 1) % n) for i in range(n)]),
+        iterations=7,
+    ).collect()
+    for r in ranks:
+        assert r["rank"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_star_closed_form(spark):
+    """Undirected star K_{1,k}: the fixpoint is
+    center = (1-d) + d·k·(leaf/1)·(1/1)... solved:
+      leaf   = (1-d) + d·(center/k)
+      center = (1-d) + d·k·leaf  [leaves have degree 1]
+    → center = ((1-d)(1+dk)) / (1-d²), leaf from back-substitution."""
+    d = graphalgo.DAMPING
+    k = 4
+    center_expected = (1 - d) * (1 + d * k) / (1 - d * d)
+    leaf_expected = (1 - d) + d * center_expected / k
+    ranks = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank(
+            _nodes(spark, k + 1),
+            _edges(spark, [(0, i) for i in range(1, k + 1)]),
+            iterations=60,
+        ).collect()
+    }
+    # convergence is geometric at rate d per round: after 60 rounds the
+    # residual is O(d^60) ≈ 6e-5 of the initial gap
+    assert ranks[0] == pytest.approx(center_expected, abs=5e-4)
+    for i in range(1, k + 1):
+        assert ranks[i] == pytest.approx(leaf_expected, abs=5e-4)
+
+
+def test_pagerank_mass_conservation(spark):
+    """Σrank = N when the graph has no isolated nodes (undirected ⇒ no
+    dangling mass)."""
+    n = 6
+    edges = [(i, j) for i in range(n) for j in range(i + 1, n) if (i + j) % 2]
+    total = (
+        graphalgo.pagerank(_nodes(spark, n), _edges(spark, edges), iterations=20)
+        .agg(F.sum("rank"))
+        .collect()[0][0]
+    )
+    assert total == pytest.approx(n, rel=1e-9)
+
+
+def test_pagerank_isolated_node_gets_teleport_floor(spark):
+    ranks = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank(
+            _nodes(spark, 3), _edges(spark, [(0, 1)]), iterations=10
+        ).collect()
+    }
+    assert ranks[2] == pytest.approx(1 - graphalgo.DAMPING, abs=1e-9)
+
+
+def test_degree_stats_against_materialized_edges(spark, sf_dir):
+    """The no-pair-materialization degrees must equal degrees counted on
+    the actually-materialized edge table."""
+    from graphdb_neo4j_spark.operators.edges import derive_all_edges
+
+    edges = derive_all_edges(spark, sf_dir).select("src", "dst", "type")
+    both = edges.select(F.col("src").alias("id"), "type").unionByName(
+        edges.select(F.col("dst").alias("id"), "type")
+    )
+    truth = {
+        (r["id"], r["type"]): r["n"]
+        for r in both.groupBy("id", "type").agg(F.count("*").alias("n")).collect()
+    }
+    got = graphalgo.q_degree_stats(spark, sf_dir).collect()
+    assert got
+    for row in got:
+        for etype in ("SAME_COLLEGE", "SAME_BOARD", "SAME_STREAM", "NEARBY",
+                      "SHARES_INTEREST"):
+            assert row[etype.lower() + "_deg"] == truth.get(
+                (row["id"], etype), 0
+            ), f"id={row['id']} type={etype}"
