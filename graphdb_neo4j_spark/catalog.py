@@ -242,6 +242,7 @@ register(
 )
 register("stream_user_counts", events_stream.q_stream_user_counts, None)
 register("stream_asof", events_stream.q_stream_asof, events.ASOF_JOIN_SQL)
+register("stream_json", events_stream.q_stream_json, events.EVENTS_JSON_SQL)
 register("asof_join", events.q_asof_join, events.ASOF_JOIN_SQL)
 register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)
 register("events_cube", events.q_events_cube, events.EVENTS_CUBE_SQL)

@@ -242,9 +242,14 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
     finally:
         q.stop()
+    if not finished:
+        # a partial memory table would be silently wrong — fail loudly
+        raise TimeoutError(
+            f"streaming query {query_name!r} did not drain within {timeout_s}s"
+        )
     return spark.table(query_name)
 
 
@@ -303,6 +308,26 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         spark, asof_stream(ev), "stream_asof_sink", output_mode="append"
     )
+
+
+def json_stats_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch JSON-extraction aggregation
+    (operators/events.q_events_json): parse ``props.k`` once with
+    ``get_json_object``, aggregate per event_type. Unwindowed global agg →
+    complete output mode; on the bounded fixture the final table equals
+    the batch answer, so it registers against the SAME oracle."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def q_stream_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(spark, json_stats_stream(ev), "stream_json_sink")
 
 
 def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -58,6 +58,19 @@ def test_asof_stream_matches_batch(spark, sf_dir):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_json_stream_matches_batch(spark, sf_dir):
+    from graphdb_neo4j_spark.operators.events import q_events_json
+    from graphdb_neo4j_spark.streaming.events_stream import json_stats_stream
+
+    out = run_available_now(
+        spark,
+        json_stats_stream(stream_events(spark, sf_dir)),
+        "json_avail",
+    )
+    cols = ["event_type", "n", "sum_k", "min_k", "max_k"]
+    assert _rows(out, cols) == _rows(q_events_json(spark, sf_dir), cols)
+
+
 def test_stateful_user_counts_match_batch(spark, sf_dir):
     ev = stream_events(spark, sf_dir)
     out = run_available_now(
