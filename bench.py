@@ -29,6 +29,12 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't charged for
     # executor-thread spin-up and whole-stage-codegen compiler init.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Arrow/Python-worker warmup: the first Arrow-batched Python eval in a
+    # session pays worker spin-up + Arrow init (~3-4 s measured); without
+    # this the alphabetically-first UDF query absorbs it.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda batches: batches, "id long"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(bench_queries().items()):

@@ -29,6 +29,10 @@ from graphdb_neo4j_spark.session import widen_scan
 from pyspark.sql.types import ArrayType, IntegerType
 
 DIM = 64
+# Below this input size, 32-wide fan-out costs more than the linear
+# per-row work it parallelizes (Python-worker spin-up per core); the
+# quadratic cosine_neardup keeps the default 0 — its work is O(rows^2).
+_LINEAR_MIN_BYTES = 4 << 20
 # Multi-table LSH (OR-amplification): a vector hashes into one bucket PER
 # TABLE; a true neighbour is found if it collides in ANY table. For
 # neighbours at angle θ, per-plane agreement is p = 1 − θ/π, so recall is
@@ -57,7 +61,7 @@ def q_knn_anchor(
 ) -> DataFrame:
     """Exact cosine top-k neighbours of one vector (embeddings are
     unit-norm, so cosine = dot). Anchor broadcast; single scan."""
-    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_bytes=_LINEAR_MIN_BYTES)
     anchor = emb.filter(F.col("vec_id") == anchor_id).select(
         F.col("embedding").alias("anchor_emb")
     )
@@ -163,7 +167,7 @@ def ann_search(
     sign flips (recall ≈0.9 here), 2 = +pair flips (recall ≈1.0 on this
     near-orthogonal corpus at ~2× candidates — the knob to turn when a
     query needs guarantees)."""
-    index = ann_bucket_index(widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet")))
+    index = ann_bucket_index(widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_bytes=_LINEAR_MIN_BYTES))
     anchor = index.filter(F.col("vec_id") == anchor_id).select(
         F.col("embedding").alias("anchor_emb"), "table_idx", "bucket"
     )
@@ -251,7 +255,7 @@ def ivf_search(
     ``n_probe`` nearest inverted lists, exact re-rank inside them —
     the classic IVF-Flat search, all as DataFrame ops (the centroid
     ranking is a k-row crossJoin, not a collect)."""
-    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_bytes=_LINEAR_MIN_BYTES)
     assigned, centroids = ivf_index(emb, n_lists=n_lists)
     anchor = emb.filter(F.col("vec_id") == anchor_id).select(
         F.col("embedding").alias("anchor_emb")
@@ -291,7 +295,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector L2 norm + the normalized first component (catches
     un-normalized or degenerate embeddings). Pure `aggregate()` over the
     array — JVM-side, no UDF."""
-    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_bytes=_LINEAR_MIN_BYTES)
     sq = F.aggregate(
         "embedding",
         F.lit(0.0),

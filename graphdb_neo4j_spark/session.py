@@ -77,26 +77,28 @@ def _parse_bytes_conf(v: str) -> int:
     return int(s) * mult
 
 
-def _estimated_scan_partitions(df) -> int:
-    """Plan-level estimate of the scan's task count — file metadata only,
-    NO ``df.rdd`` conversion (which plans an extra job-prep round-trip per
-    call on a real cluster; VERDICT r2 #4). Mirrors Spark's file-split
-    rule: each file contributes ceil(size / maxPartitionBytes) splits.
-    Unknown cases (no input files, remote scheme, stat failure) return a
-    large count so the caller leaves the plan untouched — the safe default
-    at scale, where block-split tables are already wide."""
+def _estimated_scan_splits(df) -> tuple[int, int | None]:
+    """Plan-level (splits, total_bytes) estimate for the scan — file
+    metadata only, NO ``df.rdd`` conversion (which plans an extra job-prep
+    round-trip per call on a real cluster; VERDICT r2 #4). Mirrors Spark's
+    file-split rule: each file contributes ceil(size / maxPartitionBytes)
+    splits. Unknown cases (no input files, remote scheme, stat failure)
+    return a wide count and ``None`` bytes so the caller leaves the plan
+    untouched — the safe default at scale, where block-split tables are
+    already wide."""
     spark = df.sparkSession
     wide = spark.sparkContext.defaultParallelism
     try:
         files = df.inputFiles()
     except Exception:
-        return wide
+        return wide, None
     if not files:
-        return wide
+        return wide, None
     max_bytes = _parse_bytes_conf(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
     )
     splits = 0
+    total = 0
     for f in files:
         if f.startswith("file:"):
             from urllib.parse import unquote, urlparse
@@ -104,16 +106,21 @@ def _estimated_scan_partitions(df) -> int:
             try:
                 size = os.path.getsize(unquote(urlparse(f).path))
             except OSError:
-                return wide
+                return wide, None
             splits += max(1, -(-size // max_bytes))
+            total += size
         else:
             # remote store: don't stat from the driver; ≥1 split per file
             # and production tables have many files → passes through.
-            splits += 1
-    return splits
+            return wide, None
+    return splits, total
 
 
-def widen_scan(df, key: str | None = None):
+def _estimated_scan_partitions(df) -> int:
+    return _estimated_scan_splits(df)[0]
+
+
+def widen_scan(df, key: str | None = None, min_bytes: int = 0):
     """Repartition a DataFrame that arrived NARROWER than the cluster is
     wide, so CPU-heavy narrow stages (hashing, shingling, regex) don't
     serialize onto a handful of tasks.
@@ -124,12 +131,23 @@ def widen_scan(df, key: str | None = None):
     production table already has ≥ parallelism partitions and passes
     through untouched, so this is free at 100 TB scale and only fires on
     the narrow-input case. Narrowness is judged from file metadata
-    (:func:`_estimated_scan_partitions`), not an RDD conversion. ``key``
+    (:func:`_estimated_scan_splits`), not an RDD conversion. ``key``
     hash-partitions (co-locates downstream per-key work); None
     round-robins.
+
+    ``min_bytes``: below this input size, fanning out costs more than it
+    buys (a shuffle plus one task/Python-worker spin-up per core against
+    milliseconds of actual work) — the input stays narrow. Callers whose
+    downstream work is LINEAR in the input (per-row UDFs, projections)
+    should pass a few MB; callers with super-linear work (self-joins,
+    all-pairs) should keep 0 — work there is quadratic in rows, so byte
+    size understates it.
     """
     sc = df.sparkSession.sparkContext
-    if _estimated_scan_partitions(df) >= sc.defaultParallelism:
+    splits, total_bytes = _estimated_scan_splits(df)
+    if splits >= sc.defaultParallelism:
+        return df
+    if total_bytes is not None and total_bytes < min_bytes:
         return df
     n = sc.defaultParallelism
     return df.repartition(n, key) if key else df.repartition(n)
