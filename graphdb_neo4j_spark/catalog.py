@@ -134,6 +134,16 @@ register("token_stats", textstats.q_token_stats, textstats.TOKEN_STATS_SQL)
 register(
     "bpe_token_stats", textstats.q_bpe_token_stats, textstats.BPE_TOKEN_STATS_SQL
 )
+
+# --- extensions: data hygiene (PII scrub, benchmark decontamination) ---------
+from graphdb_neo4j_spark.llmdata import scrub
+
+register("pii_scrub", scrub.q_pii_scrub, scrub.PII_SCRUB_SQL)
+register(
+    "contamination",
+    lambda spark, sf: scrub.q_contamination(spark, sf),
+    scrub.contamination_sql(),
+)
 register("quality_scores", textstats.q_quality_scores, textstats.QUALITY_SCORES_SQL)
 register("lang_id", textstats.q_lang_id, textstats.LANG_ID_SQL)
 register("doc_fingerprint", textstats.q_doc_fingerprint, textstats.DOC_FINGERPRINT_SQL)

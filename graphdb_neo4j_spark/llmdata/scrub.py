@@ -1,0 +1,157 @@
+"""PII scrubbing and benchmark-contamination detection over ``documents``
+— the two data-hygiene stages a pretraining pipeline runs between dedup
+and training-set assembly.
+
+- :func:`q_pii_scrub`: per-document counts of email / URL / phone-shaped
+  spans plus the redacted text's fingerprint. Pure JVM ``regexp_*``
+  expressions (single scan, no UDF); the patterns are ASCII-safe so Java
+  regex and DuckDB's RE2 agree byte-for-byte and the query is
+  oracle-checked end-to-end, including the post-redaction hash.
+- :func:`q_contamination`: 13-gram word-shingle overlap against a
+  "benchmark" set (the standard n-gram decontamination check, e.g.
+  GPT-3 appendix C / The Pile). The benchmark here is derived
+  deterministically from the corpus itself (the lowest-doc_id document's
+  shingles) so the oracle can mirror it; in production the right side is
+  a broadcast table of benchmark n-grams. Shape: explode to shingles →
+  hash → broadcast semi/inner join on the hash → per-doc count. Work is
+  linear in corpus tokens; the benchmark side stays broadcast at any
+  corpus scale because benchmarks are tiny.
+
+Scale notes: both are single-scan linear passes; the contamination join
+broadcasts the (tiny) benchmark shingle set, so no full shuffle ever
+touches the corpus — the same discipline as `training_filter`'s gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.session import widen_scan
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^ ]+"
+PHONE_RE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+NGRAM_WIDTH = 13
+# Stand-in benchmark subset: the docs below this id play the "eval set"
+# role (deterministic, oracle-mirrored; includes near-dup cluster members
+# at every sf so the overlap join produces real collisions). In
+# production this is a broadcast table of actual benchmark n-grams.
+BENCH_MAX_ID = 32
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return widen_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), min_bytes=4 << 20
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_emails, n_urls, n_phones, redacted_hash): span counts
+    plus the md5 of the text after replacing each span class with a typed
+    placeholder — the downstream pipeline keys on the redacted hash."""
+    docs = _docs(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            URL_RE,
+            "<URL>",
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    # column-level regexp_extract_all (NOT F.expr): a SQL string literal
+    # would eat the \b in PHONE_RE as a backspace escape
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), F.lit(0))).alias(
+            "n_urls"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+PII_SCRUB_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}', 0)) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{URL_RE}', 0)) AS INT) AS n_urls,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}', 0)) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{URL_RE}', '<URL>', 'g'),
+               '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_hash
+FROM documents
+"""
+
+
+def word_ngrams(docs: DataFrame, width: int = NGRAM_WIDTH) -> DataFrame:
+    """(doc_id, gram) for every ``width``-word shingle. Docs shorter than
+    ``width`` words contribute nothing (guarded — ``sequence`` would
+    otherwise run DESCENDING for negative spans). At scale, hash ``gram``
+    with ``xxhash64`` for a fixed-width join key; the oracle-checked form
+    joins on the string so DuckDB can mirror it exactly."""
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= width)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - width),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, width)),
+            )
+        ).alias("gram"),
+    )
+
+
+def q_contamination(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = NGRAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+) -> DataFrame:
+    """Non-benchmark docs sharing ≥1 13-gram with any benchmark doc, with
+    the distinct-collision count — the GPT-3-style n-gram
+    decontamination check."""
+    grams = word_ngrams(_docs(spark, sf_dir), width)
+    bench = (
+        grams.filter(F.col("doc_id") < bench_max_id).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") >= bench_max_id)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_contaminated_ngrams"))
+    )
+
+
+def contamination_sql(
+    width: int = NGRAM_WIDTH, bench_max_id: int = BENCH_MAX_ID
+) -> str:
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(text), '\s+')) >= {width}
+),
+grams AS (
+    SELECT doc_id, array_to_string(t[i:i+{width - 1}], ' ') AS gram
+    FROM toks, UNNEST(range(1, len(t) - {width - 2})) AS u(i)
+),
+bench AS (
+    SELECT DISTINCT gram FROM grams WHERE doc_id < {bench_max_id}
+)
+SELECT g.doc_id,
+       CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_contaminated_ngrams
+FROM grams g
+JOIN bench b ON g.gram = b.gram
+WHERE g.doc_id >= {bench_max_id}
+GROUP BY g.doc_id
+"""

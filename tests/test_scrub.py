@@ -1,0 +1,85 @@
+"""PII scrubbing + n-gram decontamination: crafted-input semantics (the
+fixture text contains no PII spans, which would exercise nothing) and
+overlap invariants."""
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata import scrub
+
+
+def test_pii_counts_and_redaction(spark):
+    text = (
+        "mail a@b.com or c.d+x@e.org, call 555-123-4567, "
+        "see https://example.com/x?y=1 and http://t.co"
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = df.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(scrub.EMAIL_RE), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(scrub.URL_RE), F.lit(0))
+        ).alias("n_urls"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(scrub.PHONE_RE), F.lit(0))
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), scrub.EMAIL_RE, "<EMAIL>"),
+                scrub.URL_RE,
+                "<URL>",
+            ),
+            scrub.PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+    ).collect()[0]
+    assert row["n_emails"] == 2
+    assert row["n_urls"] == 2
+    assert row["n_phones"] == 1
+    assert "<EMAIL>" in row["redacted"] and "a@b.com" not in row["redacted"]
+    assert "<PHONE>" in row["redacted"] and "555-123-4567" not in row["redacted"]
+    assert "<URL>" in row["redacted"] and "example.com" not in row["redacted"]
+
+
+def test_pii_scrub_runs_on_fixture(spark, sf_dir):
+    out = scrub.q_pii_scrub(spark, sf_dir)
+    assert out.columns == [
+        "doc_id", "n_emails", "n_urls", "n_phones", "redacted_hash",
+    ]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert out.count() == n_docs
+
+
+def test_word_ngrams_short_docs_contribute_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "only four words here"), (2, " ".join(f"w{i}" for i in range(20)))],
+        "doc_id long, text string",
+    )
+    grams = scrub.word_ngrams(df, width=13)
+    rows = grams.collect()
+    assert all(r["doc_id"] == 2 for r in rows)
+    assert len(rows) == 20 - 13 + 1
+    assert all(len(r["gram"].split(" ")) == 13 for r in rows)
+
+
+def test_contamination_flags_verbatim_copy(spark, tmp_path):
+    """A doc that copies a benchmark doc verbatim must collide on every
+    one of its grams; an unrelated doc must not appear."""
+    bench_text = " ".join(f"b{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text, "en", "s", len(bench_text)),
+            (100, bench_text, "en", "s", len(bench_text)),
+            (101, " ".join(f"z{i}" for i in range(30)), "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "documents.parquet")
+    docs.write.parquet(path)
+    # point the query at the temp dir via its _docs loader contract
+    out = {
+        r["doc_id"]: r["n_contaminated_ngrams"]
+        for r in scrub.q_contamination(spark, str(tmp_path)).collect()
+    }
+    assert out == {100: 30 - 13 + 1}
