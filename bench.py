@@ -37,25 +37,33 @@ def main() -> None:
     ).collect()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(bench_queries().items()):
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not zero the bench
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
+    # non-zero exit still signals the failure to the driver, but the JSON
+    # line above preserves every healthy query's timing (round-2 lesson:
+    # one broken family zeroed the whole bench)
+    if errors:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
