@@ -163,44 +163,53 @@ _ASOF_LEFT_TYPE = "click"
 _ASOF_RIGHT_TYPE = "purchase"
 
 
-def _asof_fn(
-    key: tuple[Any, ...],
-    batches: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Per-user as-of state machine, vectorized per Arrow batch: forward-
-    fill the right-side timestamps over the time-sorted rows (seeded from
-    state), cumulative-count the right side, emit enriched left rows."""
-    last_right_us, n_seen = state.get if state.exists else (None, 0)
-    for pdf in batches:
-        pdf = pdf.copy()
-        pdf["is_l"] = (pdf["event_type"] == _ASOF_LEFT_TYPE).astype("int64")
-        # datetime64[ns] and datetime64[us] inputs both land on epoch-us
-        pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
-        pdf = pdf.sort_values(["us", "is_l", "event_id"])  # right wins ties
-        right_us = pdf["us"].where(pdf["is_l"] == 0).ffill()
-        if last_right_us is not None:
-            right_us = right_us.fillna(last_right_us)
-        n_prior = n_seen + (pdf["is_l"] == 0).cumsum()
-        left = pdf["is_l"] == 1
-        prior_ms = (right_us[left] // 1000).astype("Int64")  # NA: no right yet
-        ts_ms = pdf.loc[left, "us"] // 1000
-        out = pd.DataFrame(
-            {
-                "event_id": pdf.loc[left, "event_id"],
-                "user_id": key[0],
-                "ts_ms": ts_ms,
-                "prior_ts_ms": prior_ms,
-                "lag_ms": ts_ms - prior_ms,
-                "n_prior": n_prior[left],
-            }
-        )
-        batch_rights = pdf.loc[pdf["is_l"] == 0, "us"]
-        if len(batch_rights):
-            last_right_us = int(batch_rights.iloc[-1])
-        n_seen = int(n_prior.iloc[-1]) if len(pdf) else n_seen
-        yield out
-    state.update((last_right_us, n_seen))
+def _make_asof_fn(left_type: str):
+    """Bind the left-side label into the state kernel (the
+    applyInPandasWithState signature has no parameter channel, so the
+    kernel closes over it — anything not from the module namespace must
+    be captured this way or a custom ``left_type`` silently mislabels)."""
+
+    def _asof_fn(
+        key: tuple[Any, ...],
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user as-of state machine, vectorized per Arrow batch:
+        forward-fill the right-side timestamps over the time-sorted rows
+        (seeded from state), cumulative-count the right side, emit
+        enriched left rows."""
+        last_right_us, n_seen = state.get if state.exists else (None, 0)
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["is_l"] = (pdf["event_type"] == left_type).astype("int64")
+            # datetime64[ns] and datetime64[us] inputs both land on epoch-us
+            pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+            pdf = pdf.sort_values(["us", "is_l", "event_id"])  # right wins ties
+            right_us = pdf["us"].where(pdf["is_l"] == 0).ffill()
+            if last_right_us is not None:
+                right_us = right_us.fillna(last_right_us)
+            n_prior = n_seen + (pdf["is_l"] == 0).cumsum()
+            left = pdf["is_l"] == 1
+            prior_ms = (right_us[left] // 1000).astype("Int64")  # NA: no right yet
+            ts_ms = pdf.loc[left, "us"] // 1000
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf.loc[left, "event_id"],
+                    "user_id": key[0],
+                    "ts_ms": ts_ms,
+                    "prior_ts_ms": prior_ms,
+                    "lag_ms": ts_ms - prior_ms,
+                    "n_prior": n_prior[left],
+                }
+            )
+            batch_rights = pdf.loc[pdf["is_l"] == 0, "us"]
+            if len(batch_rights):
+                last_right_us = int(batch_rights.iloc[-1])
+            n_seen = int(n_prior.iloc[-1]) if len(pdf) else n_seen
+            yield out
+        state.update((last_right_us, n_seen))
+
+    return _asof_fn
 
 
 def asof_stream(
@@ -213,7 +222,7 @@ def asof_stream(
     2 longs per user, emissions append-only)."""
     filtered = events.filter(F.col("event_type").isin(left_type, right_type))
     return filtered.groupBy("user_id").applyInPandasWithState(
-        _asof_fn,
+        _make_asof_fn(left_type),
         outputStructType=_ASOF_OUT_SCHEMA,
         stateStructType=_ASOF_STATE_SCHEMA,
         outputMode="append",

@@ -58,6 +58,21 @@ def test_asof_stream_matches_batch(spark, sf_dir):
     assert _rows(out, cols) == _rows(batch, cols)
 
 
+def test_asof_stream_custom_types_match_batch(spark, sf_dir):
+    """Swapped left/right types must flow into the state kernel (the
+    kernel closes over left_type; a module-constant kernel silently
+    mislabeled custom types)."""
+    out = run_available_now(
+        spark,
+        asof_stream(stream_events(spark, sf_dir), "purchase", "click"),
+        "asof_custom_avail",
+        output_mode="append",
+    )
+    batch = asof_join_events(load_events(spark, sf_dir), "purchase", "click")
+    cols = ["event_id", "user_id", "ts_ms", "prior_ts_ms", "lag_ms", "n_prior"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
 def test_json_stream_matches_batch(spark, sf_dir):
     from graphdb_neo4j_spark.operators.events import q_events_json
     from graphdb_neo4j_spark.streaming.events_stream import json_stats_stream
