@@ -40,6 +40,67 @@ def _pyarrow_epoch_us(sf_dir: str) -> dict[int, int]:
     return dict(zip(t.column("event_id").to_pylist(), vals))
 
 
+# Column names + core types per fixture table. Timestamp-ish columns
+# accept every encoding normalize_ts handles (the known drift axis —
+# round 2 shipped nanos→micros silently); anything else failing here
+# means the driver regenerated the fixture shape and readers need review.
+_FLEX_TS = {"bigint", "timestamp", "timestamp_ntz"}
+EXPECTED_SCHEMAS = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint",
+        "o_orderstatus": "string", "o_totalprice": "double",
+        "o_orderdate": _FLEX_TS | {"date"}, "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double", "l_tax": "double",
+        "l_returnflag": "string", "l_linestatus": "string",
+        "l_shipdate": _FLEX_TS | {"date"},
+    },
+    "events": {
+        "event_id": "bigint", "ts": _FLEX_TS, "user_id": "bigint",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint", "embedding": "array<float>", "label": "int",
+    },
+}
+
+
+def test_all_fixture_table_schemas(spark, sf_dir):
+    for table, expected in EXPECTED_SCHEMAS.items():
+        got = dict(spark.read.parquet(f"{sf_dir}/{table}.parquet").dtypes)
+        assert set(got) == set(expected), (
+            f"{table}: columns drifted — got {sorted(got)}, "
+            f"expected {sorted(expected)}"
+        )
+        for col, want in expected.items():
+            allowed = want if isinstance(want, set) else {want}
+            assert got[col] in allowed, (
+                f"{table}.{col}: type {got[col]} not in {allowed} — fixture "
+                "regenerated; review the readers before trusting results"
+            )
+
+
 def test_events_ts_is_timestamp_type(spark, sf_dir):
     ev = load_events(spark, sf_dir)
     assert isinstance(ev.schema["ts"].dataType, TimestampType), (
