@@ -213,23 +213,34 @@ N_PROBE = 8  # this corpus clusters weakly (near-orthogonal); 8/16 lists → rec
 
 
 def ivf_index(
-    emb: DataFrame, n_lists: int = N_LISTS, seed: int = _SEED
+    emb: DataFrame,
+    n_lists: int = N_LISTS,
+    seed: int = _SEED,
+    fit_fraction: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: KMeans over the embeddings; every vector is
     assigned to its nearest centroid's inverted list.
 
     Returns (assigned, centroids): ``assigned`` = the vectors + ``list_id``
     (at rest you'd write this partitioned by list_id so probes prune
-    files); ``centroids`` = (list_id, center array) — k rows, broadcast
-    everywhere it is used. At 100 TB the fit runs on a sample
-    (KMeans cost is per-iteration O(N·k·d)); assignment stays a single
-    scan through the model transform.
+    files — :func:`write_ann_index` is the LSH analog); ``centroids`` =
+    (list_id, center array) — k rows, broadcast everywhere it is used.
+
+    ``fit_fraction`` < 1 is the 100 TB path: KMeans cost is
+    per-iteration O(N·k·d), but a coarse quantizer only needs the
+    DISTRIBUTION of the corpus, which a uniform sample preserves — fit on
+    the sample, then assignment stays a single scan of the FULL corpus
+    through the model transform (quality degrades only via centroid
+    placement; pytest pins recall at fit_fraction=0.5 on the fixture).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     feats = emb.withColumn("features", array_to_vector("embedding"))
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(feats)
+    fit_on = (
+        feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=seed)
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(fit_on)
     assigned = (
         model.transform(feats)
         .withColumnRenamed("prediction", "list_id")
@@ -250,13 +261,14 @@ def ivf_search(
     k: int = 10,
     n_lists: int = N_LISTS,
     n_probe: int = N_PROBE,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF top-k: rank centroids by cosine to the anchor, scan the
     ``n_probe`` nearest inverted lists, exact re-rank inside them —
     the classic IVF-Flat search, all as DataFrame ops (the centroid
     ranking is a k-row crossJoin, not a collect)."""
     emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_bytes=_LINEAR_MIN_BYTES)
-    assigned, centroids = ivf_index(emb, n_lists=n_lists)
+    assigned, centroids = ivf_index(emb, n_lists=n_lists, fit_fraction=fit_fraction)
     anchor = emb.filter(F.col("vec_id") == anchor_id).select(
         F.col("embedding").alias("anchor_emb")
     )
@@ -288,6 +300,68 @@ def q_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only registered form (KMeans centroids are engine-specific);
     pytest measures recall vs q_knn_anchor."""
     return ivf_search(spark, sf_dir, anchor_id=0, k=10)
+
+
+# --- persisted LSH index (the at-rest form) ----------------------------------
+
+
+def write_ann_index(emb: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist the LSH index partitioned by (table_idx, bucket) — the
+    at-rest layout where a probe becomes PARTITION PRUNING: reading
+    L·(1+flips) directories out of L·2^b instead of scanning the index
+    (``PartitionFilters`` in the probe plan, pytest-pinned)."""
+    ann_bucket_index(emb).write.mode(mode).partitionBy(
+        "table_idx", "bucket"
+    ).parquet(path)
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    anchor_emb: list[float],
+    anchor_id: int | None = None,
+    k: int = 10,
+    multiprobe_bits: int = 1,
+) -> DataFrame:
+    """Top-k against a PERSISTED index: the anchor's buckets are computed
+    driver-side (one L·b-plane matmul on one vector — microseconds), the
+    probe keys become literal partition predicates, and only the matching
+    (table_idx, bucket) directories are read. This is the query-serving
+    shape: index build is offline, a probe touches candidate files only."""
+    planes = _hyperplanes()
+    v = np.asarray(anchor_emb)
+    bits = (planes @ v > 0).reshape(N_TABLES, N_PLANES)
+    weights = 1 << np.arange(N_PLANES)
+    probe_keys: set[tuple[int, int]] = set()
+    for t in range(N_TABLES):
+        base = int(bits[t] @ weights)
+        buckets = {base}
+        if multiprobe_bits >= 1:
+            buckets |= {base ^ (1 << i) for i in range(N_PLANES)}
+        if multiprobe_bits >= 2:
+            buckets |= {
+                base ^ ((1 << i) | (1 << j))
+                for i in range(N_PLANES)
+                for j in range(i + 1, N_PLANES)
+            }
+        probe_keys |= {(t, b) for b in buckets}
+    pred = F.struct(F.col("table_idx"), F.col("bucket")).isin(
+        [F.struct(F.lit(t), F.lit(b)) for t, b in sorted(probe_keys)]
+    )
+    idx = spark.read.parquet(index_path).filter(pred)
+    if anchor_id is not None:
+        idx = idx.filter(F.col("vec_id") != anchor_id)
+    anchor_col = F.array(*[F.lit(float(x)) for x in anchor_emb])
+    return (
+        idx.dropDuplicates(["vec_id"])
+        .select(
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("embedding"), anchor_col), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
 
 
 def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:

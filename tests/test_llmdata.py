@@ -95,6 +95,39 @@ def test_ann_two_bit_multiprobe_rescues_hard_anchor(spark, sf_dir):
     assert recall >= 0.9, f"ANN 2-bit-multiprobe recall {recall} below 0.9"
 
 
+def test_ivf_sample_fit_keeps_recall(spark, sf_dir):
+    """The 100 TB path: quantizer fit on a 50% sample must keep recall
+    (coarse centroids only need the corpus distribution)."""
+    exact = [r.vec_id for r in simsearch.q_knn_anchor(spark, sf_dir, 0, 10).collect()]
+    approx = [
+        r.vec_id
+        for r in simsearch.ivf_search(
+            spark, sf_dir, 0, 10, fit_fraction=0.5
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.7, f"sample-fit IVF recall {recall} below 0.7"
+
+
+def test_persisted_ann_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """probe_ann_index against the at-rest index must (a) agree with the
+    in-memory ann_search and (b) show partition pruning in the scan."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    simsearch.write_ann_index(emb, path)
+    anchor = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    probed = simsearch.probe_ann_index(spark, path, list(anchor), anchor_id=0)
+    in_mem = simsearch.ann_search(spark, sf_dir, 0, 10)
+    assert (
+        [(r.vec_id, r.cosine) for r in probed.collect()]
+        == [(r.vec_id, r.cosine) for r in in_mem.collect()]
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    # the probe predicate reached the partition columns (pruned scan)
+    assert "table_idx" in plan.split("PartitionFilters")[1][:400]
+
+
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     exact = [r.vec_id for r in simsearch.q_knn_anchor(spark, sf_dir, 0, 10).collect()]
     approx = [r.vec_id for r in simsearch.ivf_search(spark, sf_dir, 0, 10).collect()]
