@@ -133,6 +133,64 @@ def user_counts_stateful_stream(events: DataFrame) -> DataFrame:
     )
 
 
+# --- transformWithState (the arbitrary-state API that succeeds
+# applyInPandasWithState in Spark 4) ------------------------------------------
+
+
+def user_counts_tws_stream(events: DataFrame) -> DataFrame:
+    """Per-user running event counts on ``transformWithStateInPandas`` —
+    the same operator as :func:`user_counts_stateful_stream` on the
+    modern StatefulProcessor API (typed state handles, timers, TTL). Both
+    forms are kept: applyInPandasWithState is the stable widely-deployed
+    surface; this is where new state features land.
+
+    Environment note: the TWS state protocol speaks protobuf between the
+    JVM and the Python driver worker; containers without
+    ``google.protobuf`` crash the worker at init
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). Checked here with a
+    clear error; the parity test skips where the dependency is absent."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(JVM↔Python state protocol); use user_counts_stateful_stream "
+            "(applyInPandasWithState) in environments without it"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    # transformWithState runs only on the RocksDB state store (the HDFS
+    # default lacks the column-family support its typed state needs).
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class _CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState("n", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _CountProcessor(),
+        outputStructType=_COUNT_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 # --- streaming as-of join (stateful twin of operators/events.asof_join) ------
 #
 # The batch as-of join is a union + ordered window scan; streams can't sort

@@ -2,6 +2,8 @@
 trigger(availableNow=True) over the bounded fixture must agree with its
 batch twin — the unified-model guarantee the streaming package claims."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.operators.events import (
@@ -84,6 +86,27 @@ def test_json_stream_matches_batch(spark, sf_dir):
     )
     cols = ["event_type", "n", "sum_k", "min_k", "max_k"]
     assert _rows(out, cols) == _rows(q_events_json(spark, sf_dir), cols)
+
+
+def test_transform_with_state_counts_match_batch(spark, sf_dir):
+    """The transformWithStateInPandas form must reach the same final
+    per-user totals as the batch groupBy (same contract as the
+    applyInPandasWithState twin). Skips where protobuf (the TWS state
+    protocol dependency) is absent — this container ships without it."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from graphdb_neo4j_spark.streaming.events_stream import user_counts_tws_stream
+
+    out = run_available_now(
+        spark,
+        user_counts_tws_stream(stream_events(spark, sf_dir)),
+        "tws_counts_avail",
+        output_mode="update",
+    )
+    final = out.groupBy("user_id").agg(F.max("n_events").alias("n"))
+    batch = load_events(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n")
+    )
+    assert _rows(final, ["user_id", "n"]) == _rows(batch, ["user_id", "n"])
 
 
 def test_stateful_user_counts_match_batch(spark, sf_dir):
