@@ -70,3 +70,62 @@ def test_connected_components_matches_union_find(spark, pairs):
     df = spark.createDataFrame([(int(a), int(b)) for a, b in pairs], "a long, b long")
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == _components_ref(pairs)
+
+
+def _asof_ref(events):
+    """Pure-Python as-of reference: for each click, the latest purchase of
+    the same user at-or-before its ts (ties: purchase wins), plus the
+    count of purchases at-or-before."""
+    out = {}
+    for eid, uid, ts, typ in events:
+        if typ != "click":
+            continue
+        rights = [
+            (ts2, eid2)
+            for eid2, uid2, ts2, typ2 in events
+            if typ2 == "purchase" and uid2 == uid and ts2 <= ts
+        ]
+        prior = max(rights)[0] if rights else None
+        out[eid] = (prior, len(rights))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 5),  # second offset (collisions likely)
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=14,
+    )
+)
+def test_asof_join_matches_reference(spark, rows):
+    """Batch as-of (union + one ordered window pass) against a brute-force
+    reference, including same-timestamp ties where the purchase must win."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.events import asof_join_events
+
+    events = [
+        (i, uid, 1_700_000_000_000_000 + sec * 1_000_000, typ)
+        for i, (uid, sec, typ) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        [(eid, uid, typ, us) for eid, uid, us, typ in events],
+        "event_id long, user_id long, event_type string, us long",
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros("us").alias("ts"),
+    )
+    got = {
+        r["event_id"]: (r["prior_ts_ms"], r["n_prior"])
+        for r in asof_join_events(df).collect()
+    }
+    expected = {
+        eid: (None if prior is None else prior // 1000, n)
+        for eid, (prior, n) in _asof_ref(events).items()
+    }
+    assert got == expected
