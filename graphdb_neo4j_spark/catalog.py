@@ -135,6 +135,12 @@ register(
     "bpe_token_stats", textstats.q_bpe_token_stats, textstats.BPE_TOKEN_STATS_SQL
 )
 
+register(
+    "sequence_pack",
+    lambda spark, sf: textstats.q_sequence_pack(spark, sf),
+    textstats.sequence_pack_sql(),
+)
+
 # --- extensions: data hygiene (PII scrub, benchmark decontamination) ---------
 from graphdb_neo4j_spark.llmdata import scrub
 

@@ -384,3 +384,89 @@ SELECT doc_id,
        md5(array_to_string(toks[start : start + {chunk_tokens} - 1], ' ')) AS chunk_md5
 FROM exploded
 """
+
+
+# --- sequence packing --------------------------------------------------------
+
+SEQ_TOKENS = 512
+
+
+def q_sequence_pack(
+    spark: SparkSession, sf_dir: str, seq_tokens: int = SEQ_TOKENS
+) -> DataFrame:
+    """GPT-style contiguous sequence packing: documents are concatenated
+    in doc_id order into one token stream cut into fixed ``seq_tokens``
+    sequences; each doc is assigned the sequence containing its FIRST
+    token plus its offset there (docs may span a boundary —
+    ``spans_boundary`` flags them; a real tokenizer step consumes this
+    layout directly).
+
+    Implemented as a distributed prefix sum (range partition → local
+    window cumsum → broadcast per-range offsets), so no stage ever
+    funnels the corpus through one task; the only global window runs
+    over n_partitions rows.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # Distributed prefix sum — NOT Window.orderBy(doc_id) alone, which
+    # collapses the whole corpus onto one task. Range-partition by doc_id
+    # (ordered, non-overlapping ranges), local running sum per range, then
+    # add each range's broadcast cumulative offset — exact global cumsum,
+    # every stage n_parts-wide.
+    parts = (
+        docs.select("doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens"))
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wl = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parts.withColumn("local_cum", F.sum("n_tokens").over(wl))
+    wo = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )  # n_parts rows — trivially single-task
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .withColumn("off", F.coalesce(F.sum("tot").over(wo), F.lit(0)))
+        .select("pid", "off")
+    )
+    cum = F.col("local_cum") + F.col("off")
+    start = cum - F.col("n_tokens")  # 0-based offset of this doc's first token
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (start / seq_tokens).cast("bigint").alias("seq_id"),
+            (start % seq_tokens).cast("bigint").alias("offset_in_seq"),
+            (
+                (start / seq_tokens).cast("bigint")
+                != ((cum - 1) / seq_tokens).cast("bigint")
+            ).alias("spans_boundary"),
+        )
+    )
+
+
+def sequence_pack_sql(seq_tokens: int = SEQ_TOKENS) -> str:
+    return rf"""
+WITH base AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+    FROM documents
+),
+runs AS (
+    SELECT doc_id, n_tokens,
+           SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+    FROM base
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST((cum - n_tokens) // {seq_tokens} AS BIGINT) AS seq_id,
+       CAST((cum - n_tokens) % {seq_tokens} AS BIGINT) AS offset_in_seq,
+       (cum - n_tokens) // {seq_tokens} <> (cum - 1) // {seq_tokens} AS spans_boundary
+FROM runs
+"""

@@ -174,3 +174,19 @@ def test_connected_components_chain_and_islands(spark):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_sequence_pack_contiguous_and_boundary_flags(spark, sf_dir):
+    """Packing is a contiguous token stream: per-doc start offsets chain
+    exactly (start_{i+1} = start_i + n_tokens_i), and spans_boundary
+    holds iff a doc's token span crosses a 512 boundary."""
+    rows = sorted(
+        textstats.q_sequence_pack(spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    start = 0
+    for r in rows:
+        assert r["seq_id"] == start // 512 and r["offset_in_seq"] == start % 512
+        end = start + r["n_tokens"] - 1
+        assert r["spans_boundary"] == (start // 512 != end // 512)
+        start += r["n_tokens"]
