@@ -113,7 +113,7 @@ register(
 # --- whole-graph analytics (extension family with J6/components) -------------
 from graphdb_neo4j_spark.operators import graphalgo
 
-register("degree_stats", graphalgo.q_degree_stats, graphalgo.DEGREE_STATS_SQL)
+register("degree_stats", graphalgo.q_degree_stats, graphalgo.DEGREE_STATS_SQL, bench=True)
 register("pagerank", graphalgo.q_pagerank, None)  # iterative float fixpoint
 
 # --- classic OLAP bench anchors ---------------------------------------------
@@ -139,16 +139,18 @@ register(
     "sequence_pack",
     lambda spark, sf: textstats.q_sequence_pack(spark, sf),
     textstats.sequence_pack_sql(),
+    bench=True,
 )
 
 # --- extensions: data hygiene (PII scrub, benchmark decontamination) ---------
 from graphdb_neo4j_spark.llmdata import scrub
 
-register("pii_scrub", scrub.q_pii_scrub, scrub.PII_SCRUB_SQL)
+register("pii_scrub", scrub.q_pii_scrub, scrub.PII_SCRUB_SQL, bench=True)
 register(
     "contamination",
     lambda spark, sf: scrub.q_contamination(spark, sf),
     scrub.contamination_sql(),
+    bench=True,
 )
 register("quality_scores", textstats.q_quality_scores, textstats.QUALITY_SCORES_SQL)
 register("lang_id", textstats.q_lang_id, textstats.LANG_ID_SQL)
@@ -257,7 +259,7 @@ register(
     events_stream.STREAM_SESSIONS_SQL,
 )
 register("stream_user_counts", events_stream.q_stream_user_counts, None)
-register("stream_asof", events_stream.q_stream_asof, events.ASOF_JOIN_SQL)
+register("stream_asof", events_stream.q_stream_asof, events.ASOF_JOIN_SQL, bench=True)
 register("stream_json", events_stream.q_stream_json, events.EVENTS_JSON_SQL)
 register("asof_join", events.q_asof_join, events.ASOF_JOIN_SQL)
 register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)

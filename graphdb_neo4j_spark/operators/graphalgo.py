@@ -137,16 +137,17 @@ def pagerank(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     degrees = both.groupBy("u").agg(F.count("*").alias("deg"))
+    # degree-annotated edge list is loop-INVARIANT: join it once and
+    # checkpoint, so each iteration pays one join (ranks), not two
+    with_deg = both.join(degrees, "u").localCheckpoint(eager=False)
     ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint(
         eager=False
     )
     for _ in range(iterations):
         contribs = (
-            both.join(degrees, "u")
-            .join(ranks.select(F.col("id").alias("u"), "rank"), "u")
+            with_deg.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
             .groupBy(F.col("v").alias("id"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
