@@ -115,6 +115,12 @@ from graphdb_neo4j_spark.operators import graphalgo
 
 register("degree_stats", graphalgo.q_degree_stats, graphalgo.DEGREE_STATS_SQL, bench=True)
 register("pagerank", graphalgo.q_pagerank, None)  # iterative float fixpoint
+register(
+    "pagerank_factored",
+    graphalgo.q_pagerank_factored,
+    None,  # same fixpoint; pytest pins equality with the edge-walk form
+    bench=True,  # O(N)/iter clique-factored form — the scale path
+)
 
 # --- classic OLAP bench anchors ---------------------------------------------
 from graphdb_neo4j_spark.operators import olap

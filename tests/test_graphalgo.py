@@ -77,6 +77,22 @@ def test_pagerank_isolated_node_gets_teleport_floor(spark):
     assert ranks[2] == pytest.approx(1 - graphalgo.DAMPING, abs=1e-9)
 
 
+def test_factored_pagerank_equals_edge_walk(spark, sf_dir):
+    """The inclusion–exclusion clique factoring must reproduce the
+    edge-materializing PageRank EXACTLY (same fixpoint, same damping,
+    same iteration count) — any discrepancy means the algebra is wrong."""
+    gen = {
+        r["id"]: r["rank"] for r in graphalgo.q_pagerank(spark, sf_dir).collect()
+    }
+    fac = {
+        r["id"]: r["rank"]
+        for r in graphalgo.q_pagerank_factored(spark, sf_dir).collect()
+    }
+    assert set(gen) == set(fac)
+    for i in gen:
+        assert fac[i] == pytest.approx(gen[i], abs=2e-6), i
+
+
 def test_degree_stats_against_materialized_edges(spark, sf_dir):
     """The no-pair-materialization degrees must equal degrees counted on
     the actually-materialized edge table."""
