@@ -148,6 +148,16 @@ register(
     bench=True,
 )
 
+# --- extensions: sketch profiling (HLL / GK quantiles / heavy hitters) -------
+from graphdb_neo4j_spark.llmdata import sketches
+
+register("sketch_profile", sketches.q_sketch_profile, None)  # approx by nature
+register(
+    "frequent_tokens",
+    lambda spark, sf: sketches.q_frequent_tokens(spark, sf),
+    sketches.FREQUENT_TOKENS_SQL,
+)
+
 # --- extensions: data hygiene (PII scrub, benchmark decontamination) ---------
 from graphdb_neo4j_spark.llmdata import scrub
 

@@ -1,0 +1,85 @@
+"""Sketch-based approximate profiling over ``documents`` — the
+constant-memory summaries a 100 TB corpus is profiled with before any
+exact pass is affordable:
+
+- **HLL++** distinct counts (`approx_count_distinct`, relative error set
+  by ``rsd``): distinct docs and distinct fingerprints per source.
+- **Greenwald-Khanna quantiles** (`percentile_approx`): doc-length
+  distribution without a sort.
+- **Frequent tokens** via a bounded groupBy on the token table — exact
+  counts here (the fixture is small); at 100 TB swap in
+  ``count_min_sketch`` with the same output contract (token,
+  approx_count).
+
+All three are mergeable partial aggregates (the defining sketch
+property): map-side partials combine associatively, so the shuffle
+carries one sketch per partition, not rows. Registered rows-only —
+approximate answers are engine-specific by nature — with pytest pinning
+the ERROR BOUNDS against exact answers (HLL within 3·rsd, quantiles
+within the GK accuracy parameter), which is the testable contract of a
+sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.session import widen_scan
+
+HLL_RSD = 0.05  # HLL++ target relative standard deviation
+QUANTILE_ACCURACY = 1000  # GK: error <= 1/accuracy of rank
+
+
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile from sketches only: approx distinct
+    docs, approx distinct normalized fingerprints (near-exact-dup rate
+    estimator), and length quantiles — one pass, constant memory/key."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
+    return (
+        docs.withColumn("fp", fp)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.approx_count_distinct("doc_id", HLL_RSD).alias("approx_docs"),
+            F.approx_count_distinct("fp", HLL_RSD).alias("approx_unique_texts"),
+            F.percentile_approx(
+                "n_chars", [0.5, 0.95, 0.99], QUANTILE_ACCURACY
+            ).alias("chars_p50_p95_p99"),
+        )
+    )
+
+
+def q_frequent_tokens(
+    spark: SparkSession, sf_dir: str, top_k: int = 20
+) -> DataFrame:
+    """Heavy hitters over the whitespace-token stream: top-k tokens by
+    document frequency. The groupBy here is exact (map-side partial
+    aggregation makes it one shuffle of |vocab| rows); the count-min
+    variant replaces the agg when |vocab| itself is the bottleneck."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).alias("tok"),
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("tok"))
+        .limit(top_k)
+    )
+
+
+FREQUENT_TOKENS_SQL = r"""
+SELECT tok, COUNT(*) AS df
+FROM (
+    SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+)
+GROUP BY tok
+ORDER BY df DESC, tok ASC
+LIMIT 20
+"""
