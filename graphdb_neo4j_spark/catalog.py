@@ -264,6 +264,11 @@ register("nl_codegen_count", nlq.q_nl_codegen_count, nlq.NL_CODEGEN_COUNT_SQL)
 from graphdb_neo4j_spark.operators import events
 
 register("events_hourly", events.q_events_hourly, events.EVENTS_HOURLY_SQL, bench=True)
+register(
+    "events_rollup_serve",
+    lambda spark, sf: events.q_hourly_rollup_serve(spark, sf),
+    events.EVENTS_HOURLY_SQL,  # the split-and-merge must be invisible
+)
 
 # --- extensions: Structured Streaming (availableNow-bounded) -----------------
 from graphdb_neo4j_spark.streaming import events_stream

@@ -278,3 +278,57 @@ SELECT COALESCE(event_type, '(all)') AS event_type,
 FROM events
 GROUP BY CUBE (event_type, time_bucket(INTERVAL '1 day', ts::TIMESTAMP))
 """
+
+
+def q_hourly_rollup_serve(
+    spark: SparkSession, sf_dir: str, cutoff_frac: float = 0.7
+) -> DataFrame:
+    """Continuous-aggregate (hypertable-rollup) serving pattern: a
+    MATERIALIZED hourly rollup covers everything before the high-water
+    mark; the raw tail past it is aggregated at query time; the serving
+    answer is their union.
+
+    The high-water mark is hour-ALIGNED, so materialized and fresh
+    windows are disjoint and the union needs no re-aggregation — the
+    invariant that makes incremental rollup maintenance correct (append
+    events only ever touch windows past the mark). Here the mark is a
+    deterministic fraction of the fixture's time range and the
+    "materialized" side is lineage-truncated to model a stored table; in
+    production it is the parquet/Delta output of the `stream_hourly` job
+    and the serving query is unchanged. Oracle: the plain hourly SQL —
+    the split-and-merge must be invisible in the answer.
+    """
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]  # 2-scalar fetch
+    cut_us = int(
+        lo.timestamp() * 1_000_000
+        + cutoff_frac * (hi.timestamp() - lo.timestamp()) * 1_000_000
+    )
+    cut_hour = F.timestamp_micros(
+        F.lit(cut_us - cut_us % 3_600_000_000).cast("long")
+    )
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+
+    materialized = hourly(ev.filter(F.col("ts") < cut_hour)).localCheckpoint(
+        eager=False
+    )
+    fresh = hourly(ev.filter(F.col("ts") >= cut_hour))
+    return materialized.unionByName(fresh)

@@ -151,3 +151,22 @@ def test_stream_events_decodes_like_batch(spark, sf_dir):
     b = sorted((r["event_id"], r["us"]) for r in batch.collect())
     s = sorted((r["event_id"], r["us"]) for r in streamed.collect())
     assert b == s
+
+
+def test_rollup_serve_split_is_invisible(spark, sf_dir):
+    """Materialized-plus-tail serving must equal the one-shot hourly
+    aggregation for any cutoff (hour alignment makes the window sets
+    disjoint)."""
+    from graphdb_neo4j_spark.operators.events import (
+        q_events_hourly,
+        q_hourly_rollup_serve,
+    )
+
+    cols = ["window_start", "event_type", "n", "sum_value"]
+
+    def rows(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    base = rows(q_events_hourly(spark, sf_dir))
+    for frac in (0.0, 0.3, 0.9, 1.0):
+        assert rows(q_hourly_rollup_serve(spark, sf_dir, frac)) == base, frac
