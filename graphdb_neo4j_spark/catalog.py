@@ -1,13 +1,128 @@
 """Catalog: registers every query/oracle pair with the registry.
 
-Grouped by SURVEY.md §2 section. Import side-effect = registration.
+Import side-effect = registration. **Registration order is a driver
+contract**: the correctness harness records the FIRST 50 registered
+queries, so the families that most need a fresh driver-verified row
+register first; queries already hash-green in a prior round rotate to
+the back (their green rows are on record, and every oracle-backed pair
+is additionally hash-checked in-repo by ``tests/test_oracle_parity.py``
+regardless of window position).
+
+Window block (r4): events + streaming (never driver-checked in any
+round), NL / multimodal / ANN (green r2, rotated out by r3 insertions),
+``sketch_profile`` (errored in r3 — ARRAY column, now scalars),
+``pagerank``/``pagerank_factored`` (first round with a driver oracle),
+then the heavyweight analytics greens. Rotated out: the simple
+lookup/edge/ingest family (all hash-green in r3).
 """
 
 from __future__ import annotations
 
 from graphdb_neo4j_spark.registry import register
 
-# --- §3.3 flagship: recommendation (J3 + A4 + O1) ---------------------------
+# =============================================================================
+# WINDOW BLOCK — queries that need a driver row this round register FIRST
+# =============================================================================
+
+# --- extensions: event analytics (never driver-green in r1-r3) ---------------
+from graphdb_neo4j_spark.operators import events
+
+register("events_hourly", events.q_events_hourly, events.EVENTS_HOURLY_SQL, bench=True)
+register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)
+register("events_cube", events.q_events_cube, events.EVENTS_CUBE_SQL)
+register("sessionize", events.q_sessionize, events.SESSIONIZE_SQL, bench=True)
+register("asof_join", events.q_asof_join, events.ASOF_JOIN_SQL)
+register(
+    "events_rollup_serve",
+    lambda spark, sf: events.q_hourly_rollup_serve(spark, sf),
+    events.EVENTS_HOURLY_SQL,  # the split-and-merge must be invisible
+)
+
+# --- extensions: Structured Streaming (availableNow-bounded; never checked) --
+from graphdb_neo4j_spark.streaming import events_stream
+
+register("stream_hourly", events_stream.q_stream_hourly, events.EVENTS_HOURLY_SQL)
+register(
+    "stream_sessions",
+    events_stream.q_stream_sessions,
+    events_stream.STREAM_SESSIONS_SQL,
+)
+register("stream_user_counts", events_stream.q_stream_user_counts, None)
+register("stream_asof", events_stream.q_stream_asof, events.ASOF_JOIN_SQL, bench=True)
+register("stream_json", events_stream.q_stream_json, events.EVENTS_JSON_SQL)
+
+# --- §2.10 NL layer (N1-N7) — green r2, rotated out by r3 insertions ---------
+from graphdb_neo4j_spark.nl import queries as nlq
+
+register("nl_single_name", nlq.q_nl_single_name, nlq.nl_single_name_sql())
+register("nl_two_name", nlq.q_nl_two_name, nlq.nl_two_name_sql())
+register("nl_codegen_count", nlq.q_nl_codegen_count, nlq.NL_CODEGEN_COUNT_SQL)
+
+# --- extensions: multimodal columns (green r2, rotated out by r3) ------------
+from graphdb_neo4j_spark.llmdata import multimodal
+
+register(
+    "multimodal_stats",
+    multimodal.q_multimodal_stats,
+    multimodal.MULTIMODAL_STATS_SQL,
+    bench=True,
+)
+register("image_meta", multimodal.q_image_meta, multimodal.IMAGE_META_SQL)
+register("asset_features", multimodal.q_asset_features_flat, None)  # BLOB byte stats
+register(
+    "image_resize_plan",
+    multimodal.q_image_resize_plan,
+    multimodal.IMAGE_RESIZE_PLAN_SQL,
+)
+register(
+    "frame_sample",
+    lambda spark, sf: multimodal.q_frame_sample(spark, sf),
+    multimodal.frame_sample_sql(),
+)
+
+# --- extensions: similarity search scale paths (no r3 rows) ------------------
+from graphdb_neo4j_spark.llmdata import simsearch
+
+register("ann_search", simsearch.q_ann_search, None, bench=True)  # RNG bucketing; the 100 TB similarity path
+register("embedding_norms", simsearch.q_embedding_norms, simsearch.EMBEDDING_NORMS_SQL)
+register("ivf_search", simsearch.q_ivf_search, None)  # KMeans centroids
+
+# --- extensions: sketch profiling (errored in r3 — now scalar columns) -------
+from graphdb_neo4j_spark.llmdata import sketches
+
+register("sketch_profile", sketches.q_sketch_profile, None)  # approx by nature
+
+# --- whole-graph analytics — first round with a driver oracle ----------------
+from graphdb_neo4j_spark.operators import graphalgo
+
+register("pagerank", graphalgo.q_pagerank, graphalgo.pagerank_oracle_sql())
+register(
+    "pagerank_factored",
+    graphalgo.q_pagerank_factored,
+    graphalgo.pagerank_oracle_sql(),  # same fixpoint — identical unrolled CTE
+    bench=True,  # O(N)/iter clique-factored form — the scale path
+)
+
+# --- rows-only queries with pytest invariants (keep a driver rows row) -------
+from graphdb_neo4j_spark.operators import fuzzy
+
+register("fuzzy_search_indel", fuzzy.q_fuzzy_search_indel, None)  # rows-only
+
+from graphdb_neo4j_spark.llmdata import dedup
+
+register(
+    "dedup_minhash",
+    lambda spark, sf: dedup.q_dedup_minhash(spark, sf),
+    None,
+    bench=True,  # the near-dup SCALE path — benched alongside its oracle form
+)
+register("dedup_simhash", lambda spark, sf: dedup.q_dedup_simhash(spark, sf), None)
+
+from graphdb_neo4j_spark.llmdata import textstats
+
+register("winnowing_fingerprint", textstats.q_winnowing, None)  # engine hashing
+
+# --- heavyweight analytics greens (stay inside the window) -------------------
 from graphdb_neo4j_spark.operators.recommend import recommend, recommend_oracle_sql
 
 register(
@@ -17,7 +132,99 @@ register(
     bench=True,
 )
 
-# --- §2.2 projection / filter / point lookup + §2.4 simple aggs -------------
+register("dedup_exact", dedup.q_dedup_exact, dedup.DEDUP_EXACT_SQL, bench=True)
+register(
+    "dedup_jaccard",
+    lambda spark, sf: dedup.q_dedup_jaccard(spark, sf),
+    dedup.dedup_jaccard_sql(),
+    bench=True,
+)
+register(
+    "dedup_components",
+    lambda spark, sf: dedup.q_dedup_components(spark, sf),
+    dedup.dedup_components_sql(),
+)
+
+from graphdb_neo4j_spark.llmdata import filterset
+
+register(
+    "training_filter",
+    filterset.q_training_filter,
+    filterset.training_filter_sql(),
+    bench=True,
+)
+
+register("knn_anchor", simsearch.q_knn_anchor, simsearch.knn_anchor_sql(), bench=True)
+register(
+    "cosine_neardup",
+    lambda spark, sf: simsearch.q_cosine_neardup(spark, sf),
+    simsearch.cosine_neardup_sql(),
+)
+
+register("degree_stats", graphalgo.q_degree_stats, graphalgo.DEGREE_STATS_SQL, bench=True)
+
+from graphdb_neo4j_spark.operators import paths
+
+register(
+    "bfs_distances",
+    lambda spark, sf: paths.q_bfs_distances(spark, sf),
+    paths.bfs_distances_sql(),
+)
+
+from graphdb_neo4j_spark.operators import olap
+
+register("pricing_summary", olap.q_pricing_summary, olap.PRICING_SUMMARY_SQL, bench=True)
+register(
+    "top_parts_by_revenue",
+    olap.q_top_parts_by_revenue,
+    olap.top_parts_by_revenue_sql(),
+    bench=True,
+)
+
+register("token_stats", textstats.q_token_stats, textstats.TOKEN_STATS_SQL)
+register("bpe_token_stats", textstats.q_bpe_token_stats, textstats.BPE_TOKEN_STATS_SQL)
+register(
+    "sequence_pack",
+    lambda spark, sf: textstats.q_sequence_pack(spark, sf),
+    textstats.sequence_pack_sql(),
+    bench=True,
+)
+register(
+    "frequent_tokens",
+    lambda spark, sf: sketches.q_frequent_tokens(spark, sf),
+    sketches.FREQUENT_TOKENS_SQL,
+)
+
+from graphdb_neo4j_spark.llmdata import scrub
+
+register("pii_scrub", scrub.q_pii_scrub, scrub.PII_SCRUB_SQL, bench=True)
+register(
+    "contamination",
+    lambda spark, sf: scrub.q_contamination(spark, sf),
+    scrub.contamination_sql(),
+    bench=True,
+)
+register("quality_scores", textstats.q_quality_scores, textstats.QUALITY_SCORES_SQL)
+register("lang_id", textstats.q_lang_id, textstats.LANG_ID_SQL)
+register("doc_fingerprint", textstats.q_doc_fingerprint, textstats.DOC_FINGERPRINT_SQL)
+register(
+    "tfidf_top_terms",
+    lambda spark, sf: textstats.q_tfidf_top_terms(spark, sf),
+    textstats.tfidf_top_terms_sql(),
+)
+
+# ========================== end of the 50-entry window =======================
+# Everything below was hash-green in CORRECTNESS_r03 and is re-verified by
+# tests/test_oracle_parity.py each run; it rotates out of the driver window.
+# =============================================================================
+
+register(
+    "doc_chunks",
+    lambda spark, sf: textstats.q_doc_chunks(spark, sf),
+    textstats.doc_chunks_sql(),
+)
+
+# --- §2.2 projection / filter / point lookup + §2.4 simple aggs --------------
 from graphdb_neo4j_spark.operators import lookup
 
 register("node_names", lookup.q_node_names, lookup.NODE_NAMES_SQL)
@@ -28,7 +235,7 @@ register("max_id", lookup.q_max_id, lookup.MAX_ID_SQL)
 register("count_nodes", lookup.q_count_nodes, lookup.COUNT_NODES_SQL)
 register("top_acctbal", lookup.q_top_acctbal, lookup.top_acctbal_sql())
 
-# --- §2.1/§2.3 edge derivation (S5/S7, J1/J2) -------------------------------
+# --- §2.1/§2.3 edge derivation (S5/S7, J1/J2) --------------------------------
 from graphdb_neo4j_spark.operators import edges
 
 register(
@@ -50,7 +257,7 @@ register(
     edges.edges_with_common_sql(),
 )
 
-# --- §2.1 write path (S3/S4), bulk normalize (S6), health (S8) --------------
+# --- §2.1 write path (S3/S4), bulk normalize (S6), health (S8) ---------------
 from graphdb_neo4j_spark.operators import ingest
 
 register(
@@ -65,8 +272,10 @@ register(
     lookup.INTERESTS_TRANSFORMED_SQL,
 )
 
-# --- §2.3 J4/J5 two-name relationship ---------------------------------------
+# --- §2.3 J4/J5 two-name relationship ----------------------------------------
 from graphdb_neo4j_spark.operators.relationship import (
+    common_interests_pair_sql,
+    q_common_interests_pair,
     two_name_relationship,
     two_name_relationship_sql,
 )
@@ -77,212 +286,18 @@ register(
     two_name_relationship_sql(),
 )
 
-# --- §2.7 F7 array intersection ---------------------------------------------
-from graphdb_neo4j_spark.operators.relationship import (
-    common_interests_pair_sql,
-    q_common_interests_pair,
-)
-
+# --- §2.7 F7 array intersection ----------------------------------------------
 register(
     "common_interests_pair",
     lambda spark, sf: q_common_interests_pair(spark, sf),
     common_interests_pair_sql(),
 )
 
-# --- §2.9 U1 / §2.5 O3-O4 fuzzy search --------------------------------------
-from graphdb_neo4j_spark.operators import fuzzy
-
+# --- §2.9 U1 / §2.5 O3-O4 fuzzy search ---------------------------------------
 register(
     "fuzzy_search_lev",
     fuzzy.q_fuzzy_search_lev,
     fuzzy.fuzzy_search_lev_sql(),
     bench=True,
 )
-register("fuzzy_search_indel", fuzzy.q_fuzzy_search_indel, None)  # rows-only
 register("fuzzy_best_match", fuzzy.q_fuzzy_best_match, fuzzy.fuzzy_best_match_sql())
-
-# --- §2.3 J6 variable-length paths ------------------------------------------
-from graphdb_neo4j_spark.operators import paths
-
-register(
-    "bfs_distances",
-    lambda spark, sf: paths.q_bfs_distances(spark, sf),
-    paths.bfs_distances_sql(),
-)
-
-# --- whole-graph analytics (extension family with J6/components) -------------
-from graphdb_neo4j_spark.operators import graphalgo
-
-register("degree_stats", graphalgo.q_degree_stats, graphalgo.DEGREE_STATS_SQL, bench=True)
-register("pagerank", graphalgo.q_pagerank, None)  # iterative float fixpoint
-register(
-    "pagerank_factored",
-    graphalgo.q_pagerank_factored,
-    None,  # same fixpoint; pytest pins equality with the edge-walk form
-    bench=True,  # O(N)/iter clique-factored form — the scale path
-)
-
-# --- classic OLAP bench anchors ---------------------------------------------
-from graphdb_neo4j_spark.operators import olap
-
-register("pricing_summary", olap.q_pricing_summary, olap.PRICING_SUMMARY_SQL, bench=True)
-register(
-    "top_parts_by_revenue",
-    olap.q_top_parts_by_revenue,
-    olap.top_parts_by_revenue_sql(),
-    bench=True,
-)
-
-# --- extensions: text analysis ----------------------------------------------
-from graphdb_neo4j_spark.llmdata import textstats
-
-register("token_stats", textstats.q_token_stats, textstats.TOKEN_STATS_SQL)
-register(
-    "bpe_token_stats", textstats.q_bpe_token_stats, textstats.BPE_TOKEN_STATS_SQL
-)
-
-register(
-    "sequence_pack",
-    lambda spark, sf: textstats.q_sequence_pack(spark, sf),
-    textstats.sequence_pack_sql(),
-    bench=True,
-)
-
-# --- extensions: sketch profiling (HLL / GK quantiles / heavy hitters) -------
-from graphdb_neo4j_spark.llmdata import sketches
-
-register("sketch_profile", sketches.q_sketch_profile, None)  # approx by nature
-register(
-    "frequent_tokens",
-    lambda spark, sf: sketches.q_frequent_tokens(spark, sf),
-    sketches.FREQUENT_TOKENS_SQL,
-)
-
-# --- extensions: data hygiene (PII scrub, benchmark decontamination) ---------
-from graphdb_neo4j_spark.llmdata import scrub
-
-register("pii_scrub", scrub.q_pii_scrub, scrub.PII_SCRUB_SQL, bench=True)
-register(
-    "contamination",
-    lambda spark, sf: scrub.q_contamination(spark, sf),
-    scrub.contamination_sql(),
-    bench=True,
-)
-register("quality_scores", textstats.q_quality_scores, textstats.QUALITY_SCORES_SQL)
-register("lang_id", textstats.q_lang_id, textstats.LANG_ID_SQL)
-register("doc_fingerprint", textstats.q_doc_fingerprint, textstats.DOC_FINGERPRINT_SQL)
-register("winnowing_fingerprint", textstats.q_winnowing, None)  # engine hashing
-register(
-    "tfidf_top_terms",
-    lambda spark, sf: textstats.q_tfidf_top_terms(spark, sf),
-    textstats.tfidf_top_terms_sql(),
-)
-register(
-    "doc_chunks",
-    lambda spark, sf: textstats.q_doc_chunks(spark, sf),
-    textstats.doc_chunks_sql(),
-)
-
-# --- extensions: deduplication ----------------------------------------------
-from graphdb_neo4j_spark.llmdata import dedup
-
-register("dedup_exact", dedup.q_dedup_exact, dedup.DEDUP_EXACT_SQL, bench=True)
-register(
-    "dedup_jaccard",
-    lambda spark, sf: dedup.q_dedup_jaccard(spark, sf),
-    dedup.dedup_jaccard_sql(),
-    bench=True,
-)
-register(
-    "dedup_minhash",
-    lambda spark, sf: dedup.q_dedup_minhash(spark, sf),
-    None,
-    bench=True,  # the near-dup SCALE path — benched alongside its oracle form
-)
-register("dedup_simhash", lambda spark, sf: dedup.q_dedup_simhash(spark, sf), None)
-register(
-    "dedup_components",
-    lambda spark, sf: dedup.q_dedup_components(spark, sf),
-    dedup.dedup_components_sql(),
-)
-
-# --- extensions: end-to-end training-set filter ------------------------------
-from graphdb_neo4j_spark.llmdata import filterset
-
-register(
-    "training_filter",
-    filterset.q_training_filter,
-    filterset.training_filter_sql(),
-    bench=True,
-)
-
-# --- extensions: similarity search ------------------------------------------
-from graphdb_neo4j_spark.llmdata import simsearch
-
-register("knn_anchor", simsearch.q_knn_anchor, simsearch.knn_anchor_sql(), bench=True)
-register(
-    "cosine_neardup",
-    lambda spark, sf: simsearch.q_cosine_neardup(spark, sf),
-    simsearch.cosine_neardup_sql(),
-)
-register("ann_search", simsearch.q_ann_search, None, bench=True)  # RNG bucketing; the 100 TB similarity path
-register(
-    "embedding_norms", simsearch.q_embedding_norms, simsearch.EMBEDDING_NORMS_SQL
-)
-register("ivf_search", simsearch.q_ivf_search, None)  # KMeans centroids
-
-# --- extensions: multimodal columns -----------------------------------------
-from graphdb_neo4j_spark.llmdata import multimodal
-
-register(
-    "multimodal_stats",
-    multimodal.q_multimodal_stats,
-    multimodal.MULTIMODAL_STATS_SQL,
-    bench=True,
-)
-register("image_meta", multimodal.q_image_meta, multimodal.IMAGE_META_SQL)
-register("asset_features", multimodal.q_asset_features, None)  # BLOB byte stats
-register(
-    "image_resize_plan",
-    multimodal.q_image_resize_plan,
-    multimodal.IMAGE_RESIZE_PLAN_SQL,
-)
-register(
-    "frame_sample",
-    lambda spark, sf: multimodal.q_frame_sample(spark, sf),
-    multimodal.frame_sample_sql(),
-)
-
-# --- §2.10 NL layer (N1-N7) — template dispatch + canned-codegen forms ------
-from graphdb_neo4j_spark.nl import queries as nlq
-
-register("nl_single_name", nlq.q_nl_single_name, nlq.nl_single_name_sql())
-register("nl_two_name", nlq.q_nl_two_name, nlq.nl_two_name_sql())
-register("nl_codegen_count", nlq.q_nl_codegen_count, nlq.NL_CODEGEN_COUNT_SQL)
-
-# --- extensions: event analytics --------------------------------------------
-from graphdb_neo4j_spark.operators import events
-
-register("events_hourly", events.q_events_hourly, events.EVENTS_HOURLY_SQL, bench=True)
-register(
-    "events_rollup_serve",
-    lambda spark, sf: events.q_hourly_rollup_serve(spark, sf),
-    events.EVENTS_HOURLY_SQL,  # the split-and-merge must be invisible
-)
-
-# --- extensions: Structured Streaming (availableNow-bounded) -----------------
-from graphdb_neo4j_spark.streaming import events_stream
-
-register("stream_hourly", events_stream.q_stream_hourly, events.EVENTS_HOURLY_SQL)
-register(
-    "stream_sessions",
-    events_stream.q_stream_sessions,
-    events_stream.STREAM_SESSIONS_SQL,
-)
-register("stream_user_counts", events_stream.q_stream_user_counts, None)
-register("stream_asof", events_stream.q_stream_asof, events.ASOF_JOIN_SQL, bench=True)
-register("stream_json", events_stream.q_stream_json, events.EVENTS_JSON_SQL)
-register("asof_join", events.q_asof_join, events.ASOF_JOIN_SQL)
-register("events_json", events.q_events_json, events.EVENTS_JSON_SQL)
-register("events_cube", events.q_events_cube, events.EVENTS_CUBE_SQL)
-register("sessionize", events.q_sessionize, events.SESSIONIZE_SQL, bench=True)

@@ -45,15 +45,28 @@ MIN_QUALITY = 0.7
 KEEP_LANG = "en"
 
 
-def q_training_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_training_filter(
+    spark: SparkSession, sf_dir: str, components: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, quality_score, predicted_lang, is_exact_dup, near_dup_drop,
-    keep, drop_reason) for every document."""
+    keep, drop_reason) for every document.
+
+    ``components`` — optional precomputed near-dup component labels
+    (doc_id, canonical_id), e.g. a staged parquet artifact from
+    :func:`~graphdb_neo4j_spark.llmdata.pipeline.run_corpus_pipeline`.
+    When given, the pair-graph work (shingle join + iterative label
+    propagation) is NOT recomputed inline — at 100 TB the components
+    table is built once and every downstream consumer reads the
+    materialization. Default (None) keeps the self-contained form the
+    registered query uses."""
     quality = q_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     lang = q_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
     exact = q_dedup_exact(spark, sf_dir).select(
         "doc_id", F.col("is_duplicate").alias("is_exact_dup")
     )
-    comp = q_dedup_components(spark, sf_dir).select(
+    if components is None:
+        components = q_dedup_components(spark, sf_dir)
+    comp = components.select(
         "doc_id", (F.col("doc_id") != F.col("canonical_id")).alias("near_dup_drop")
     )
 

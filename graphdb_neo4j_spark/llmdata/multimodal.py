@@ -218,6 +218,26 @@ def q_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FEATURE_NAMES = (
+    "f_size", "f_mean", "f_std", "f_min", "f_max", "f_first", "f_last", "f_unique"
+)
+
+
+def q_asset_features_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_asset_features` with the vector unpacked into one scalar
+    column per dimension — the registered/served form: result rows must
+    stay sortable/hashable through pandas canonicalization at the API
+    boundary (ARRAY cells are not)."""
+    feats = q_asset_features(spark, sf_dir)
+    return feats.select(
+        "asset_id",
+        *[
+            F.element_at("features", i + 1).alias(name)
+            for i, name in enumerate(_FEATURE_NAMES)
+        ],
+    )
+
+
 # --- resize seam -------------------------------------------------------------
 
 RESIZE_BOX = 256

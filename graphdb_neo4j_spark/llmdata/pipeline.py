@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from graphdb_neo4j_spark.llmdata.dedup import q_dedup_components
 from graphdb_neo4j_spark.llmdata.filterset import q_training_filter
 from graphdb_neo4j_spark.llmdata.scrub import q_pii_scrub
 from graphdb_neo4j_spark.llmdata.textstats import q_doc_chunks, q_token_stats
@@ -52,6 +53,7 @@ def run_corpus_pipeline(
     """Run the full corpus pipeline; artifacts land under ``out_base``:
 
     - ``{out_base}/raw/documents.parquet``   — columnarized input
+    - ``{out_base}/components.parquet``      — near-dup component labels
     - ``{out_base}/train/documents.parquet`` — the surviving training set
     - ``{out_base}/chunks.parquet``          — sliding-window chunks
 
@@ -66,7 +68,16 @@ def run_corpus_pipeline(
         spark, jsonl_path, f"{raw_dir}/documents.parquet"
     )
 
-    verdicts = q_training_filter(spark, raw_dir)
+    # materialize-then-consume: the pair-graph stage (shingle join +
+    # iterative label propagation) runs ONCE and lands as a durable,
+    # resumable artifact; the filter — and any later consumer — reads the
+    # parquet instead of recomputing the most expensive stage inline
+    q_dedup_components(spark, raw_dir).write.mode("overwrite").parquet(
+        f"{out_base}/components.parquet"
+    )
+    components = spark.read.parquet(f"{out_base}/components.parquet")
+
+    verdicts = q_training_filter(spark, raw_dir, components=components)
     reasons = {
         r["drop_reason"]: r["n"]
         for r in verdicts.groupBy("drop_reason")

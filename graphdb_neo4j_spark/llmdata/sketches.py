@@ -37,7 +37,7 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator), and length quantiles — one pass, constant memory/key."""
     docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     fp = F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "))
-    return (
+    profiled = (
         docs.withColumn("fp", fp)
         .groupBy("source")
         .agg(
@@ -46,8 +46,19 @@ def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("fp", HLL_RSD).alias("approx_unique_texts"),
             F.percentile_approx(
                 "n_chars", [0.5, 0.95, 0.99], QUANTILE_ACCURACY
-            ).alias("chars_p50_p95_p99"),
+            ).alias("qs"),
         )
+    )
+    # scalar quantile columns (not one ARRAY column): the result must stay
+    # sortable/hashable through pandas canonicalization at the API boundary
+    return profiled.select(
+        "source",
+        "n_docs",
+        "approx_docs",
+        "approx_unique_texts",
+        F.element_at("qs", 1).alias("chars_p50"),
+        F.element_at("qs", 2).alias("chars_p95"),
+        F.element_at("qs", 3).alias("chars_p99"),
     )
 
 

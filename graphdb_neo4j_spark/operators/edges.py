@@ -118,7 +118,12 @@ def derive_all_edges(
 
 def merge_edges(existing: DataFrame, candidates: DataFrame) -> DataFrame:
     """S5 MERGE: keep existing rows, add candidates not already present
-    (matched on (src, dst, type) — the reference's MERGE key)."""
+    (matched on (src, dst, type) — the reference's MERGE key).
+
+    This is the batch-rebuild form. The transactional/incremental twin —
+    Delta ``MERGE INTO`` with the same key and idempotency contract — is
+    :func:`graphdb_neo4j_spark.operators.merge_delta.merge_edges_delta`
+    (gated on delta-spark availability)."""
     new = candidates.join(existing.select("src", "dst", "type"), ["src", "dst", "type"], "left_anti")
     return existing.unionByName(new)
 

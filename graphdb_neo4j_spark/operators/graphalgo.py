@@ -18,9 +18,10 @@ Scale shapes:
   grouping key, `localCheckpoint` per round to truncate lineage (the BFS
   / connected-components discipline, operators/paths.py). Undirected
   edges contribute both ways; isolated nodes hold the teleport floor.
-  Registered rows-only (iterative float fixpoint — not SQL-expressible
-  for the driver oracle); pytest pins closed-form graphs (star, cycle)
-  and the Σranks = N invariant.
+  The driver oracle is a fixed-iteration unrolled CTE chain
+  (:func:`pagerank_oracle_sql` — deterministic, rounded to 6 decimals);
+  pytest additionally pins closed-form graphs (star, cycle) and the
+  Σranks = N invariant.
 """
 
 from __future__ import annotations
@@ -231,6 +232,49 @@ def pagerank_clique_factored(
             ),
         ).localCheckpoint(eager=False)
     return ranks
+
+
+def pagerank_oracle_sql(iterations: int = 5, damping: float = DAMPING) -> str:
+    """DuckDB mirror of :func:`q_pagerank`: the same SAME_COLLEGE ∪
+    SAME_BOARD undirected edge set and the same damped update, unrolled
+    to a fixed ``iterations`` CTE chain (deterministic — no fixpoint
+    test, exactly N rounds). Float literals use Python ``repr`` so the
+    teleport constant is bit-identical to Spark's ``F.lit(1.0 - d)``;
+    both sides round to 6 decimals, absorbing summation-order drift."""
+    teleport = repr(1.0 - damping)
+    d = repr(damping)
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""r{i} AS (
+    SELECT n.id, {teleport} + {d} * COALESCE(s.contrib, 0.0) AS "rank"
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.v AS id, SUM(r."rank" / d.deg) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON e.u = r.id
+        JOIN deg d ON e.u = d.u
+        GROUP BY e.v
+    ) s ON n.id = s.id
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH {NODES_CTE.strip()},
+edges AS (
+    SELECT a.id AS u, b.id AS v
+    FROM nodes a JOIN nodes b ON a.college = b.college
+    WHERE a.id <> b.id AND a.college IS NOT NULL AND a.college <> ''
+    UNION
+    SELECT a.id AS u, b.id AS v
+    FROM nodes a JOIN nodes b ON a.board = b.board
+    WHERE a.id <> b.id AND a.board IS NOT NULL AND a.board <> ''
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS "rank" FROM nodes),
+{chain}
+SELECT id, ROUND("rank", 6) AS "rank" FROM r{iterations}
+"""
 
 
 def q_pagerank(spark: SparkSession, sf_dir: str, iterations: int = 5) -> DataFrame:

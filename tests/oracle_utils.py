@@ -44,6 +44,19 @@ def _canon(cols, rows):
     return [cols[i] for i in order], canon_rows
 
 
+def assert_driver_canonicalizable(spark_df) -> None:
+    """The driver canonicalizes EVERY query's rows (oracle-backed or
+    rows-only) by sorting a pandas frame on all columns — a cell holding
+    a list/array makes that sort raise (``TypeError: unhashable type``,
+    the r3 ``sketch_profile`` failure). Reproduce that exact step so an
+    unsortable result schema fails in-repo before the driver sees it."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(spark_df.collect(), columns=spark_df.columns)
+    pdf = pdf.reindex(columns=sorted(pdf.columns))
+    pdf.sort_values(by=list(pdf.columns))
+
+
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str):
     """Assert the Spark result and the DuckDB oracle result are identical
     up to row/column order (floats rounded to 6 decimals)."""

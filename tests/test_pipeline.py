@@ -36,6 +36,28 @@ def test_pipeline_accounting_closes(spark, sf_dir, tmp_path):
     assert report.kept_tokens > 0
 
 
+def test_pipeline_materializes_components_artifact(spark, sf_dir, tmp_path):
+    """The pair-graph stage lands as a staged artifact, and consuming the
+    materialization gives the SAME verdicts as the inline recompute —
+    materialize-then-consume must be invisible to the filter."""
+    from graphdb_neo4j_spark.llmdata.filterset import q_training_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jsonl_path = str(tmp_path / "dump")
+    write_documents_jsonl(docs, jsonl_path)
+    out = str(tmp_path / "out")
+    run_corpus_pipeline(spark, jsonl_path, out)
+
+    comp = spark.read.parquet(f"{out}/components.parquet")
+    assert set(comp.columns) >= {"doc_id", "canonical_id"}
+
+    inline = q_training_filter(spark, f"{out}/raw")
+    staged = q_training_filter(spark, f"{out}/raw", components=comp)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, staged.collect())
+    )
+
+
 def test_pipeline_quarantines_corrupt_lines(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     jsonl_path = tmp_path / "dump"

@@ -39,7 +39,8 @@ def test_quantiles_within_rank_accuracy(spark, sf_dir):
             for r in docs.filter(F.col("source") == src).collect()
         )
         n = len(vals)
-        for q, got in zip([0.5, 0.95, 0.99], row["chars_p50_p95_p99"]):
+        quantiles = [row["chars_p50"], row["chars_p95"], row["chars_p99"]]
+        for q, got in zip([0.5, 0.95, 0.99], quantiles):
             # GK guarantee: returned value's rank within n/accuracy of q·n
             lo = max(0, int(q * n) - n // sketches.QUANTILE_ACCURACY - 1)
             hi = min(n - 1, int(q * n) + n // sketches.QUANTILE_ACCURACY + 1)
