@@ -301,3 +301,16 @@ register(
     bench=True,
 )
 register("fuzzy_best_match", fuzzy.q_fuzzy_best_match, fuzzy.fuzzy_best_match_sql())
+
+# --- r4 additions (registered past the window on purpose — pytest-parity
+# covered now, rotate into the driver window next round) ----------------------
+register(
+    "repetition_scores",
+    textstats.q_repetition_scores,
+    textstats.REPETITION_SCORES_SQL,
+)
+register(
+    "stream_dedup",
+    events_stream.q_stream_dedup,
+    events_stream.STREAM_DEDUP_SQL,
+)

@@ -90,6 +90,115 @@ FROM documents
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document — the quality family's
+    repetition axis (duplicate-heavy docs are low-value training data even
+    when length/punctuation look fine):
+
+    - ``dup_token_frac``  — fraction of token occurrences that are repeats
+      (1 − distinct/total);
+    - ``top_token_frac``  — fraction of tokens taken by the single most
+      frequent token;
+    - ``top_bigram_frac`` — fraction of word-bigram occurrences taken by
+      the most frequent bigram (0 for docs with <2 tokens).
+
+    Plan shape: one scan → explode tokens (and constructed bigrams) →
+    (doc_id, gram) partial-aggregated counts → per-doc max/sum — every
+    shuffle is keyed by doc_id(+gram) with map-side combine, and the final
+    joins are doc_id ↔ doc_id co-partitioned. Fraction-only outputs avoid
+    per-doc argmax strings, so ties cost nothing."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("t")
+    )
+    # bigrams from the token array; guard size<2 (Spark's sequence() would
+    # generate a DESCENDING range for an empty window)
+    bigrams = F.expr(
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(0, size(t) - 2), i -> t[i] || ' ' || t[i + 1]) "
+        "ELSE array() END"
+    )
+
+    tok_counts = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    tok_stats = tok_counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("n").alias("top_n"),
+    )
+    bg_counts = (
+        base.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    bg_stats = bg_counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"), F.max("n").alias("top_bg")
+    )
+    joined = tok_stats.join(bg_stats, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(
+            (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens"),
+            6,
+        ).alias("dup_token_frac"),
+        F.round(F.col("top_n").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+        F.round(
+            F.coalesce(
+                F.col("top_bg").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+REPETITION_SCORES_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+),
+tok_counts AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+tok_stats AS (
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           MAX(n) AS top_n
+    FROM tok_counts GROUP BY 1
+),
+bg AS (
+    SELECT doc_id, unnest(bigrams) AS bigram FROM (
+        SELECT doc_id,
+               list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+                   AS bigrams
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(lower(text)), '\s+') AS t
+            FROM documents
+        )
+    )
+),
+bg_counts AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+bg_stats AS (
+    SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, MAX(n) AS top_bg
+    FROM bg_counts GROUP BY 1
+)
+SELECT t.doc_id,
+       t.n_tokens,
+       ROUND(CAST(t.n_tokens - t.n_distinct AS DOUBLE) / t.n_tokens, 6)
+           AS dup_token_frac,
+       ROUND(CAST(t.top_n AS DOUBLE) / t.n_tokens, 6) AS top_token_frac,
+       ROUND(COALESCE(CAST(b.top_bg AS DOUBLE) / b.n_bigrams, 0), 6)
+           AS top_bigram_frac
+FROM tok_stats t LEFT JOIN bg_stats b USING (doc_id)
+"""
+
+
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals + a composite
     score in [0,1]: long enough, low punctuation, a natural stopword rate."""

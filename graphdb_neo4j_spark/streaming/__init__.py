@@ -12,6 +12,7 @@ promises.
 
 from graphdb_neo4j_spark.streaming.events_stream import (
     asof_stream,
+    dedup_stream,
     hourly_stream,
     run_available_now,
     session_window_stream,
@@ -21,6 +22,7 @@ from graphdb_neo4j_spark.streaming.events_stream import (
 
 __all__ = [
     "asof_stream",
+    "dedup_stream",
     "hourly_stream",
     "run_available_now",
     "session_window_stream",

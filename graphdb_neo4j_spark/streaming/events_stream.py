@@ -377,6 +377,57 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once from at-least-once: drop redelivered events by
+    ``event_id`` with ``dropDuplicatesWithinWatermark`` — the streaming
+    dedup primitive for sources that can replay (Kafka re-polls, file
+    re-lists, upstream retries). State holds one entry per event_id seen
+    within the watermark horizon and is evicted past it, so state size is
+    bounded by arrival rate × watermark, not stream length — the property
+    that makes this runnable on an unbounded 100 TB/day feed (plain
+    ``dropDuplicates`` would grow state forever).
+
+    Emissions are append-on-arrival (dedup filters against state; nothing
+    waits for window finalization), so the bounded availableNow run yields
+    every surviving event row."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery simulation: the fixture is fed TWICE (two
+    file-source scans unioned — every event redelivered once), then
+    deduplicated by event_id within the watermark. The surviving set must
+    equal the events table exactly, so the oracle is a plain projection of
+    ``events`` — duplicates slipping through or rows lost both hash-fail."""
+    doubled = stream_events(spark, sf_dir).unionByName(
+        stream_events(spark, sf_dir)
+    )
+    return run_available_now(
+        spark,
+        dedup_stream(doubled),
+        "stream_dedup_sink",
+        output_mode="append",
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_id,
+       strftime(ts::TIMESTAMP, '%Y-%m-%d %H:%M:%S') AS event_time,
+       user_id, event_type, value
+FROM events
+"""
+
+
 def json_stats_stream(events: DataFrame) -> DataFrame:
     """Streaming twin of the batch JSON-extraction aggregation
     (operators/events.q_events_json): parse ``props.k`` once with

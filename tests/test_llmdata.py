@@ -190,3 +190,29 @@ def test_sequence_pack_contiguous_and_boundary_flags(spark, sf_dir):
         end = start + r["n_tokens"] - 1
         assert r["spans_boundary"] == (start // 512 != end // 512)
         start += r["n_tokens"]
+
+
+def test_repetition_scores_crafted_docs(spark, tmp_path):
+    """Closed-form repetition fractions on crafted docs: an all-same-token
+    doc maxes every signal; an all-distinct doc zeroes the token signals."""
+    from graphdb_neo4j_spark.llmdata.textstats import q_repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "en", "s", 7),        # 4×'a': dup 3/4, top 1, bigram 'a a'×3/3
+            (2, "w x y z", "en", "s", 7),        # all distinct: dup 0, top 1/4, bigrams 1/3
+            (3, "solo", "en", "s", 4),           # one token: no bigrams → 0
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "repdocs")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {r["doc_id"]: r for r in q_repetition_scores(spark, d).collect()}
+    assert got[1]["dup_token_frac"] == 0.75
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["top_bigram_frac"] == 1.0
+    assert got[2]["dup_token_frac"] == 0.0
+    assert got[2]["top_token_frac"] == 0.25
+    assert round(got[2]["top_bigram_frac"], 6) == round(1 / 3, 6)
+    assert got[3]["top_bigram_frac"] == 0.0
+    assert got[3]["top_token_frac"] == 1.0

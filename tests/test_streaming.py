@@ -124,3 +124,14 @@ def test_stateful_user_counts_match_batch(spark, sf_dir):
         F.count("*").alias("n")
     )
     assert _rows(final, ["user_id", "n"]) == _rows(batch, ["user_id", "n"])
+
+
+def test_stream_dedup_is_exactly_once(spark, sf_dir):
+    """Doubled delivery in, each event exactly once out — and the survivor
+    set is the full batch table (nothing lost, nothing duplicated)."""
+    from graphdb_neo4j_spark.streaming.events_stream import q_stream_dedup
+
+    out = q_stream_dedup(spark, sf_dir)
+    batch = load_events(spark, sf_dir)
+    assert out.count() == batch.count()
+    assert out.select("event_id").distinct().count() == batch.count()
