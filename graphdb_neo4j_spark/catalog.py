@@ -314,3 +314,4 @@ register(
     events_stream.q_stream_dedup,
     events_stream.STREAM_DEDUP_SQL,
 )
+register("lsh_neardup", simsearch.q_lsh_neardup, None)  # RNG bucketing

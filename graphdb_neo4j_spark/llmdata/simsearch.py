@@ -206,6 +206,88 @@ def q_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search(spark, sf_dir, anchor_id=0, k=10)
 
 
+def _make_buckets_udf(n_tables: int, n_planes: int, seed: int = _SEED):
+    """Parameterized twin of :func:`_buckets_udf` (pandas_udf has no
+    scalar-parameter channel, so table/plane counts bind by closure).
+    Different (L, b) points trade candidate volume for recall — the
+    near-dup path wants weaker AND-amplification than top-k search."""
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def buckets(embs: pd.Series) -> pd.Series:
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_tables * n_planes, DIM)
+        )
+        mat = np.vstack(embs.to_numpy())
+        bits = (mat @ planes.T) > 0
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        vals = bits @ (1 << np.arange(n_planes))
+        return pd.Series(list(vals.astype("int32")))
+
+    return buckets
+
+
+NEARDUP_PLANES = 4  # weaker AND than top-k search: recall ≈0.91 even at θ≈69°
+NEARDUP_TABLES = 16
+
+
+def lsh_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+) -> DataFrame:
+    """All-pairs embedding near-duplicates through LSH buckets — the scale
+    path for :func:`q_cosine_neardup`'s semantics (same columns, subset
+    rows at LSH recall; precision 1.0 — every emitted pair is
+    exact-verified).
+
+    Shape: bucket signatures are a narrow Arrow-batched projection; the
+    candidate join is an equi-join on (table_idx, bucket) carrying ONLY
+    vec_ids (no embedding duplication through the shuffle); pairs are
+    deduplicated across tables FIRST and embeddings fetched per side
+    afterwards for the exact verify — the pair-driven-verify discipline
+    the MinHash path uses. Work is Σ_buckets C(n, 2) instead of C(N, 2);
+    on a corpus whose near-dups are actual duplicates (cosine ≥ 0.9,
+    θ ≤ 26°) bucket collisions concentrate and the prune is massive. On
+    THIS near-orthogonal fixture (θ ≈ 69° at the threshold — the provably
+    hard LSH regime, see ann_search notes) b=4/L=16 still achieves
+    recall ≈ 0.91, pytest-pinned with floor 0.8; identical vectors
+    collide in every table, so true duplicates are never missed."""
+    emb = widen_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_bytes=_LINEAR_MIN_BYTES,
+    )
+    udf = _make_buckets_udf(n_tables, n_planes)
+    index = emb.select(
+        "vec_id", F.posexplode(udf(F.col("embedding"))).alias("table_idx", "bucket")
+    )
+    a = index.select(F.col("vec_id").alias("a"), "table_idx", "bucket")
+    b = index.select(F.col("vec_id").alias("b"), "table_idx", "bucket")
+    cand = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", _dot(F.col("ea"), F.col("eb")).alias("cosine_raw"))
+        .filter(F.col("cosine_raw") >= threshold)
+        .select("a", "b", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only registered form (RNG bucketing, like ann_search); pytest
+    pins recall vs the exact all-pairs query and exactness of every
+    emitted cosine."""
+    return lsh_neardup(spark, sf_dir)
+
+
 # --- IVF (inverted-file) ANN ------------------------------------------------
 
 N_LISTS = 16

@@ -216,3 +216,47 @@ def test_repetition_scores_crafted_docs(spark, tmp_path):
     assert round(got[2]["top_bigram_frac"], 6) == round(1 / 3, 6)
     assert got[3]["top_bigram_frac"] == 0.0
     assert got[3]["top_token_frac"] == 1.0
+
+
+def test_lsh_neardup_recall_and_precision(spark, sf_correct):
+    """The bucketed near-dup path: every emitted pair must be a true pair
+    with the exact cosine (precision 1.0 — candidates are exact-verified),
+    and recall vs the all-pairs query must clear the documented floor."""
+    exact = {
+        (r.a, r.b): r.cosine
+        for r in simsearch.q_cosine_neardup(spark, sf_correct).collect()
+    }
+    got = {
+        (r.a, r.b): r.cosine
+        for r in simsearch.lsh_neardup(spark, sf_correct).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, cos in got.items():
+        assert cos == exact[pair]
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"LSH near-dup recall {recall} below 0.8"
+
+
+def test_lsh_neardup_never_misses_identical_vectors(spark, tmp_path):
+    """Identical vectors agree on every hyperplane, so they collide in
+    every table — a true duplicate CANNOT be missed, at any parameters."""
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(simsearch.DIM)]
+    n = sum(x * x for x in base) ** 0.5
+    unit = [x / n for x in base]
+    other = [rnd.gauss(0, 1) for _ in range(simsearch.DIM)]
+    m = sum(x * x for x in other) ** 0.5
+    rows = [
+        (0, "dup_a", unit),
+        (1, "dup_b", unit),
+        (2, "other", [x / m for x in other]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    d = str(tmp_path / "dupvecs")
+    emb.write.parquet(f"{d}/embeddings.parquet")
+    got = {(r.a, r.b) for r in simsearch.lsh_neardup(spark, d, threshold=0.99).collect()}
+    assert (0, 1) in got
