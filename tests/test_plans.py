@@ -68,3 +68,16 @@ def test_training_filter_joins_on_doc_id_no_nested_loop(plan):
     p = plan("training_filter")
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_repetition_scores_no_sort_merge_or_cartesian(plan):
+    p = plan("repetition_scores")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # per-doc stats join via broadcast
+    assert "BroadcastHashJoin" in p
+
+
+def test_lsh_neardup_candidate_join_is_equi_join(plan):
+    p = plan("lsh_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
