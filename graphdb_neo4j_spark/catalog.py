@@ -315,3 +315,8 @@ register(
     events_stream.STREAM_DEDUP_SQL,
 )
 register("lsh_neardup", simsearch.q_lsh_neardup, None)  # RNG bucketing
+register(
+    "holdout_split",
+    filterset.q_holdout_split,
+    filterset.holdout_split_sql(),
+)

@@ -125,3 +125,49 @@ SELECT doc_id, quality_score, predicted_lang, is_exact_dup, near_dup_drop,
        drop_reason
 FROM flagged
 """
+
+
+# --- deterministic train/eval holdout ----------------------------------------
+#
+# A pretraining pipeline needs a holdout split that is (a) deterministic —
+# re-running the pipeline, or running it on different machines/engines,
+# must assign every doc to the same side; (b) id-hashed, not row-sampled —
+# assignment follows the document, so re-partitioning, incremental ingest,
+# or corpus growth never move a doc across the boundary (sample() fails
+# both: it depends on partition layout and RNG stream position). The mix
+# is an LCG step on doc_id in plain BIGINT arithmetic — exactly portable
+# between Spark and the DuckDB oracle (no engine hash function agrees
+# across engines, and Spark 4's ANSI mode forbids overflow tricks; the
+# multiplier keeps doc_id·a well inside int64 for any realistic id space).
+
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+HOLDOUT_PCT = 5  # eval slice, percent
+
+
+def q_holdout_split(
+    spark: SparkSession, sf_dir: str, holdout_pct: int = HOLDOUT_PCT
+) -> DataFrame:
+    """(doc_id, bucket, split) — bucket ∈ [0, 100), split = 'eval' for
+    buckets below ``holdout_pct`` else 'train'. One narrow scan, no
+    shuffle, no state: the split is a pure function of doc_id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        (F.col("doc_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    ) % F.lit(100)
+    return docs.select(
+        "doc_id",
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket < holdout_pct, "eval").otherwise("train").alias("split"),
+    )
+
+
+def holdout_split_sql(holdout_pct: int = HOLDOUT_PCT) -> str:
+    return f"""
+SELECT doc_id,
+       CAST((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} % 100 AS INT) AS bucket,
+       CASE WHEN (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} % 100 < {holdout_pct}
+            THEN 'eval' ELSE 'train' END AS split
+FROM documents
+"""

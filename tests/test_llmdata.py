@@ -274,3 +274,21 @@ def test_lsh_neardup_never_misses_identical_vectors(spark, tmp_path):
     emb.write.parquet(f"{d}/embeddings.parquet")
     got = {(r.a, r.b) for r in simsearch.lsh_neardup(spark, d, threshold=0.99).collect()}
     assert (0, 1) in got
+
+
+def test_holdout_split_is_deterministic_and_leakage_free(spark, sf_correct):
+    """The split must be a pure function of doc_id (identical across
+    runs), partition exactly into train/eval, and land near the target
+    eval fraction (5% ± binomial noise on 500 docs)."""
+    from graphdb_neo4j_spark.llmdata.filterset import q_holdout_split
+
+    a = {r.doc_id: (r.bucket, r.split) for r in q_holdout_split(spark, sf_correct).collect()}
+    b = {r.doc_id: (r.bucket, r.split) for r in q_holdout_split(spark, sf_correct).collect()}
+    assert a == b
+    n = len(a)
+    n_eval = sum(1 for _, s in a.values() if s == "eval")
+    assert all(s in ("train", "eval") for _, s in a.values())
+    assert 0.01 <= n_eval / n <= 0.12, f"eval fraction {n_eval / n} implausible"
+    # id-hashed, not positional: bucket depends only on doc_id
+    for doc_id, (bucket, _) in list(a.items())[:50]:
+        assert bucket == (doc_id * 1103515245 + 12345) % 2147483648 % 100
