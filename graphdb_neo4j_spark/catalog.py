@@ -320,3 +320,8 @@ register(
     filterset.q_holdout_split,
     filterset.holdout_split_sql(),
 )
+register(
+    "unigram_logprob",
+    textstats.q_unigram_logprob,
+    textstats.UNIGRAM_LOGPROB_SQL,
+)

@@ -158,6 +158,74 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram log-probability per document — the SQL-expressible
+    form of the LM-perplexity quality filter (CCNet-style: score each doc
+    under a model of the corpus; outliers on either end are boilerplate
+    or gibberish). Model = unigram MLE over the corpus itself.
+
+    Outputs per doc: ``avg_logprob`` (mean ln p(tok), ≤ 0) and
+    ``unigram_ppl`` (exp of its negation — the perplexity form filter
+    thresholds are usually quoted in).
+
+    Plan shape: one explode → global (tok, count) table (one shuffle of
+    |vocab| rows, map-side combined) → token-keyed join back to the token
+    stream (co-partitioned on tok) → per-doc sum (one shuffle on doc_id).
+    The corpus-total token count is a 1-row aggregate broadcast into the
+    join — never a global window."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    total = vocab.agg(F.sum("tok_n").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.col("tok_n").cast("double") / F.col("total")).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            (F.sum("lp") / F.count("*")).alias("avg_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round("avg_lp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("avg_lp")), 4).alias("unigram_ppl"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS tok_n FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(tok_n) AS DOUBLE) AS total FROM vocab),
+scored AS (
+    SELECT t.doc_id, ln(CAST(v.tok_n AS DOUBLE) / total.total) AS lp
+    FROM toks t JOIN vocab v USING (tok) CROSS JOIN total
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           SUM(lp) / COUNT(*) AS avg_lp
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(avg_lp, 6) AS avg_logprob,
+       ROUND(exp(-avg_lp), 4) AS unigram_ppl
+FROM per_doc
+"""
+
+
 REPETITION_SCORES_SQL = r"""
 WITH toks AS (
     SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

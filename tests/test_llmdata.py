@@ -292,3 +292,27 @@ def test_holdout_split_is_deterministic_and_leakage_free(spark, sf_correct):
     # id-hashed, not positional: bucket depends only on doc_id
     for doc_id, (bucket, _) in list(a.items())[:50]:
         assert bucket == (doc_id * 1103515245 + 12345) % 2147483648 % 100
+
+
+def test_unigram_logprob_crafted_docs(spark, tmp_path):
+    """Closed-form check: corpus 'a a a b' → p(a)=3/4, p(b)=1/4; the
+    all-'a' doc scores ln(3/4); the rarer doc is strictly less probable
+    and carries higher perplexity."""
+    import math
+
+    from graphdb_neo4j_spark.llmdata.textstats import q_unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a", "en", "s", 5),
+            (2, "b", "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "lpdocs")
+    docs.write.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in q_unigram_logprob(spark, d).collect()}
+    assert got[1]["avg_logprob"] == round(math.log(3 / 4), 6)
+    assert got[2]["avg_logprob"] == round(math.log(1 / 4), 6)
+    assert got[2]["unigram_ppl"] > got[1]["unigram_ppl"]
+    assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 1
