@@ -53,6 +53,39 @@ def read_graph(spark: SparkSession, base: str) -> PropertyGraph:
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    key: str = "doc_id",
+    buckets: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed + sorted table write — the co-located-join layout.
+
+    Both sides of a recurring key join (documents ↔ per-doc stats, nodes ↔
+    edge endpoints) written with the SAME (key, bucket-count) spec join
+    with ZERO shuffle: Spark's bucketing metadata proves both inputs are
+    already hash-distributed on the key, so the Exchange disappears from
+    the plan entirely (pytest-pinned in test_sink). At 100 TB this is the
+    difference between a join that moves nothing and one that moves both
+    tables; ``sortBy`` additionally makes each bucket merge-ready, so the
+    sort before SortMergeJoin drops to a bounded merge.
+
+    ``path`` makes the table EXTERNAL (files live at ``path``; only the
+    bucketing metadata lives in the session catalog) — the durable layout
+    is plain bucketed parquet, portable to any warehouse that reads the
+    spec."""
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 def append_ingest_batch(
     new_nodes: DataFrame, new_edges: DataFrame, base: str
 ) -> None:

@@ -73,3 +73,33 @@ def test_append_ingest_batch(spark, sf_dir, tmp_base):
     g2 = read_graph(spark, tmp_base)
     assert g2.nodes.count() == n_nodes + 3
     assert g2.edges.count() == n_edges + new_edges.count()
+
+
+def test_bucketed_join_plans_no_shuffle(spark, sf_correct, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count must
+    join with ZERO Exchange in the executed plan — the co-located-join
+    contract bucketing exists for. Broadcast is disabled for the check so
+    the planner can't hide the shuffle question behind a broadcast."""
+    from graphdb_neo4j_spark.llmdata.textstats import q_token_stats
+    from graphdb_neo4j_spark.sources import sink
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    stats = q_token_stats(spark, sf_correct)
+    sink.write_bucketed(
+        docs.select("doc_id", "source"), "docs_bkt", str(tmp_path / "d"), buckets=4
+    )
+    sink.write_bucketed(
+        stats.select("doc_id", "n_tokens"), "stats_bkt", str(tmp_path / "s"), buckets=4
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("docs_bkt").join(spark.table("stats_bkt"), "doc_id")
+        assert joined.count() == docs.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS docs_bkt")
+        spark.sql("DROP TABLE IF EXISTS stats_bkt")
