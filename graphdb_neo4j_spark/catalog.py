@@ -325,3 +325,20 @@ register(
     textstats.q_unigram_logprob,
     textstats.UNIGRAM_LOGPROB_SQL,
 )
+register("funnel_counts", events.q_funnel_counts, events.FUNNEL_SQL)
+register("retention_cohorts", events.q_retention_cohorts, events.RETENTION_SQL)
+register(
+    "dedup_segments",
+    lambda spark, sf: dedup.q_dedup_segments(spark, sf),
+    dedup.dedup_segments_sql(),
+)
+register(
+    "stratified_sample",
+    lambda spark, sf: filterset.q_stratified_sample(spark, sf),
+    filterset.stratified_sample_sql(),
+)
+register(
+    "semantic_dedup",
+    lambda spark, sf: simsearch.q_semantic_dedup(spark, sf),
+    simsearch.semantic_dedup_sql(),
+)

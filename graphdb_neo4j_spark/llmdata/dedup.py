@@ -562,3 +562,81 @@ FROM comp c
 JOIN (SELECT component, COUNT(*) AS cluster_size
       FROM comp GROUP BY component) s USING (component)
 """
+
+
+# --- segment-level exact dedup ----------------------------------------------
+
+SEG_WIDTH = 10  # tokens per segment
+SEG_MIN_DF = 2  # a segment appearing in >= this many docs is "duplicated"
+
+
+def q_dedup_segments(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = SEG_WIDTH,
+    min_df: int = SEG_MIN_DF,
+) -> DataFrame:
+    """Segment-granularity exact duplication profile: split each document
+    into non-overlapping ``width``-token segments, count each segment's
+    document frequency corpus-wide, and report per-doc how much of the
+    document is made of segments that also appear elsewhere — the
+    segment-level analog of exact substring dedup (the C4/CCNet
+    boilerplate-removal signal at paragraph granularity).
+
+    Output: (doc_id, n_segments, n_dup_segments, dup_ratio).
+
+    Scale shape: segments are built WITHOUT a groupBy — a codegen'd
+    ``transform(sequence(...), i -> array_join(slice(arr, ...)))`` over
+    the token array, then one posexplode. The df count is one partial-agg
+    shuffle keyed by segment text; the join back is on the same key (the
+    exchange is reused), and the final per-doc rollup is a second small
+    shuffle. Boilerplate segments are hot keys at 100 TB — the df agg
+    combines map-side, and AQE's skew-join handling covers the join back.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    segs = docs.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("arr"),
+    ).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(ceil(size(arr) / {width}.0)) - 1),"
+                f" i -> array_join(slice(arr, i * {width} + 1, {width}), ' '))"
+            )
+        ).alias("seg_id", "seg_text"),
+    )
+    dfreq = segs.groupBy("seg_text").agg(
+        F.count_distinct("doc_id").alias("seg_df")
+    )
+    dup = (F.col("seg_df") >= min_df).cast("long")
+    return (
+        segs.join(dfreq, "seg_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum(dup).alias("n_dup_segments"),
+            F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
+        )
+    )
+
+
+def dedup_segments_sql(width: int = SEG_WIDTH, min_df: int = SEG_MIN_DF) -> str:
+    return rf"""
+WITH arrs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents),
+toks AS (SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+         FROM arrs),
+segs AS (SELECT doc_id, CAST((pos - 1) // {width} AS INT) AS seg_id,
+                string_agg(tok, ' ' ORDER BY pos) AS seg_text
+         FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT seg_text, COUNT(DISTINCT doc_id) AS seg_df FROM segs GROUP BY 1)
+SELECT s.doc_id,
+       COUNT(*) AS n_segments,
+       CAST(SUM(CASE WHEN d.seg_df >= {min_df} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_segments,
+       ROUND(CAST(SUM(CASE WHEN d.seg_df >= {min_df} THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS dup_ratio
+FROM segs s JOIN dfreq d ON s.seg_text = d.seg_text
+GROUP BY s.doc_id
+"""

@@ -171,3 +171,63 @@ SELECT doc_id,
             THEN 'eval' ELSE 'train' END AS split
 FROM documents
 """
+
+
+# --- stratified sampling -----------------------------------------------------
+
+# Per-language keep rates (percent) for a training-mix rebalance: downweight
+# the head language, keep the tail. Strata absent from the map keep 100%.
+SAMPLE_RATES: dict[str, int] = {"en": 40, "de": 80}
+_DEFAULT_RATE = 100
+
+
+def q_stratified_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    rates: dict[str, int] | None = None,
+) -> DataFrame:
+    """Deterministic stratified sample over ``documents``: each language
+    stratum keeps ``rates[lang]`` percent of its docs, selected by the
+    same id-keyed LCG bucket as the holdout split (a pure function of
+    doc_id — no RNG state, no sampling seed to ship to executors, stable
+    under retries/speculation, and the train/eval split stays orthogonal
+    because membership depends only on the id).
+
+    Scale shape: one narrow scan, zero shuffles — the rate lookup is a
+    literal CASE expression (the strata map is a driver-side constant, so
+    no broadcast join is needed), and the filter is codegen'd against the
+    parquet scan. Output: the kept (doc_id, lang, bucket, rate_pct).
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bucket = (
+        (F.col("doc_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    ) % F.lit(100)
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, pct in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            bucket.cast("int").alias("bucket"),
+            rate.cast("int").alias("rate_pct"),
+        )
+        .filter(F.col("bucket") < F.col("rate_pct"))
+    )
+
+
+def stratified_sample_sql(rates: dict[str, int] | None = None) -> str:
+    rates = SAMPLE_RATES if rates is None else rates
+    case = " ".join(
+        f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(rates.items())
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} % 100 AS INT) AS bucket,
+         CAST(CASE {case} ELSE {_DEFAULT_RATE} END AS INT) AS rate_pct
+  FROM documents
+)
+SELECT doc_id, lang, bucket, rate_pct FROM b WHERE bucket < rate_pct
+"""

@@ -477,3 +477,55 @@ SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim
 FROM embeddings
 """
+
+
+# --- semantic dedup (SemDeDup-style) -----------------------------------------
+
+
+def q_semantic_dedup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-space near-duplicate clustering: connected components
+    over the cosine >= ``threshold`` pair graph, emitting
+    (vec_id, canonical_id, cluster_size) for every vector in a cluster —
+    the SemDeDup keep-one-per-semantic-cluster policy is then the filter
+    ``vec_id = canonical_id``.
+
+    This oracle-checked form generates pairs with the exact all-pairs
+    baseline (``q_cosine_neardup``); at 100 TB the identical components
+    code consumes the LSH-bucketed pair list instead
+    (``q_lsh_neardup`` — same (a, b) schema, near-identical pairs,
+    no quadratic stage). Component labeling itself is the shared
+    min-label-propagation loop (llmdata/dedup.py) — one groupBy + join
+    per round over pairs only, never over the full corpus.
+    """
+    from graphdb_neo4j_spark.llmdata.dedup import connected_components
+
+    pairs = q_cosine_neardup(spark, sf_dir, threshold).select("a", "b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
+def semantic_dedup_sql(threshold: float = 0.35) -> str:
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT e1.vec_id AS a, e2.vec_id AS b
+    FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+    WHERE list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= {threshold}
+),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(x, y) AS (
+    SELECT x, y FROM edges
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comp AS (SELECT x AS node, LEAST(x, MIN(y)) AS component FROM reach GROUP BY x),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT c.node AS vec_id, c.component AS canonical_id, s.cluster_size
+FROM comp c JOIN sizes s ON c.component = s.component
+"""

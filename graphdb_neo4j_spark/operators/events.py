@@ -332,3 +332,118 @@ def q_hourly_rollup_serve(
     )
     fresh = hourly(ev.filter(F.col("ts") >= cut_hour))
     return materialized.unionByName(fresh)
+
+
+# --- funnel analysis ---------------------------------------------------------
+
+FUNNEL_STAGES = ("signup", "view", "purchase")
+FUNNEL_STEP_HOURS = 24
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: tuple[str, str, str] = FUNNEL_STAGES,
+    step_hours: int = FUNNEL_STEP_HOURS,
+) -> DataFrame:
+    """Sequential conversion funnel: users reaching stage k did stage k's
+    event at-or-after their stage-(k-1) reach time and within
+    ``step_hours`` of it (reach time = earliest qualifying event).
+
+    Scale shape: the stage reach times are per-user scalars with a
+    dependency chain (t2 is defined in terms of t1), so they are computed
+    as three chained whole-partition window aggregates over ONE shuffle on
+    ``user_id`` — no self-joins, no per-stage re-scan. The per-user
+    reduction that follows reuses the same hash partitioning, and the
+    final 3-row pivot is a single-row global agg + ``stack``. At 100 TB
+    this is one pass over the events table regardless of funnel depth.
+
+    Unordered (whole-partition) windows keep the result independent of
+    intra-partition row order: ties at equal timestamps qualify via the
+    ``>=`` bound exactly as in the SQL mirror.
+    """
+    s1, s2, s3 = stages
+    w = Window.partitionBy("user_id")
+    step = F.expr(f"INTERVAL {step_hours} HOURS")
+    ts, et = F.col("ts"), F.col("event_type")
+    d = events.withColumn("t1", F.min(F.when(et == s1, ts)).over(w))
+    d = d.withColumn(
+        "t2",
+        F.min(
+            F.when((et == s2) & (ts >= F.col("t1")) & (ts <= F.col("t1") + step), ts)
+        ).over(w),
+    )
+    d = d.withColumn(
+        "t3",
+        F.min(
+            F.when((et == s3) & (ts >= F.col("t2")) & (ts <= F.col("t2") + step), ts)
+        ).over(w),
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("c1"), F.count("t2").alias("c2"), F.count("t3").alias("c3")
+    )
+    return counts.select(
+        F.expr(
+            f"stack(3, '{s1}', 1, c1, '{s2}', 2, c2, '{s3}', 3, c3)"
+        ).alias("stage", "stage_idx", "n_users")
+    )
+
+
+def q_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel_counts(load_events(spark, sf_dir))
+
+
+FUNNEL_SQL = f"""
+WITH u1 AS (SELECT user_id, MIN(ts::TIMESTAMP) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id),
+u2 AS (SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t2
+       FROM events e JOIN u1 ON e.user_id = u1.user_id
+       WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND e.ts::TIMESTAMP >= u1.t1
+         AND e.ts::TIMESTAMP <= u1.t1 + INTERVAL {FUNNEL_STEP_HOURS} HOUR
+       GROUP BY e.user_id),
+u3 AS (SELECT e.user_id, MIN(e.ts::TIMESTAMP) AS t3
+       FROM events e JOIN u2 ON e.user_id = u2.user_id
+       WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND e.ts::TIMESTAMP >= u2.t2
+         AND e.ts::TIMESTAMP <= u2.t2 + INTERVAL {FUNNEL_STEP_HOURS} HOUR
+       GROUP BY e.user_id)
+SELECT '{FUNNEL_STAGES[0]}' AS stage, CAST(1 AS INT) AS stage_idx, COUNT(*) AS n_users FROM u1
+UNION ALL SELECT '{FUNNEL_STAGES[1]}', CAST(2 AS INT), COUNT(*) FROM u2
+UNION ALL SELECT '{FUNNEL_STAGES[2]}', CAST(3 AS INT), COUNT(*) FROM u3
+"""
+
+
+# --- retention cohorts -------------------------------------------------------
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day; for each
+    (cohort_day, day_offset) the count of distinct users active that many
+    days after their first event.
+
+    Scale shape: the cohort day is a whole-partition window MIN over one
+    shuffle on ``user_id`` (no join back to a first-seen table — the
+    window form keeps it a single pass), then one count-distinct shuffle
+    keyed by (cohort_day, day_offset). Both aggregations are partial-agg
+    friendly; cohort keys are low-cardinality (days × offsets), so the
+    second shuffle is tiny.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    d = ev.withColumn("cohort", F.min(F.to_date("ts")).over(w))
+    return d.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+        F.datediff(F.to_date("ts"), F.col("cohort")).cast("int").alias("day_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+RETENTION_SQL = """
+WITH wc AS (SELECT user_id, ts::TIMESTAMP AS ts,
+                   MIN(CAST(ts::TIMESTAMP AS DATE)) OVER (PARTITION BY user_id) AS cohort
+            FROM events)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+       CAST(date_diff('day', cohort, CAST(ts AS DATE)) AS INT) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM wc GROUP BY 1, 2
+"""

@@ -1,0 +1,93 @@
+"""Invariant tests for the round-4 operators (funnel, retention,
+segment dedup, stratified sampling, semantic dedup) — semantic checks
+beyond the oracle hash parity in test_oracle_parity.py."""
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata.dedup import q_dedup_segments
+from graphdb_neo4j_spark.llmdata.filterset import (
+    SAMPLE_RATES,
+    q_holdout_split,
+    q_stratified_sample,
+)
+from graphdb_neo4j_spark.llmdata.simsearch import q_cosine_neardup, q_semantic_dedup
+from graphdb_neo4j_spark.operators.events import (
+    q_funnel_counts,
+    q_retention_cohorts,
+)
+
+
+def test_funnel_is_monotone_nonincreasing(spark, sf_correct):
+    rows = {r.stage_idx: r.n_users for r in q_funnel_counts(spark, sf_correct).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1] >= rows[2] >= rows[3]
+    assert rows[1] > 0
+
+
+def test_retention_day_zero_covers_every_cohort_user(spark, sf_correct):
+    ret = q_retention_cohorts(spark, sf_correct).collect()
+    # every (cohort, offset) bucket is bounded by the cohort's day-0 size
+    day0 = {r.cohort_day: r.n_users for r in ret if r.day_offset == 0}
+    for r in ret:
+        assert r.day_offset >= 0
+        assert r.n_users <= day0[r.cohort_day]
+
+
+def test_segment_dedup_ratio_bounds(spark, sf_correct):
+    out = q_dedup_segments(spark, sf_correct)
+    assert out.filter(
+        (F.col("dup_ratio") < 0)
+        | (F.col("dup_ratio") > 1)
+        | (F.col("n_dup_segments") > F.col("n_segments"))
+    ).count() == 0
+    # the fixture plants near-duplicate docs: some segment duplication exists
+    assert out.filter(F.col("n_dup_segments") > 0).count() > 0
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_correct):
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in q_stratified_sample(spark, sf_correct)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, total in totals.items():
+        rate = SAMPLE_RATES.get(lang, 100) / 100
+        if rate == 1.0:
+            assert kept.get(lang, 0) == total  # untouched strata pass through
+        else:
+            # LCG buckets are uniform-ish; allow a wide tolerance on small strata
+            assert abs(kept.get(lang, 0) / total - rate) < 0.25
+    # determinism: the sample is a pure function of doc_id
+    a = {r.doc_id for r in q_stratified_sample(spark, sf_correct).collect()}
+    b = {r.doc_id for r in q_stratified_sample(spark, sf_correct).collect()}
+    assert a == b
+
+
+def test_stratified_sample_orthogonal_to_holdout(spark, sf_correct):
+    """Sampling must not skew the train/eval split: the holdout fraction
+    inside the sample stays close to the global holdout fraction."""
+    sample = q_stratified_sample(spark, sf_correct).select("doc_id")
+    split = q_holdout_split(spark, sf_correct).select("doc_id", "split")
+    j = sample.join(split, "doc_id")
+    n = j.count()
+    n_eval = j.filter(F.col("split") == "eval").count()
+    assert 0.0 <= n_eval / n < 0.15  # global eval rate is 5%
+
+
+def test_semantic_dedup_clusters_cover_pairs(spark, sf_correct):
+    pairs = q_cosine_neardup(spark, sf_correct).select("a", "b").collect()
+    comp = {
+        r.vec_id: r.canonical_id for r in q_semantic_dedup(spark, sf_correct).collect()
+    }
+    sizes: dict[int, int] = {}
+    for v, c in comp.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    # every near-dup pair landed in the same cluster; canonical = min id
+    for r in pairs:
+        assert comp[r.a] == comp[r.b]
+        assert comp[r.a] <= min(r.a, r.b)
+    assert all(sz >= 2 for sz in sizes.values())
