@@ -342,3 +342,11 @@ register(
     lambda spark, sf: simsearch.q_semantic_dedup(spark, sf),
     simsearch.semantic_dedup_sql(),
 )
+register("events_quantiles", events.q_events_quantiles, events.EVENTS_QUANTILES_SQL)
+register("rolling_daily", events.q_rolling_daily, events.ROLLING_DAILY_SQL)
+register(
+    "top_parts_per_nation",
+    lambda spark, sf: olap.q_top_parts_per_nation(spark, sf),
+    olap.top_parts_per_nation_sql(),
+)
+register("triangle_counts", graphalgo.q_triangle_counts, graphalgo.TRIANGLE_COUNTS_SQL)

@@ -447,3 +447,109 @@ SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
        COUNT(DISTINCT user_id) AS n_users
 FROM wc GROUP BY 1, 2
 """
+
+
+# --- exact quantiles per group -----------------------------------------------
+
+QUANTILE_PROBS = (0.5, 0.9, 0.99)
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles of ``value`` per event_type (p50/p90/p99
+    with linear interpolation — the semantics DuckDB's ``quantile_cont``
+    and Spark's ``percentile`` share).
+
+    Exact percentile needs the group's values sorted — fine per
+    event_type here (5 low-cardinality groups; Spark's percentile agg
+    buffers per group). The UNBOUNDED-cardinality version of this
+    operator is `sketch_profile`'s GK quantiles (mergeable,
+    constant-memory partials) — that is the 100 TB default; the exact
+    form is the per-dimension drill-down you run on a filtered slice.
+    Rounded to 6 decimals: interpolation arithmetic is float-order
+    sensitive across engines.
+    """
+    ev = load_events(spark, sf_dir)
+    probs = ", ".join(str(p) for p in QUANTILE_PROBS)
+    qs = F.expr(f"percentile(value, array({probs}))")
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("qs"), F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.round(F.element_at("qs", 1), 6).alias("p50"),
+            F.round(F.element_at("qs", 2), 6).alias("p90"),
+            F.round(F.element_at("qs", 3), 6).alias("p99"),
+        )
+    )
+
+
+EVENTS_QUANTILES_SQL = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(quantile_cont(value, {QUANTILE_PROBS[0]}), 6) AS p50,
+       ROUND(quantile_cont(value, {QUANTILE_PROBS[1]}), 6) AS p90,
+       ROUND(quantile_cont(value, {QUANTILE_PROBS[2]}), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- rolling time-window aggregates ------------------------------------------
+
+ROLLING_DAYS = 7
+
+
+def q_rolling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): the day's event count plus the trailing
+    ``ROLLING_DAYS``-day rolling count and rolling value sum — the
+    moving-average family over a time series.
+
+    Scale shape: aggregate FIRST (one shuffle down to event_type × day —
+    a few thousand rows per year regardless of input size), THEN run the
+    rolling RANGE window over the tiny daily table. The naive
+    row-level-window form sorts the full events table; this form sorts
+    ~365 rows per event_type. The range frame is over ``unix_date`` (days
+    since epoch) so missing days correctly widen the window rather than
+    being skipped row-wise.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value_dec"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-(ROLLING_DAYS - 1), 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.sum("n").over(w).alias("rolling_n"),
+        F.sum("sum_value_dec").over(w).cast("double").alias("rolling_sum_value"),
+    )
+
+
+ROLLING_DAILY_SQL = f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(ts::TIMESTAMP AS DATE) AS d,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(18,2))) AS sum_value_dec
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       n,
+       SUM(n) OVER w AS rolling_n,
+       CAST(SUM(sum_value_dec) OVER w AS DOUBLE) AS rolling_sum_value
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY d
+             RANGE BETWEEN INTERVAL {ROLLING_DAYS - 1} DAY PRECEDING AND CURRENT ROW)
+"""

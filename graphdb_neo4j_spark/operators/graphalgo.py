@@ -299,3 +299,60 @@ def q_pagerank_factored(
     return pagerank_clique_factored(
         customer_nodes(spark, sf_dir), iterations=iterations
     ).select("id", F.round("rank", 6).alias("rank"))
+
+
+# --- triangle counting -------------------------------------------------------
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count on the SAME_COLLEGE graph.
+
+    The attribute-edge graph is a disjoint union of cliques (everyone
+    sharing a college is fully connected), so each node in a key group of
+    size n closes exactly C(n−1, 2) triangles — the count is a CLOSED
+    FORM of the group size. The plan is one tiny per-college aggregation
+    joined back to nodes: O(N), no edge list, no wedge enumeration. The
+    DuckDB oracle takes the opposite path — it materializes the edges and
+    counts wedges that close via a genuine 3-way self-join — so the two
+    engines agree through entirely different computations (the strongest
+    kind of cross-check; same discipline as pagerank_factored vs its
+    edge-walk twin).
+
+    On a general (non-clique) graph this becomes the standard
+    order-by-degree wedge join; the clique factoring is what the
+    attribute-edge semantics make available, and at 100 TB it is the
+    difference between O(N) and Σ C(n,2)·n wedge work.
+    """
+    nodes = customer_nodes(spark, sf_dir)
+    valid = nodes.filter(
+        F.col("college").isNotNull() & (F.col("college") != "")
+    ).select("id", "college")
+    sizes = valid.groupBy("college").agg(F.count("*").alias("n"))
+    tri = (
+        (F.col("n") - 1) * (F.col("n") - 2) / 2
+    ).cast("long")
+    return (
+        valid.join(F.broadcast(sizes), "college")
+        .select("id", tri.alias("n_triangles"))
+    )
+
+
+TRIANGLE_COUNTS_SQL = f"""
+WITH {NODES_CTE.strip()},
+e AS (
+    SELECT a.id AS a, b.id AS b
+    FROM nodes a JOIN nodes b
+      ON a.college = b.college AND a.id <> b.id
+    WHERE a.college IS NOT NULL AND a.college <> ''
+),
+tri AS (
+    SELECT e1.a AS id, COUNT(*) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+    JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    GROUP BY e1.a
+)
+SELECT n.id, CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN tri t ON n.id = t.id
+WHERE n.college IS NOT NULL AND n.college <> ''
+"""

@@ -102,3 +102,67 @@ GROUP BY p_partkey, p_name
 ORDER BY revenue DESC, partkey ASC
 LIMIT {k}
 """
+
+
+def q_top_parts_per_nation(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Per-group top-k (window rank): each supplier nation's ``k``
+    highest-revenue parts — the grouped version of the global top-k, the
+    canonical dense_rank/filter pattern.
+
+    Scale shape: revenue aggregates FIRST to (nation, partkey) — the
+    window then ranks the aggregated table (≤ nations × parts rows), not
+    the fact table. The supplier→nation dimension path is two broadcast
+    joins (tiny dims); the only big shuffle is the (suppkey) join of
+    lineitem to supplier and the (nation, partkey) aggregation. Rank ties
+    break on partkey so the result is deterministic.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    from pyspark.sql import Window
+
+    dim = F.broadcast(
+        supp.select("s_suppkey", "s_nationkey").join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    per_part = (
+        li.join(dim, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("l_partkey")
+    )
+    return (
+        per_part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").cast("long").alias("partkey"),
+            "revenue",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def top_parts_per_nation_sql(k: int = 3) -> str:
+    return f"""
+WITH per_part AS (
+    SELECT n_name AS nation, l_partkey AS partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2
+)
+SELECT nation, partkey, revenue,
+       CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY revenue DESC, partkey ASC) AS INT) AS rk
+FROM per_part
+QUALIFY rk <= {k}
+"""

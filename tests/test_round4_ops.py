@@ -91,3 +91,58 @@ def test_semantic_dedup_clusters_cover_pairs(spark, sf_correct):
         assert comp[r.a] == comp[r.b]
         assert comp[r.a] <= min(r.a, r.b)
     assert all(sz >= 2 for sz in sizes.values())
+
+
+def test_events_quantiles_monotone(spark, sf_correct):
+    from graphdb_neo4j_spark.operators.events import q_events_quantiles
+
+    for r in q_events_quantiles(spark, sf_correct).collect():
+        assert r.p50 <= r.p90 <= r.p99
+        assert r.n > 0
+
+
+def test_rolling_daily_window_matches_manual(spark, sf_correct):
+    from graphdb_neo4j_spark.operators.events import ROLLING_DAYS, q_rolling_daily
+
+    rows = q_rolling_daily(spark, sf_correct).collect()
+    daily = {(r.event_type, r.day): r.n for r in rows}
+    import datetime
+
+    for r in rows:
+        d = datetime.date.fromisoformat(r.day)
+        manual = sum(
+            daily.get((r.event_type, (d - datetime.timedelta(days=off)).isoformat()), 0)
+            for off in range(ROLLING_DAYS)
+        )
+        assert r.rolling_n == manual
+        assert r.rolling_n >= r.n
+
+
+def test_top_parts_per_nation_k_and_order(spark, sf_correct):
+    from graphdb_neo4j_spark.operators.olap import q_top_parts_per_nation
+
+    rows = q_top_parts_per_nation(spark, sf_correct).collect()
+    by_nation: dict[str, list] = {}
+    for r in rows:
+        by_nation.setdefault(r.nation, []).append(r)
+    for nation, rs in by_nation.items():
+        rs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        revs = [r.revenue for r in rs]
+        assert revs == sorted(revs, reverse=True)
+
+
+def test_triangle_counts_closed_form_equals_group_size(spark, sf_correct):
+    from graphdb_neo4j_spark.operators.graphalgo import q_triangle_counts
+    from graphdb_neo4j_spark.sources.tpch import customer_nodes
+
+    nodes = customer_nodes(spark, sf_correct)
+    sizes = {
+        r.college: r.n
+        for r in nodes.groupBy("college").agg(F.count("*").alias("n")).collect()
+    }
+    college_of = {r.id: r.college for r in nodes.select("id", "college").collect()}
+    for r in q_triangle_counts(spark, sf_correct).collect():
+        n = sizes[college_of[r.id]]
+        assert r.n_triangles == (n - 1) * (n - 2) // 2
