@@ -350,3 +350,17 @@ register(
     olap.top_parts_per_nation_sql(),
 )
 register("triangle_counts", graphalgo.q_triangle_counts, graphalgo.TRIANGLE_COUNTS_SQL)
+register(
+    "ppmi_topk",
+    lambda spark, sf: textstats.q_ppmi_topk(spark, sf),
+    textstats.ppmi_topk_sql(),
+)
+register("pq_search", simsearch.q_pq_search, None)  # KMeans codebooks; pytest recall
+
+from graphdb_neo4j_spark.llmdata import bpe
+
+register(
+    "bpe_train",
+    lambda spark, sf: bpe.q_bpe_train(spark, sf),
+    None,  # iterative argmax loop — pytest pins parity with a pure-Python trainer
+)

@@ -1,0 +1,166 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training — the merge-
+learning half of the tokenizer pipeline (``bpe_token_stats`` covers the
+pre-tokenizer/counting half).
+
+Algorithm (Sennrich et al., the standard): start from character symbol
+sequences, repeatedly find the most frequent adjacent symbol pair and
+merge it into a new symbol, N times. The learned merge list IS the
+tokenizer vocabulary.
+
+Scale shape — the two decisions that make this Spark-viable at 100 TB:
+
+1. **Train on the word-TYPE table, not the corpus.** One pass aggregates
+   the corpus to (word, freq) — after that every iteration touches only
+   distinct word types (≈10⁶ rows for a 100 TB corpus, vs 10¹² corpus
+   tokens). This is exactly how reference BPE trainers work; the corpus
+   size only ever affects the single word-count shuffle.
+2. **Per-iteration work is one partial-agg'd groupBy + one codegen'd
+   fold.** Pair counts come from an in-row ``arrays_zip(slice, slice)``
+   explode (no positions self-join), weighted by word freq; the argmax
+   pair is a 1-row driver fetch (deterministic tiebreak: count desc, pair
+   asc); applying the merge is a left-to-right ``aggregate()`` fold over
+   each symbol array — greedy non-overlapping, the standard BPE apply —
+   with the frontier ``localCheckpoint``'d per round to truncate lineage
+   (the BFS/PageRank discipline).
+
+The merge list is deterministic (exact integer counts + total tiebreak),
+so pytest pins it against a pure-Python reference trainer on the same
+word counts; the registered query is rows-only (no SQL oracle can express
+the iterative argmax loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.session import widen_scan
+
+N_MERGES = 20
+
+
+def word_type_counts(docs: DataFrame) -> DataFrame:
+    """(word, freq) over the corpus — the ONE corpus-sized aggregation."""
+    return (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the symbolized word table, weighted
+    by word freq. Pairs are built in-row (zip of the array with its own
+    shift) — a projection, not a join."""
+    pairs = F.expr(
+        "arrays_zip(slice(syms, 1, greatest(size(syms) - 1, 0)),"
+        " slice(syms, 2, greatest(size(syms) - 1, 0)))"
+    )
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p")["0"].alias("left"),
+            F.col("p")["1"].alias("right"),
+            "freq",
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right merge of adjacent (left, right) → left||right
+    in every symbol array — a codegen'd aggregate() fold, no UDF."""
+    l_sql = left.replace("'", "''")
+    r_sql = right.replace("'", "''")
+    fold = (
+        "aggregate(syms, CAST(array() AS array<string>), (acc, x) -> "
+        f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l_sql}' "
+        f"AND x = '{r_sql}' "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l_sql}{r_sql}')) "
+        "ELSE concat(acc, array(x)) END)"
+    )
+    return words.withColumn("syms", F.expr(fold))
+
+
+def train_bpe_merges(
+    docs: DataFrame, n_merges: int = N_MERGES
+) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges; returns [(left, right, count)] in
+    merge order."""
+    words = (
+        word_type_counts(docs)
+        .select(
+            F.expr("transform(split(word, ''), x -> x)").alias("syms"), "freq"
+        )
+        .localCheckpoint(eager=False)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0].n < 2:
+            break
+        left, right, n = top[0].left, top[0].right, top[0].n
+        merges.append((left, right, n))
+        words = _apply_merge(words, left, right).localCheckpoint(eager=False)
+    return merges
+
+
+def q_bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Registered form: the learned merge table (rank, left, right,
+    merged, pair_count). rows-only — the iterative argmax loop has no SQL
+    mirror; pytest pins the merge list against a pure-Python reference
+    trainer on identical word counts."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    merges = train_bpe_merges(docs, n_merges)
+    rows = [
+        (i + 1, left, right, left + right, n)
+        for i, (left, right, n) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, merged string, pair_count bigint"
+    )
+
+
+def reference_bpe_merges(
+    word_freqs: dict[str, int], n_merges: int = N_MERGES
+) -> list[tuple[str, str, int]]:
+    """Pure-Python reference trainer (same greedy left-to-right apply and
+    the same (count desc, pair asc) tiebreak) — the pytest ground truth."""
+    words: list[tuple[list[str], int]] = [
+        (list(w), f) for w, f in word_freqs.items()
+    ]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < 2:
+            break
+        merges.append((left, right, n))
+        merged = left + right
+        new_words = []
+        for syms, f in words:
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == left and x == right:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            new_words.append((out, f))
+        words = new_words
+    return merges

