@@ -325,12 +325,13 @@ register(
     textstats.q_unigram_logprob,
     textstats.UNIGRAM_LOGPROB_SQL,
 )
-register("funnel_counts", events.q_funnel_counts, events.FUNNEL_SQL)
+register("funnel_counts", events.q_funnel_counts, events.FUNNEL_SQL, bench=True)
 register("retention_cohorts", events.q_retention_cohorts, events.RETENTION_SQL)
 register(
     "dedup_segments",
     lambda spark, sf: dedup.q_dedup_segments(spark, sf),
     dedup.dedup_segments_sql(),
+    bench=True,
 )
 register(
     "stratified_sample",
@@ -349,13 +350,14 @@ register(
     lambda spark, sf: olap.q_top_parts_per_nation(spark, sf),
     olap.top_parts_per_nation_sql(),
 )
-register("triangle_counts", graphalgo.q_triangle_counts, graphalgo.TRIANGLE_COUNTS_SQL)
+register("triangle_counts", graphalgo.q_triangle_counts, graphalgo.TRIANGLE_COUNTS_SQL, bench=True)
 register(
     "ppmi_topk",
     lambda spark, sf: textstats.q_ppmi_topk(spark, sf),
     textstats.ppmi_topk_sql(),
+    bench=True,
 )
-register("pq_search", simsearch.q_pq_search, None)  # KMeans codebooks; pytest recall
+register("pq_search", simsearch.q_pq_search, None, bench=True)  # sample-fit codebooks; pytest recall
 
 from graphdb_neo4j_spark.llmdata import bpe
 

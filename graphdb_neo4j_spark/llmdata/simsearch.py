@@ -538,50 +538,77 @@ PQ_K = 16  # centroids per subspace → codes are PQ_M small ints per vector
 PQ_REFINE = 5  # ADC shortlist size = k × refine, re-ranked exactly
 
 
+PQ_FIT_SAMPLE = 4096  # subvectors per subspace used to fit the codebook
+
+
+def _lloyd(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Deterministic seeded Lloyd's k-means on a driver-side sample —
+    (k, d) centroids. Empty clusters re-seed from the farthest points."""
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+            else:
+                cents[j] = X[d2.min(axis=1).argmax()]
+    return cents
+
+
 def pq_train_encode(
-    emb: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int = _SEED
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = _SEED,
+    fit_sample: int = PQ_FIT_SAMPLE,
 ) -> tuple[DataFrame, list[np.ndarray]]:
     """Product-quantization codebook + codes: split each embedding into
-    ``m`` subvectors, KMeans each subspace independently (k centroids),
+    ``m`` subvectors, k-means each subspace independently (k centroids),
     and encode every vector as its per-subspace centroid ids.
 
     Returns (codes, codebooks): ``codes`` = (vec_id, code array<int> of
     length m) — the at-rest form is m+1 narrow columns, 100-1000× smaller
     than the raw vectors; ``codebooks`` = m driver-side (k × d/m) arrays
-    (k·d floats total — trivially broadcastable).
+    (m·k·d/m = k·d floats total — trivially broadcastable).
 
-    100 TB shape: codebook training is sample-fit (same argument as the
-    IVF quantizer — a codebook needs the distribution, not the corpus);
-    encoding is ONE scan through m model transforms; searches never touch
-    the raw vectors again.
+    100 TB shape: the codebooks are fit DRIVER-SIDE on a bounded sample
+    (same argument as the IVF quantizer's fit_fraction — a codebook needs
+    the subspace DISTRIBUTION, which a few thousand subvectors preserve;
+    the alternative of m distributed KMeans fits costs m × iterations
+    full-corpus passes to train what is ultimately k·d floats). Encoding
+    the corpus is then ONE Arrow-batched scan — a single vectorized
+    argmin against the broadcast codebooks — and searches never touch the
+    raw vectors again.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     sub_d = DIM // m
-    codes = emb.select("vec_id", "embedding")
-    books: list[np.ndarray] = []
-    for i in range(m):
-        feats = emb.select(
-            "vec_id",
-            array_to_vector(
-                F.slice("embedding", i * sub_d + 1, sub_d).cast("array<double>")
-            ).alias("features"),
-        )
-        model = KMeans(k=k, seed=seed + i, featuresCol="features").fit(feats)
-        books.append(np.array(model.clusterCenters()))
-        codes = codes.join(
-            model.transform(feats).select(
-                "vec_id", F.col("prediction").cast("int").alias(f"_c{i}")
-            ),
-            "vec_id",
-        )
-    return (
-        codes.select(
-            "vec_id", F.array(*[F.col(f"_c{i}") for i in range(m)]).alias("code")
-        ),
-        books,
+    sample = np.array(
+        [
+            r.embedding
+            for r in emb.select("embedding")
+            .orderBy("vec_id")
+            .limit(fit_sample)
+            .collect()
+        ]
     )
+    books = [
+        _lloyd(sample[:, i * sub_d : (i + 1) * sub_d], k, seed + i)
+        for i in range(m)
+    ]
+    stacked = np.stack(books)  # (m, k, sub_d)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _encode(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy())  # (batch, DIM)
+        subs = mat.reshape(len(mat), m, sub_d)  # (batch, m, sub_d)
+        # ||x - c||^2 argmin per subspace, all subspaces in one shot
+        d2 = ((subs[:, :, None, :] - stacked[None, :, :, :]) ** 2).sum(axis=3)
+        codes = d2.argmin(axis=2).astype("int32")  # (batch, m)
+        return pd.Series(list(codes))
+
+    return emb.select("vec_id", _encode("embedding").alias("code")), books
 
 
 def pq_adc_score(code_col: F.Column, books: list[np.ndarray], q: np.ndarray) -> F.Column:
