@@ -366,3 +366,4 @@ register(
     lambda spark, sf: bpe.q_bpe_train(spark, sf),
     None,  # iterative argmax loop — pytest pins parity with a pure-Python trainer
 )
+register("stream_funnel", events_stream.q_stream_funnel, events.FUNNEL_SQL)

@@ -459,3 +459,98 @@ def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_user_counts_sink",
         output_mode="update",
     )
+
+
+# --- streaming funnel (stateful, exact under disorder) -----------------------
+
+_FUNNEL_STATE_SCHEMA = "s1 array<bigint>, s2 array<bigint>, s3 array<bigint>"
+_FUNNEL_OUT_SCHEMA = "user_id bigint, reached int"
+_FUNNEL_STEP_US = 24 * 3600 * 1_000_000  # FUNNEL_STEP_HOURS in micros
+
+
+def _funnel_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel stage with EXACT batch equivalence under arbitrary
+    arrival order: state keeps the per-stage event-time lists and the
+    stage is recomputed from scratch each micro-batch (a late stage-1
+    event can move the whole window and both enable and invalidate later
+    stages — a (t1, t2, t3)-scalars state cannot repair that). State is
+    bounded by the user's per-stage event counts; the 100 TB variant
+    prunes each list to timestamps within reach of the current frontier
+    once the watermark passes (same bounding argument as sessionize
+    state)."""
+    from graphdb_neo4j_spark.operators.events import FUNNEL_STAGES
+
+    lists = (
+        [list(state.get[0]), list(state.get[1]), list(state.get[2])]
+        if state.exists
+        else [[], [], []]
+    )
+    stage_idx = {s: i for i, s in enumerate(FUNNEL_STAGES)}
+    for pdf in batches:
+        for et, ts in zip(pdf["event_type"], pdf["ts"]):
+            i = stage_idx.get(et)
+            if i is not None:
+                lists[i].append(int(ts.value) // 1000)  # ns → µs
+    state.update((lists[0], lists[1], lists[2]))
+    reached = 0
+    if lists[0]:
+        reached = 1
+        t1 = min(lists[0])
+        c2 = [t for t in lists[1] if t1 <= t <= t1 + _FUNNEL_STEP_US]
+        if c2:
+            reached = 2
+            t2 = min(c2)
+            if any(t2 <= t <= t2 + _FUNNEL_STEP_US for t in lists[2]):
+                reached = 3
+    yield pd.DataFrame({"user_id": [key[0]], "reached": [reached]})
+
+
+def funnel_stateful_stream(events: DataFrame) -> DataFrame:
+    """Keyed-state streaming funnel: emits each user's currently-reached
+    stage per micro-batch (update mode). The reached stage is monotone
+    non-decreasing across emissions (the recompute only ever sees MORE
+    events), so any downstream consumer may safely take max-per-user."""
+    from graphdb_neo4j_spark.operators.events import FUNNEL_STAGES
+
+    relevant = events.filter(F.col("event_type").isin(*FUNNEL_STAGES))
+    return relevant.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn,
+        outputStructType=_FUNNEL_OUT_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel drained with availableNow, then rolled up to the
+    3-row (stage, stage_idx, n_users) report — same output contract and
+    DuckDB oracle as the batch ``funnel_counts``. Max-per-user over the
+    update emissions is exact because reached is monotone (see
+    funnel_stateful_stream)."""
+    from graphdb_neo4j_spark.operators.events import FUNNEL_STAGES
+
+    ev = stream_events(spark, sf_dir)
+    sink = run_available_now(
+        spark,
+        funnel_stateful_stream(ev),
+        "stream_funnel_sink",
+        output_mode="update",
+    )
+    final = sink.groupBy("user_id").agg(F.max("reached").alias("reached"))
+    counts = final.agg(
+        *[
+            F.sum((F.col("reached") >= i + 1).cast("long")).alias(f"c{i + 1}")
+            for i in range(3)
+        ]
+    )
+    s1, s2, s3 = FUNNEL_STAGES
+    return counts.select(
+        F.expr(
+            f"stack(3, '{s1}', 1, c1, '{s2}', 2, c2, '{s3}', 3, c3)"
+        ).alias("stage", "stage_idx", "n_users")
+    )

@@ -135,3 +135,54 @@ def test_stream_dedup_is_exactly_once(spark, sf_dir):
     batch = load_events(spark, sf_dir)
     assert out.count() == batch.count()
     assert out.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_funnel_repairs_out_of_order_stage1(spark):
+    """A late stage-1 event that moves the funnel window must both ENABLE
+    stages it newly reaches and INVALIDATE stages it no longer covers —
+    the recompute-from-lists state handles what scalar (t1,t2,t3) state
+    cannot."""
+    import pandas as pd
+
+    from graphdb_neo4j_spark.streaming.events_stream import _funnel_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    def run_batch(state, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_type": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1]) for r in rows],
+            }
+        )
+        (out,) = list(_funnel_fn((1,), iter([pdf]), state))
+        return int(out["reached"][0])
+
+    day = 24 * 3600 * 10**9  # ns
+    state = FakeState()
+    # batch 1: view at t=30h, purchase at t=31h, signup at t=29h
+    # → funnel windows: view within [29h, 53h] ✓, purchase ✓ → reached 3
+    r1 = run_batch(
+        state,
+        [
+            ("view", 30 * 3600 * 10**9),
+            ("purchase", 31 * 3600 * 10**9),
+            ("signup", 29 * 3600 * 10**9),
+        ],
+    )
+    assert r1 == 3
+    # batch 2: a LATE signup at t=1h arrives. t1 moves to 1h; the only
+    # view (t=30h) is outside [1h, 25h] → reached collapses to 1.
+    r2 = run_batch(state, [("signup", 1 * 3600 * 10**9)])
+    assert r2 == 1
+    # batch 3: a view at t=20h re-enables stage 2 ([1h, 25h] ✓), and the
+    # purchase at 31h is within [20h, 44h] → reached 3 again.
+    r3 = run_batch(state, [("view", 20 * 3600 * 10**9)])
+    assert r3 == 3
