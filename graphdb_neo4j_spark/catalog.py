@@ -367,3 +367,13 @@ register(
     None,  # iterative argmax loop — pytest pins parity with a pure-Python trainer
 )
 register("stream_funnel", events_stream.q_stream_funnel, events.FUNNEL_SQL)
+
+from graphdb_neo4j_spark.llmdata import mixing
+
+register(
+    "temperature_sample",
+    mixing.q_temperature_sample,
+    mixing.temperature_sample_sql(),
+)
+register("training_order", mixing.q_training_order, mixing.training_order_sql())
+register("bpe_encode", bpe.q_bpe_encode, None)  # iterative merge training

@@ -130,6 +130,84 @@ def q_bpe_train(
     )
 
 
+def encode_word_types(
+    words: DataFrame, merges: list[tuple[str, str, int]], checkpoint_every: int = 5
+) -> DataFrame:
+    """Apply a learned merge list (rank order) to the word-TYPE table:
+    (word, freq) → (word, freq, n_tokens). Encoding a fresh word with the
+    standard rank-priority BPE apply is equivalent to one greedy
+    left-to-right fold per merge in rank order — the same
+    ``aggregate()`` fold the trainer uses, so train and encode share one
+    kernel and pytest can pin them against one Python reference.
+
+    The fold chain is localCheckpoint'd every ``checkpoint_every`` merges
+    to keep the Catalyst expression tree (and codegen method size)
+    bounded — the BFS/PageRank lineage discipline applied to expression
+    depth. Cost is per word TYPE, never per corpus token.
+    """
+    syms = words.withColumn(
+        "syms", F.expr("transform(split(word, ''), x -> x)")
+    )
+    for i, (left, right, _) in enumerate(merges):
+        syms = _apply_merge(syms, left, right)
+        if (i + 1) % checkpoint_every == 0:
+            syms = syms.localCheckpoint(eager=False)
+    return syms.select("word", "freq", F.size("syms").alias("n_tokens"))
+
+
+def q_bpe_encode(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """Registered form: per-document token accounting under the learned
+    BPE vocabulary — (doc_id, n_words, n_chars, n_bpe_tokens). The
+    serving half of the tokenizer pipeline (``bpe_train`` learns the
+    merges; this applies them corpus-wide).
+
+    Scale shape: merges are learned and applied on the word-TYPE table
+    (≈10⁶ rows at 100 TB), then the per-word token counts are joined back
+    to the exploded corpus on the word key and rolled up per doc. The
+    type table is broadcast (a few MB even at web scale — it carries 3
+    scalar columns), so the corpus side never shuffles: explode →
+    broadcast-hash-join → partial-agg'd groupBy(doc_id). rows-only (the
+    iterative merge training has no SQL mirror); pytest pins the encoded
+    counts against a pure-Python encoder on identical merges.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    merges = train_bpe_merges(docs, n_merges)
+    types = encode_word_types(word_type_counts(docs), merges).select(
+        "word", "n_tokens"
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        doc_words.join(F.broadcast(types), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def reference_bpe_encode(
+    word: str, merges: list[tuple[str, str, int]]
+) -> list[str]:
+    """Pure-Python encode: one greedy left-to-right pass per merge in
+    rank order — the exact fold semantics of :func:`encode_word_types`."""
+    syms = list(word)
+    for left, right, _ in merges:
+        out: list[str] = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
 def reference_bpe_merges(
     word_freqs: dict[str, int], n_merges: int = N_MERGES
 ) -> list[tuple[str, str, int]]:
