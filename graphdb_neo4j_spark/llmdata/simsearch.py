@@ -674,3 +674,106 @@ def q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rows-only registered form (KMeans codebooks are fit-dependent);
     pytest pins recall vs the exact scan."""
     return pq_search(spark, sf_dir)
+
+
+# --- multi-anchor exact KNN join (tournament top-k) --------------------------
+
+KNN_JOIN_QUERIES = 8
+KNN_JOIN_K = 5
+
+
+def q_knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = KNN_JOIN_QUERIES,
+    k: int = KNN_JOIN_K,
+) -> DataFrame:
+    """Exact cosine KNN JOIN: every query vector (here the first
+    ``n_queries`` ids — stand-ins for an arbitrary small query batch) gets
+    its top-``k`` corpus neighbours in ONE corpus scan, instead of
+    ``n_queries`` separate ``knn_anchor`` scans.
+
+    Scale shape — per-group top-k WITHOUT funnelling the corpus through
+    #queries window tasks: a ``row_number() OVER (PARTITION BY q_id)``
+    would shuffle every scored row onto ``n_queries`` tasks. Instead the
+    scored stream is cut at its natural partition boundaries
+    (``spark_partition_id``), each (q_id, partition) keeps its local
+    top-k via a sort_array/slice aggregate, and only those ≤ k·P
+    survivors shuffle for the final per-query tournament — the
+    distributed top-k pattern (TakeOrderedAndProject generalized to
+    per-group). Memory note: the collect_list partial state holds a
+    task's scored rows (≈ partition rows × n_queries structs of 3
+    scalars) until the slice truncates it at task end — bounded by
+    ``spark.sql.files.maxPartitionBytes`` × n_queries, so large query
+    BATCHES should chunk n_queries, not the corpus.
+
+    Ranking is on the ROUNDED cosine with vec_id as tiebreak, so rank
+    assignment is deterministic and engine-portable (the DuckDB oracle
+    states the same ranking as a plain window over the naive cross
+    product).
+    """
+    emb = widen_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_bytes=_LINEAR_MIN_BYTES,
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("embedding"), F.col("q_emb")), 4).alias("cosine"),
+        )
+    )
+    # candidate struct sorts ascending == (cosine desc, vec_id asc)
+    cand = F.struct(
+        (-F.col("cosine")).alias("neg_cos"),
+        F.col("vec_id").alias("v"),
+        F.col("label").alias("l"),
+    )
+    local_topk = F.slice(F.sort_array(F.collect_list(cand)), 1, k)
+    partial = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .groupBy("q_id", "pid")
+        .agg(local_topk.alias("cands"))
+        .select("q_id", F.explode("cands").alias("c"))
+    )
+    final = (
+        partial.groupBy("q_id")
+        .agg(F.slice(F.sort_array(F.collect_list("c")), 1, k).alias("cands"))
+        .select("q_id", F.posexplode("cands").alias("rank0", "c"))
+    )
+    return final.select(
+        "q_id",
+        (F.col("rank0") + 1).alias("rank"),
+        F.col("c.v").alias("vec_id"),
+        F.col("c.l").alias("label"),
+        (-F.col("c.neg_cos")).alias("cosine"),
+    )
+
+
+def knn_join_sql(n_queries: int = KNN_JOIN_QUERIES, k: int = KNN_JOIN_K) -> str:
+    return f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+    FROM embeddings WHERE vec_id < {n_queries}
+),
+scored AS (
+    SELECT q.q_id, e.vec_id, e.label,
+           ROUND(list_dot_product(e.embedding::DOUBLE[], q.q_emb), 4) AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+                              ORDER BY cosine DESC, vec_id ASC) AS rank
+    FROM scored
+)
+SELECT q_id, rank, vec_id, label, cosine
+FROM ranked WHERE rank <= {k}
+"""

@@ -553,3 +553,106 @@ FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY d
              RANGE BETWEEN INTERVAL {ROLLING_DAYS - 1} DAY PRECEDING AND CURRENT ROW)
 """
+
+
+# --- bounded-range interval join (attribution window) ------------------------
+
+ATTR_WINDOW_MIN = 60
+
+
+def attribution_window_join(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    window_min: int = ATTR_WINDOW_MIN,
+) -> DataFrame:
+    """Interval containment join: each ``right_type`` event collects the
+    ``left_type`` events of the same user inside its trailing attribution
+    window ``(ts - window_min, ts]`` — the marketing-attribution /
+    sensor-correlation primitive.
+
+    Spark plans a raw range predicate as BroadcastNestedLoopJoin (O(L·R)
+    per user). Because the range is BOUNDED, it bins into an equi-join: a
+    click lands in exactly one window-width time bucket, a window spans
+    at most two adjacent buckets, so the purchase side explodes to its ≤2
+    candidate buckets and the join key becomes (user_id, bucket) with the
+    range check as a residual — the classic bounded-range-to-equi-join
+    rewrite. Work is Σ per-(user,bucket) products, not L·R; AQE skew
+    handling covers hot (user,bucket) keys; each click is in one bucket,
+    so nothing double-counts.
+
+    Output per purchase (LEFT semantics — zero-click purchases kept):
+    (event_id, user_id, ts_ms, n_clicks, first_click_ms, last_click_ms).
+    """
+    w_ms = window_min * 60 * 1000
+    clicks = events.filter(F.col("event_type") == left_type).select(
+        "user_id",
+        F.unix_millis("ts").alias("c_ms"),
+    ).withColumn("bucket", F.floor(F.col("c_ms") / w_ms))
+    purchases = events.filter(F.col("event_type") == right_type).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("p_ms"),
+    )
+    candidates = purchases.withColumn(
+        "bucket",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor((F.col("p_ms") - w_ms) / w_ms),
+                    F.floor(F.col("p_ms") / w_ms),
+                )
+            )
+        ),
+    )
+    joined = candidates.join(
+        clicks,
+        on=(
+            (candidates.user_id == clicks.user_id)
+            & (candidates.bucket == clicks.bucket)
+            & (clicks.c_ms > candidates.p_ms - w_ms)
+            & (clicks.c_ms <= candidates.p_ms)
+        ),
+        how="left",
+    )
+    return joined.groupBy(
+        candidates.event_id, candidates.user_id, candidates.p_ms
+    ).agg(
+        F.count("c_ms").alias("n_clicks"),
+        F.min("c_ms").alias("first_click_ms"),
+        F.max("c_ms").alias("last_click_ms"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("p_ms").alias("ts_ms"),
+        "n_clicks",
+        "first_click_ms",
+        "last_click_ms",
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return attribution_window_join(load_events(spark, sf_dir))
+
+
+INTERVAL_JOIN_SQL = f"""
+WITH c AS (
+    SELECT user_id, epoch_ms(ts::TIMESTAMP) AS c_ms
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS p_ms
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id,
+       p.user_id,
+       p.p_ms AS ts_ms,
+       COUNT(c.c_ms) AS n_clicks,
+       MIN(c.c_ms) AS first_click_ms,
+       MAX(c.c_ms) AS last_click_ms
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ms > p.p_ms - {ATTR_WINDOW_MIN * 60 * 1000}
+ AND c.c_ms <= p.p_ms
+GROUP BY p.event_id, p.user_id, p.p_ms
+"""
