@@ -379,3 +379,4 @@ register("training_order", mixing.q_training_order, mixing.training_order_sql())
 register("bpe_encode", bpe.q_bpe_encode, None)  # iterative merge training
 register("interval_join", events.q_interval_join, events.INTERVAL_JOIN_SQL)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
+register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

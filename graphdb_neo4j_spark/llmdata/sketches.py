@@ -94,3 +94,50 @@ GROUP BY tok
 ORDER BY df DESC, tok ASC
 LIMIT 20
 """
+
+
+# --- mergeable distinct-count rollup (Apache DataSketches HLL) ---------------
+
+HLL_LGK = 12  # sketch size parameter (2^12 buckets)
+
+
+def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users two ways: direct, and by UNIONING
+    per-hour partial sketches — the continuous-aggregate pattern for
+    COUNT(DISTINCT), which plain rollups cannot deliver (distinct does
+    not sum across hours; sketches union losslessly).
+
+    At 100 TB the per-(type, hour) sketch binaries are the stored
+    rollup: serving any time range is a union of pre-built 4 KB sketches
+    instead of a re-scan, and late data merges in by rebuilding ONE
+    hour's sketch. Both paths here are partial-aggregated map-side;
+    ``tests/test_sketches.py`` pins merged ≡ direct (HLL union with one
+    lgK is lossless for set union) and both within error bounds of
+    exact. rows-only: sketch estimates are engine-specific by nature.
+    """
+    from graphdb_neo4j_spark.operators.events import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(HLL_LGK))
+        ).alias("direct_users")
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.hll_sketch_agg(F.col("user_id").cast("string"), F.lit(HLL_LGK)).alias(
+            "sketch"
+        )
+    )
+    merged = hourly.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias(
+            "merged_users"
+        ),
+        F.count("*").alias("n_hours"),
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type", "direct_users", "merged_users", "n_hours"
+    )

@@ -1,0 +1,84 @@
+"""Z-order layout: clustering quality on both dimensions, and the
+mergeable HLL rollup's merged ≡ direct invariant."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata import sketches
+from graphdb_neo4j_spark.operators.events import load_events
+from graphdb_neo4j_spark.sources import layout
+
+N_FILES = 16
+
+
+def _written(spark, sf_dir, tmp_path, mode):
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "value", "ts")
+    ev = ev.withColumn("ts_ms", F.unix_millis("ts")).drop("ts")
+    path = str(tmp_path / mode)
+    if mode == "zorder":
+        layout.write_zorder(ev, path, "user_id", "ts_ms", n_files=N_FILES)
+    else:
+        ev.repartition(N_FILES).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_zorder_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    z = _written(spark, sf_dir, tmp_path, "zorder")
+    r = _written(spark, sf_dir, tmp_path, "random")
+
+    some_user = z.agg(F.min("user_id")).collect()[0][0]
+    lo, hi = z.agg(F.min("ts_ms"), F.max("ts_ms")).collect()[0]
+    mid, width = (lo + hi) // 2, (hi - lo) // 10
+
+    for pred in [
+        F.col("user_id") == some_user,
+        (F.col("ts_ms") >= mid) & (F.col("ts_ms") < mid + width),
+    ]:
+        fz = layout.files_touched(z.filter(pred))
+        fr = layout.files_touched(r.filter(pred))
+        # random layout spreads matches over ~all files; the Morton
+        # layout confines each point/range to a curve segment
+        assert fz < fr, (str(pred), fz, fr)
+        assert fz <= math.ceil(N_FILES / 2)
+
+
+def test_zvalue_is_monotone_in_locality():
+    """Adjacent cells differ in low Morton bits; distant cells in high."""
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    df = spark.range(1).select(
+        layout.zvalue(F.lit(0).cast("long"), F.lit(0).cast("long")).alias("z00"),
+        layout.zvalue(F.lit(1).cast("long"), F.lit(0).cast("long")).alias("z10"),
+        layout.zvalue(F.lit(0).cast("long"), F.lit(1).cast("long")).alias("z01"),
+        layout.zvalue(
+            F.lit(2**16 - 1).cast("long"), F.lit(2**16 - 1).cast("long")
+        ).alias("zmax"),
+    )
+    row = df.collect()[0]
+    assert row["z00"] == 0
+    assert row["z10"] == 2  # a-bit sits in the even (higher) position
+    assert row["z01"] == 1
+    assert row["zmax"] == 2**32 - 1
+
+
+def test_distinct_rollup_merged_equals_direct(spark, sf_correct):
+    out = sketches.q_distinct_rollup(spark, sf_correct)
+    rows = out.collect()
+    assert rows
+    ev = load_events(spark, sf_correct)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["merged_users"] == r["direct_users"], r["event_type"]
+        # lgK=12 → rsd ≈ 1.04/sqrt(4096) ≈ 1.6%; allow 5%
+        assert abs(r["direct_users"] - exact[r["event_type"]]) <= max(
+            2, 0.05 * exact[r["event_type"]]
+        )
