@@ -378,5 +378,36 @@ register(
 register("training_order", mixing.q_training_order, mixing.training_order_sql())
 register("bpe_encode", bpe.q_bpe_encode, None)  # iterative merge training
 register("interval_join", events.q_interval_join, events.INTERVAL_JOIN_SQL)
+register(
+    "shipping_priority",
+    olap.q_shipping_priority,
+    olap.shipping_priority_sql(),
+    bench=True,  # the canonical selective 3-table join (TPC-H Q3 shape)
+)
+register(
+    "nation_revenue",
+    olap.q_nation_revenue,
+    olap.nation_revenue_sql(),
+    bench=True,  # 6-table broadcast-cascade join (TPC-H Q5 shape)
+)
+register(
+    "late_shipment_priority",
+    olap.q_late_shipment_priority,
+    olap.LATE_SHIPMENT_PRIORITY_SQL,
+)
+
+from graphdb_neo4j_spark.llmdata import classifier
+
+register(
+    "quality_classifier",
+    classifier.q_quality_classifier,
+    classifier.quality_classifier_sql(),
+    bench=True,  # the fasttext-shaped quality gate: explode + broadcast join
+)
+register(
+    "quality_classifier_hashed",
+    classifier.q_quality_classifier_hashed,
+    classifier.quality_classifier_hashed_sql(),
+)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

@@ -1,0 +1,184 @@
+"""Linear text-quality classifier over the ``documents`` table.
+
+The fasttext-shaped quality gate every large-scale pretraining pipeline
+runs (GPT-3 / LLaMA / CCNet all score documents with a cheap linear model
+and keep/drop or importance-sample on the score). Two variants, both pure
+JVM expressions — no Python in the hot path:
+
+- :func:`q_quality_classifier` — explicit vocabulary: token weights live in
+  a tiny weights table that broadcast-joins onto the exploded token stream.
+  This is the serving shape for a real fasttext/logistic model: weights are
+  a dim table (100k rows ≪ broadcast threshold), the corpus side never
+  shuffles anything except the per-doc aggregation.
+- :func:`q_quality_classifier_hashed` — hashing trick: tokens map to
+  ``N_BUCKETS`` weight slots via a PORTABLE md5-prefix hash (Spark
+  ``conv(substr(md5(t),1,8),16,10)`` ≡ DuckDB ``('0x'||substr(md5(t),1,8))
+  ::BIGINT``), so the model needs no vocabulary at all and the oracle can
+  reproduce the exact bucketing. This is the unbounded-vocabulary shape —
+  at 100 TB there is no weights table to skew or spill; the "model" is a
+  codegen'd arithmetic expression on the bucket id.
+
+Float discipline (repo contract): integer milli-weights, mean = int sum /
+int count in DOUBLE, ``round(score, 6)`` on both engines — the value hash
+is stable under summation order.
+
+Reference scope note: the reference engine (GraphDB-Neo4j) has no data-
+quality surface; this extends the training-data pipeline family
+(SURVEY.md "beyond the reference" mandate) alongside quality_scores /
+repetition_scores / unigram_logprob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.session import widen_scan
+
+# Milli-weights: function words vote "natural prose", web-noise tokens vote
+# junk. A real pipeline would train these; the MODEL FORM (token → weight →
+# mean → sigmoid) is what the engine must execute efficiently, and a fixed
+# interpretable vocabulary keeps the oracle deterministic.
+VOCAB_MILLI_WEIGHTS: tuple[tuple[str, int], ...] = (
+    ("the", 900), ("a", 700), ("an", 700), ("of", 800), ("and", 800),
+    ("to", 700), ("in", 600), ("is", 600), ("was", 500), ("that", 500),
+    ("with", 400), ("for", 400), ("on", 300), ("as", 300), ("by", 300),
+    ("click", -1200), ("subscribe", -1200), ("cookie", -1000),
+    ("login", -1000), ("password", -1500), ("free", -800), ("buy", -900),
+    ("sale", -900), ("http", -1100), ("www", -1100), ("com", -700),
+    ("spam", -1500), ("viagra", -2000), ("casino", -1600), ("winner", -1000),
+)
+BIAS_MILLI = 150  # mild prior toward "keep" when no vocab token matches
+
+N_BUCKETS = 64
+_HASH_MULT = 2654435761  # Knuth multiplicative constant; bucket → weight
+
+
+def _word_tokens(col: F.Column) -> F.Column:
+    # Alphabetic word stream, both engines: regexp_extract_all on [a-z]+.
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z]+"), 0)
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-weight linear scorer: per-doc mean milli-weight over ALL
+    word tokens (unmatched tokens contribute 0 — a left join, not a gate),
+    sigmoid to a quality probability, threshold at 0.5.
+
+    Plan shape: one explode over the token stream, one BROADCAST left join
+    against the ≤100k-row weights table, one partial-agged groupBy(doc_id).
+    The corpus is touched once; nothing wider than (doc_id, token) ever
+    shuffles.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    weights = F.broadcast(
+        spark.createDataFrame(
+            list(VOCAB_MILLI_WEIGHTS), schema="token string, milli_w long"
+        )
+    )
+    toks = docs.select(
+        "doc_id", F.explode(_word_tokens(F.col("text"))).alias("token")
+    )
+    scored = (
+        toks.join(weights, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("milli_w"), F.lit(0))).alias("milli_sum"),
+            F.count("milli_w").alias("n_hits"),
+        )
+    )
+    mean_w = (F.col("milli_sum") + F.lit(BIAS_MILLI)).cast("double") / (
+        F.lit(1000.0) * F.col("n_tokens")
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(8.0) * mean_w))
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_hits").cast("long").alias("n_vocab_hits"),
+        F.round(score, 6).alias("quality_score"),
+        (F.round(score, 6) >= 0.5).alias("keep"),
+    )
+
+
+def quality_classifier_sql() -> str:
+    vocab_rows = ", ".join(f"('{t}', {w})" for t, w in VOCAB_MILLI_WEIGHTS)
+    return f"""
+WITH weights(token, milli_w) AS (VALUES {vocab_rows}),
+toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+    FROM documents
+),
+scored AS (
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           SUM(COALESCE(w.milli_w, 0)) AS milli_sum,
+           COUNT(w.milli_w) AS n_hits
+    FROM toks t LEFT JOIN weights w ON t.token = w.token
+    GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_hits AS BIGINT) AS n_vocab_hits,
+       ROUND(1.0 / (1.0 + exp(-8.0 * (CAST(milli_sum + {BIAS_MILLI} AS DOUBLE)
+                                      / (1000.0 * n_tokens)))), 6) AS quality_score,
+       ROUND(1.0 / (1.0 + exp(-8.0 * (CAST(milli_sum + {BIAS_MILLI} AS DOUBLE)
+                                      / (1000.0 * n_tokens)))), 6) >= 0.5 AS keep
+FROM scored
+"""
+
+
+def q_quality_classifier_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick scorer: token → md5-prefix bucket in [0, N_BUCKETS),
+    bucket → milli-weight by a fixed multiplicative formula, mean → sigmoid.
+
+    The whole model is a codegen'd expression — no weights table, no join,
+    no UDF; ONE shuffle (the per-doc aggregation). The md5-prefix bucket is
+    bit-identical across Spark and DuckDB, so the oracle replays the exact
+    hash path rather than approximating it.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        "doc_id", F.explode(_word_tokens(F.col("text"))).alias("token")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % N_BUCKETS
+    )
+    milli_w = (bucket * F.lit(_HASH_MULT)) % 2001 - 1000  # [-1000, 1000]
+    scored = toks.select("doc_id", milli_w.alias("milli_w")).groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"), F.sum("milli_w").alias("milli_sum")
+    )
+    mean_w = F.col("milli_sum").cast("double") / (F.lit(1000.0) * F.col("n_tokens"))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(8.0) * mean_w))
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(score, 6).alias("quality_score"),
+        (F.round(score, 6) >= 0.5).alias("keep"),
+    )
+
+
+def quality_classifier_hashed_sql() -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+    FROM documents
+),
+w AS (
+    SELECT doc_id,
+           (CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % {N_BUCKETS})
+               * {_HASH_MULT} % 2001 - 1000 AS milli_w
+    FROM toks
+),
+scored AS (
+    SELECT doc_id, COUNT(*) AS n_tokens, SUM(milli_w) AS milli_sum
+    FROM w GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(1.0 / (1.0 + exp(-8.0 * (CAST(milli_sum AS DOUBLE)
+                                      / (1000.0 * n_tokens)))), 6) AS quality_score,
+       ROUND(1.0 / (1.0 + exp(-8.0 * (CAST(milli_sum AS DOUBLE)
+                                      / (1000.0 * n_tokens)))), 6) >= 0.5 AS keep
+FROM scored
+"""

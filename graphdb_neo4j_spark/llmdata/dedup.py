@@ -640,3 +640,195 @@ SELECT s.doc_id,
 FROM segs s JOIN dfreq d ON s.seg_text = d.seg_text
 GROUP BY s.doc_id
 """
+
+
+# --- incremental (new-batch-vs-history) dedup --------------------------------
+#
+# A continuously-ingesting pipeline never re-deduplicates the whole corpus:
+# each new batch is checked AGAINST the existing corpus (plus itself). Two
+# forms, same split contract (history = even doc_id, batch = odd — a
+# deterministic stand-in for "already ingested" vs "arriving", expressible
+# in both engines):
+#
+# - q_dedup_incremental — exact shingle-Jaccard across the split, oracle-
+#   backed. The join is history-tokens ⋈ batch-tokens: work is
+#   Σ_tok df_hist·df_batch (not C(df,2) over the union), so a batch that is
+#   1% of the corpus costs ~1% of a full re-dedup.
+# - write_minhash_store / probe_minhash_store — the at-rest form: history
+#   MinHash signatures + LSH band buckets persist as parquet; a new batch
+#   shingles ONLY ITSELF, probes the bucket table, and verifies via
+#   signature-estimated Jaccard without ever touching history text. Store
+#   size is N_docs × ~200 B regardless of corpus bytes.
+
+
+def split_history_batch(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic (history, new-batch) split on doc_id parity."""
+    return (
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def q_dedup_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> DataFrame:
+    """(hist_id, new_id, jaccard): new-batch docs whose shingle Jaccard
+    against some history doc clears ``threshold``.
+
+    One shingle pass over the corpus feeds both sides (the checkpointed
+    token table is the single-query analog of reading a persisted history
+    token store); the intersection join pairs history tokens with batch
+    tokens only — cross-split pairs by construction, no a<b dance, no
+    within-history work at all.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
+        eager=False
+    )
+    hist = toks.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("a"), "tok"
+    )
+    batch = toks.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("b"), "tok"
+    )
+    inter = hist.join(batch, "tok").groupBy("a", "b").agg(
+        F.count("*").alias("n_inter")
+    )
+    return _pair_jaccard(toks, inter, threshold).select(
+        F.col("a").alias("hist_id"), F.col("b").alias("new_id"), "jaccard"
+    )
+
+
+def dedup_incremental_sql(
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> str:
+    return rf"""
+WITH {_shingle_toks_cte(width, max_df).strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS n_inter
+    FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok
+    WHERE t1.doc_id % 2 = 0 AND t2.doc_id % 2 = 1
+    GROUP BY t1.doc_id, t2.doc_id
+)
+SELECT a AS hist_id, b AS new_id,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+"""
+
+
+def write_minhash_store(
+    docs: DataFrame,
+    path: str,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the MinHash state for ``docs``: ``sigs/`` (doc_id, h0..h15)
+    and ``buckets/`` (band_idx, band_sig, doc_id) partitioned by band_idx.
+
+    ``mode="append"`` is the incremental ingest path: a new batch's rows
+    append without rewriting history (both tables are append-only by
+    construction — signatures never change once computed).
+    """
+    th = prune_hot_tokens(doc_shingles(docs, width), max_df).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    sigs = minhash_signatures(th).localCheckpoint(eager=False)
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{band * BAND_SIZE + i}").cast("string")
+                        for i in range(BAND_SIZE)
+                    ],
+                )
+            )
+            for band in range(n_bands)
+        ]
+    )
+    (
+        sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_sig"))
+        .write.mode(mode)
+        .partitionBy("band_idx")
+        .parquet(f"{path}/buckets")
+    )
+
+
+def probe_minhash_store(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> DataFrame:
+    """(hist_id, new_id, est_jaccard): new docs near-duplicating stored
+    history, WITHOUT touching history text.
+
+    The batch shingles only itself, computes signatures, and equi-joins the
+    stored bucket table on (band_idx, band_sig); candidates verify by
+    signature agreement (matching minhash fraction — the standard unbiased
+    Jaccard estimator), so history cost is one read of the candidate
+    signature rows. est_jaccard quantizes to k/N_HASHES; the pytest
+    contract pins recall against the exact cross-split pairs.
+    """
+    th = prune_hot_tokens(doc_shingles(new_docs, width), max_df).select(
+        "doc_id", F.xxhash64("tok").alias("h")
+    )
+    sigs = minhash_signatures(th).localCheckpoint(eager=False)
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{band * BAND_SIZE + i}").cast("string")
+                        for i in range(BAND_SIZE)
+                    ],
+                )
+            )
+            for band in range(n_bands)
+        ]
+    )
+    new_buckets = sigs.select(
+        F.col("doc_id").alias("new_id"),
+        F.posexplode(bands).alias("band_idx", "band_sig"),
+    )
+    stored = spark.read.parquet(f"{path}/buckets").select(
+        F.col("doc_id").alias("hist_id"), "band_idx", "band_sig"
+    )
+    cands = (
+        stored.join(new_buckets, ["band_idx", "band_sig"])
+        .filter(F.col("hist_id") != F.col("new_id"))
+        .select("hist_id", "new_id")
+        .distinct()
+    )
+    hist_sigs = spark.read.parquet(f"{path}/sigs")
+    agree = sum(
+        (F.col(f"l.h{i}") == F.col(f"r.h{i}")).cast("int") for i in range(N_HASHES)
+    )
+    return (
+        cands.join(hist_sigs.alias("l"), F.col("hist_id") == F.col("l.doc_id"))
+        .join(sigs.alias("r"), F.col("new_id") == F.col("r.doc_id"))
+        .select(
+            "hist_id",
+            "new_id",
+            F.round(agree / F.lit(float(N_HASHES)), 6).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )

@@ -166,3 +166,180 @@ SELECT nation, partkey, revenue,
 FROM per_part
 QUALIFY rk <= {k}
 """
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: 3-table join with per-table
+    filters, grouped revenue, top-k unshipped orders.
+
+    Scale shape: both dimension-side filters are pushed to the scans
+    (PushedFilters on c_mktsegment and o_orderdate), the filtered
+    customer KEY SET is broadcast into orders (a semi-join — customer
+    carries no payload columns past its scan), and the surviving orders
+    (keys + 2 group columns) broadcast-or-shuffle into lineitem under
+    AQE's runtime size decision. The only full-size shuffle is the final
+    (orderkey) aggregation, which partial-aggregates map-side. Top-k is
+    TakeOrderedAndProject — no global sort materialization.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    cust_keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_orders = (
+        orders.filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .join(F.broadcast(cust_keys), F.col("o_custkey") == F.col("c_custkey"), "semi")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    return (
+        li.filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+        .join(open_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            F.col("l_orderkey").cast("long").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderdate"), F.asc("orderkey"))
+        .limit(k)
+    )
+
+
+def shipping_priority_sql(k: int = 10) -> str:
+    return f"""
+SELECT l_orderkey AS orderkey, o_orderdate AS orderdate,
+       o_orderpriority AS orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, orderdate ASC, orderkey ASC
+LIMIT {k}
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str, region: str = "ASIA") -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: 6-table join (lineitem ⋈
+    orders ⋈ customer ⋈ supplier ⋈ nation ⋈ region) with the Q5 twist
+    that customer and supplier must share a nation, aggregated to revenue
+    per nation within one region.
+
+    Scale shape: region→nation→(customer, supplier) is a pure broadcast
+    dimension cascade (all three dims are tiny; the region filter prunes
+    nation before it ever touches a fact table). The fact-side joins are
+    the only shuffles: lineitem⋈orders on orderkey, then the customer/
+    supplier nation equality is evaluated as two broadcast hash joins
+    with the ``c_nationkey = s_nationkey`` residual — no fact-fact
+    shuffle beyond the orderkey join. Output is ≤ #nations rows.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    region_nations = F.broadcast(
+        nation.join(
+            F.broadcast(reg.filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(region_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(F.col("n_name").alias("nation"), "revenue")
+    )
+
+
+def nation_revenue_sql(region: str = "ASIA") -> str:
+    return f"""
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped EXISTS probe: per-priority count of orders that had
+    at least one line item shipped more than 90 days after the order date.
+
+    Scale shape: the EXISTS is a LEFT SEMI hash join on orderkey with the
+    date comparison as the join residual — lineitem contributes only
+    (orderkey, shipdate) after column pruning, duplicates collapse inside
+    the semi join (no post-join distinct), and the final aggregation is
+    5 rows after map-side partial agg. The orders-side date filter is
+    pushed to the scan.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    late = o.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)),
+        "semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .select(F.col("o_orderpriority").alias("orderpriority"), "order_count")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_SQL = """
+SELECT o_orderpriority AS orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+"""
