@@ -409,5 +409,20 @@ register(
     classifier.q_quality_classifier_hashed,
     classifier.quality_classifier_hashed_sql(),
 )
+register(
+    "dedup_incremental",
+    lambda spark, sf: dedup.q_dedup_incremental(spark, sf),
+    dedup.dedup_incremental_sql(),
+    bench=True,  # the continuous-ingest dedup shape: batch-vs-history only
+)
+
+from graphdb_neo4j_spark.llmdata import clustering
+
+register("cluster_profile", clustering.q_cluster_profile, None)  # KMeans centroids
+register(
+    "cluster_balanced_sample",
+    lambda spark, sf: clustering.q_cluster_balanced_sample(spark, sf),
+    None,  # cluster ids are engine-specific; membership itself is the LCG
+)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

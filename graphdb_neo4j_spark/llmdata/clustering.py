@@ -1,0 +1,145 @@
+"""Embedding-space corpus clustering for training-mix curation.
+
+The cluster-then-curate pattern (SemDeDup, DSIR, cluster-balanced
+sampling): k-means the corpus embeddings, then use cluster membership to
+profile, rebalance, or cap the training mix. Builds on the same coarse
+quantizer as the IVF index (:func:`..simsearch.ivf_index`) — one KMeans
+fit (sample-fit capable at 100 TB) plus a single assignment scan; every
+downstream statistic is a plain partial-agged aggregation over the
+(cluster, label) keys.
+
+Registered rows-only (KMeans centroid placement is engine-specific);
+pytest pins the semantics on a crafted separable fixture and the
+invariants (size conservation, purity bounds) on the real one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata.simsearch import _LINEAR_MIN_BYTES, _dot, ivf_index
+from graphdb_neo4j_spark.session import widen_scan
+
+N_CLUSTERS = 16
+
+
+def cluster_assign(
+    emb: DataFrame, n_clusters: int = N_CLUSTERS, fit_fraction: float = 1.0
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids): every vector labeled with its cluster_id.
+
+    Thin wrapper over the IVF coarse quantizer — the inverted-list id IS
+    the cluster id; reusing it keeps one KMeans implementation in the
+    engine and makes "cluster for curation" and "cluster for ANN" the
+    same artifact (fit once, serve both).
+    """
+    assigned, centroids = ivf_index(
+        emb, n_lists=n_clusters, fit_fraction=fit_fraction
+    )
+    return (
+        assigned.withColumnRenamed("list_id", "cluster_id"),
+        centroids.withColumnRenamed("list_id", "cluster_id"),
+    )
+
+
+def q_cluster_profile(
+    spark: SparkSession, sf_dir: str, n_clusters: int = N_CLUSTERS
+) -> DataFrame:
+    """Per-cluster curation profile: size, cohesion (mean cosine to the
+    centroid), majority label and its purity.
+
+    Plan shape: assignment is one scan through the KMeans transform; the
+    profile is two aggregations over (cluster_id[, label]) — both partial-
+    agg to ≤ k·|labels| rows before shuffling — and the majority label is
+    a window over the ≤ k·|labels| aggregated table, never the corpus.
+    Centroids broadcast into the cohesion aggregation.
+    """
+    emb = widen_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_bytes=_LINEAR_MIN_BYTES,
+    )
+    assigned, centroids = cluster_assign(emb, n_clusters)
+    cohesion = (
+        assigned.join(F.broadcast(centroids), "cluster_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("size"),
+            F.round(F.avg(_dot(F.col("embedding"), F.col("center"))), 4).alias(
+                "mean_center_sim"
+            ),
+        )
+    )
+    by_label = assigned.groupBy("cluster_id", "label").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    majority = (
+        by_label.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+        )
+    )
+    return (
+        cohesion.join(majority, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("size").cast("long").alias("size"),
+            "mean_center_sim",
+            F.col("majority_label").cast("int").alias("majority_label"),
+            F.round(F.col("majority_n") / F.col("size"), 4).alias("label_purity"),
+        )
+    )
+
+
+def q_cluster_balanced_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    n_clusters: int = N_CLUSTERS,
+    cap_frac: float = 0.125,
+) -> DataFrame:
+    """Cluster-capped subsample: no cluster may exceed ``cap_frac`` of the
+    corpus; over-cap clusters are thinned DETERMINISTICALLY (id-keyed LCG
+    bucket, the repo's sampling primitive) to the cap, under-cap clusters
+    pass through whole. The standard guard against one dominant mode
+    (boilerplate, one web template) swamping the training mix.
+
+    Output: (vec_id, cluster_id, kept). Plan: assignment scan + one
+    ≤k-row aggregate broadcast back — membership is decided row-locally,
+    zero extra shuffle of the corpus.
+    """
+    emb = widen_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_bytes=_LINEAR_MIN_BYTES,
+    )
+    assigned, _ = cluster_assign(emb, n_clusters)
+    total = assigned.count()
+    cap = int(total * cap_frac)
+    rates = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "cluster_id",
+            F.least(F.lit(1.0), F.lit(cap) / F.col("n")).alias("keep_rate"),
+        )
+    )
+    # Deterministic per-id uniform in [0,1): the same LCG-on-id primitive
+    # as filterset.q_holdout_split (BIGINT-safe arithmetic; a re-run,
+    # re-partition, or incremental ingest never flips a row's membership).
+    from graphdb_neo4j_spark.llmdata.filterset import _LCG_A, _LCG_C, _LCG_M
+
+    u = (
+        ((F.col("vec_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M))
+        / F.lit(float(_LCG_M))
+    )
+    return (
+        assigned.join(F.broadcast(rates), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            (u < F.col("keep_rate")).alias("kept"),
+        )
+    )

@@ -1,0 +1,66 @@
+"""Embedding-clustering curation: semantics on a separable fixture,
+conservation invariants on the real one."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata import clustering
+
+
+@pytest.fixture(scope="module")
+def separable(spark, tmp_path_factory):
+    """Three tight orthogonal clusters of 20 vectors each, label = cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for c in range(3):
+        base = np.zeros(64)
+        base[c] = 1.0
+        for i in range(20):
+            v = base + rng.normal(0, 0.01, 64)
+            v = v / np.linalg.norm(v)
+            rows.append((c * 20 + i, [float(x) for x in v], c))
+    d = tmp_path_factory.mktemp("clus")
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def test_profile_recovers_separable_clusters(spark, separable):
+    prof = clustering.q_cluster_profile(spark, separable, n_clusters=3).collect()
+    assert len(prof) == 3
+    assert sorted(r["size"] for r in prof) == [20, 20, 20]
+    for r in prof:
+        assert r["label_purity"] == 1.0  # clusters align with labels exactly
+        assert r["mean_center_sim"] > 0.99  # tight: members hug the centroid
+    assert {r["majority_label"] for r in prof} == {0, 1, 2}
+
+
+def test_profile_conservation_on_fixture(spark, sf_correct):
+    emb_n = spark.read.parquet(f"{sf_correct}/embeddings.parquet").count()
+    prof = clustering.q_cluster_profile(spark, sf_correct).collect()
+    assert sum(r["size"] for r in prof) == emb_n
+    for r in prof:
+        assert 0.0 < r["label_purity"] <= 1.0
+        assert r["majority_label"] is not None
+
+
+def test_balanced_sample_caps_dominant_cluster(spark, separable):
+    out = clustering.q_cluster_balanced_sample(
+        spark, separable, n_clusters=3, cap_frac=0.2
+    )
+    kept_per = {
+        r["cluster_id"]: r["n"]
+        for r in out.filter("kept").groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    # cap = 12 of 60; each cluster of 20 must thin toward ~12, never exceed 20
+    assert all(n <= 20 for n in kept_per.values())
+    assert sum(kept_per.values()) < 60  # something was actually thinned
+
+
+def test_balanced_sample_is_deterministic(spark, separable):
+    a = {(r["vec_id"], r["kept"]) for r in clustering.q_cluster_balanced_sample(spark, separable, n_clusters=3).collect()}
+    b = {(r["vec_id"], r["kept"]) for r in clustering.q_cluster_balanced_sample(spark, separable, n_clusters=3).collect()}
+    assert a == b

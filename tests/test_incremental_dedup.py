@@ -1,0 +1,82 @@
+"""Incremental (new-batch-vs-history) dedup: exact cross-split operator and
+the persisted MinHash store probe path."""
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata import dedup
+
+
+def test_incremental_pairs_are_cross_split_subset_of_full(spark, sf_correct):
+    """Every incremental pair is a full-dedup pair with opposite parity
+    sides, and every cross-parity full-dedup pair is found — the
+    incremental operator computes exactly the cross-split restriction."""
+    full = {
+        (min(r.a, r.b), max(r.a, r.b)): r.jaccard
+        for r in dedup.q_dedup_jaccard(spark, sf_correct, threshold=0.8).collect()
+    }
+    cross_expected = {
+        k: v for k, v in full.items() if (k[0] % 2) != (k[1] % 2)
+    }
+    inc = {
+        (min(r.hist_id, r.new_id), max(r.hist_id, r.new_id)): r.jaccard
+        for r in dedup.q_dedup_incremental(spark, sf_correct, threshold=0.8).collect()
+    }
+    assert inc == cross_expected
+    for r in dedup.q_dedup_incremental(spark, sf_correct, threshold=0.8).collect():
+        assert r.hist_id % 2 == 0 and r.new_id % 2 == 1
+
+
+def test_minhash_store_probe_recall(spark, sf_correct, tmp_path):
+    """Probing a persisted history store with the new batch reproduces the
+    exact cross-split near-dup pairs (recall floor 0.8 at threshold 0.9 —
+    the LSH family contract) without reading history text."""
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    hist, batch = dedup.split_history_batch(docs)
+    store = str(tmp_path / "store")
+    dedup.write_minhash_store(hist, store)
+
+    got = {
+        (r.hist_id, r.new_id)
+        for r in dedup.probe_minhash_store(
+            spark, store, batch, threshold=0.8
+        ).collect()
+    }
+    exact = {
+        (r.hist_id, r.new_id)
+        for r in dedup.q_dedup_incremental(spark, sf_correct, threshold=0.9).collect()
+    }
+    assert all(h % 2 == 0 and n % 2 == 1 for h, n in got)
+    if exact:
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, f"store-probe recall {recall} on {len(exact)} pairs"
+
+
+def test_minhash_store_append_is_incremental(spark, sf_correct, tmp_path):
+    """Appending a second batch to the store extends the probe surface
+    without rewriting history: a probe after append finds duplicates of
+    BOTH generations, and the first generation's rows are byte-identical."""
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    hist, batch = dedup.split_history_batch(docs)
+    gen1 = hist.filter(F.col("doc_id") % 4 == 0)
+    gen2 = hist.filter(F.col("doc_id") % 4 == 2)
+    store = str(tmp_path / "store")
+
+    dedup.write_minhash_store(gen1, store)
+    sigs_before = {
+        tuple(r) for r in spark.read.parquet(f"{store}/sigs").collect()
+    }
+    dedup.write_minhash_store(gen2, store, mode="append")
+    sigs_after = {tuple(r) for r in spark.read.parquet(f"{store}/sigs").collect()}
+    assert sigs_before < sigs_after  # old rows unchanged, new rows added
+
+    merged = {
+        (r.hist_id, r.new_id)
+        for r in dedup.probe_minhash_store(spark, store, batch).collect()
+    }
+    full_store = str(tmp_path / "full")
+    dedup.write_minhash_store(hist, full_store)
+    direct = {
+        (r.hist_id, r.new_id)
+        for r in dedup.probe_minhash_store(spark, full_store, batch).collect()
+    }
+    assert merged == direct  # append-built store ≡ store built in one shot
