@@ -424,5 +424,7 @@ register(
     lambda spark, sf: clustering.q_cluster_balanced_sample(spark, sf),
     None,  # cluster ids are engine-specific; membership itself is the LCG
 )
+register("events_anomaly", events.q_events_anomaly, events.EVENTS_ANOMALY_SQL)
+register("bigram_logprob", textstats.q_bigram_logprob, textstats.BIGRAM_LOGPROB_SQL)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

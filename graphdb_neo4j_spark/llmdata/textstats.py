@@ -786,3 +786,109 @@ SELECT a AS term, b AS assoc, n_ab,
 FROM scored
 QUALIFY rk <= {top_k}
 """
+
+
+# --- interpolated bigram LM scoring ------------------------------------------
+
+BIGRAM_LAMBDA = 0.75  # weight on the bigram MLE; remainder backs off to unigram
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram log-probability per document — the next model
+    up from :func:`q_unigram_logprob` on the CCNet-style quality ladder:
+    p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N. Word salad that sails
+    through a unigram filter (common words, random order) scores badly
+    here because the TRANSITIONS are improbable.
+
+    Outputs per doc: n_bigrams, ``avg_logprob`` (mean ln p over the doc's
+    bigrams), ``bigram_ppl``. Docs with < 2 tokens have no bigrams and
+    drop out (documented; both engines agree).
+
+    Plan shape: bigrams are built IN-ROW (codegen'd transform over the
+    token array — the ppmi_topk technique, no positions self-join), then:
+    one (w1,w2)-keyed count shuffle (map-side combined — the Zipfian head
+    collapses before moving), one join of the doc bigram stream back to
+    those counts on the same key (exchange reuse), and two token-keyed
+    joins for the c(w1)/c(w2) backoff terms. The unigram table is
+    |vocab|-sized — broadcastable on small corpora, a plain co-partitioned
+    shuffle join at 100 TB (Zipf skew partial-aggs away; AQE handles the
+    residual hot keys). The corpus total is a 1-row broadcast.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    arrs = docs.select(
+        "doc_id", F.split(F.trim(F.lower("text")), r"\s+").alias("arr")
+    )
+    pairs = F.expr(
+        "CASE WHEN size(arr) >= 2 THEN "
+        "transform(sequence(1, size(arr) - 1),"
+        " i -> struct(arr[i-1] AS w1, arr[i] AS w2)) "
+        "ELSE array() END"
+    )
+    bi = arrs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    toks = arrs.select("doc_id", F.explode("arr").alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    total = uni.agg(F.sum("c_tok").cast("double").alias("total"))
+    bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c_tok").alias("c2"))
+    lam = F.lit(BIGRAM_LAMBDA)
+    p = lam * (F.col("c_bi").cast("double") / F.col("c1")) + (
+        F.lit(1.0) - lam
+    ) * (F.col("c2").cast("double") / F.col("total"))
+    scored = (
+        bi.join(bic, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(p).alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            (F.sum("lp") / F.count("*")).alias("avg_lp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round("avg_lp", 6).alias("avg_logprob"),
+            F.round(F.exp(-F.col("avg_lp")), 4).alias("bigram_ppl"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = rf"""
+WITH arrs AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+    FROM documents
+),
+bi AS (
+    SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2
+    FROM arrs, unnest(range(1, len(arr))) AS t(i)
+),
+toks AS (SELECT doc_id, unnest(arr) AS tok FROM arrs),
+uni AS (SELECT tok, COUNT(*) AS c_tok FROM toks GROUP BY tok),
+total AS (SELECT CAST(SUM(c_tok) AS DOUBLE) AS total FROM uni),
+bic AS (SELECT w1, w2, COUNT(*) AS c_bi FROM bi GROUP BY 1, 2),
+scored AS (
+    SELECT b.doc_id,
+           ln({BIGRAM_LAMBDA} * (CAST(c.c_bi AS DOUBLE) / u1.c_tok)
+              + (1.0 - {BIGRAM_LAMBDA}) * (CAST(u2.c_tok AS DOUBLE) / total.total)) AS lp
+    FROM bi b
+    JOIN bic c ON b.w1 = c.w1 AND b.w2 = c.w2
+    JOIN uni u1 ON b.w1 = u1.tok
+    JOIN uni u2 ON b.w2 = u2.tok
+    CROSS JOIN total
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(lp) / COUNT(*) AS avg_lp
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       ROUND(avg_lp, 6) AS avg_logprob,
+       ROUND(exp(-avg_lp), 4) AS bigram_ppl
+FROM per_doc
+"""

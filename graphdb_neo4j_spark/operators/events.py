@@ -656,3 +656,100 @@ FROM p LEFT JOIN c
  AND c.c_ms <= p.p_ms
 GROUP BY p.event_id, p.user_id, p.p_ms
 """
+
+
+# --- rolling z-score anomaly detection ---------------------------------------
+
+ANOMALY_BASELINE_DAYS = 28
+ANOMALY_MIN_BASELINE = 7  # need a week of history before a z-score means anything
+ANOMALY_Z = 2.0
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): daily event count, trailing-28-day baseline
+    mean/std (EXCLUDING the current day), z-score, anomaly flag — the
+    standard ops/metrics spike detector run as a batch query.
+
+    Scale shape: identical to :func:`q_rolling_daily` — one shuffle down
+    to event_type × day, then every window runs over the tiny daily
+    table. The baseline stats are computed from INTEGER window sums
+    (Σn, Σn², count) rather than an engine variance aggregate, so both
+    engines evaluate the same double expression tree and the value hash
+    is bit-stable; the RANGE frame over unix_date makes calendar gaps
+    widen the window instead of sliding over rows.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-ANOMALY_BASELINE_DAYS, -1)
+    )
+    stats = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.sum("n").over(w).alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).alias("s2"),
+        F.count("n").over(w).alias("k"),
+    )
+    mean = F.col("s1").cast("double") / F.col("k")
+    # two-pass variance from exact integer sums; guard k>=2 for the n-1
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double") * mean) / (
+        F.col("k") - 1
+    )
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ok = (F.col("k") >= ANOMALY_MIN_BASELINE) & (std > 0)
+    z = F.when(ok, (F.col("n") - mean) / std)
+    return stats.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.when(F.col("k") > 0, F.round(mean, 6)).alias("baseline_mean"),
+        F.when(ok, F.round(std, 6)).alias("baseline_std"),
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts::TIMESTAMP AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, d, n,
+           SUM(n) OVER w AS s1,
+           SUM(n * n) OVER w AS s2,
+           COUNT(n) OVER w AS k
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 RANGE BETWEEN INTERVAL {ANOMALY_BASELINE_DAYS} DAY PRECEDING
+                           AND INTERVAL 1 DAY PRECEDING)
+),
+calc AS (
+    SELECT event_type, d, n, k,
+           CAST(s1 AS DOUBLE) / k AS mean,
+           sqrt(greatest((CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / k))
+                         / (k - 1), 0.0)) AS std
+    FROM stats
+),
+zz AS (
+    SELECT event_type, d, n, k, mean, std,
+           CASE WHEN k >= {ANOMALY_MIN_BASELINE} AND std > 0
+                THEN (n - mean) / std END AS z
+    FROM calc
+)
+SELECT event_type,
+       strftime(d, '%Y-%m-%d') AS day,
+       n,
+       CASE WHEN k > 0 THEN ROUND(mean, 6) END AS baseline_mean,
+       CASE WHEN k >= {ANOMALY_MIN_BASELINE} AND std > 0 THEN ROUND(std, 6) END
+           AS baseline_std,
+       ROUND(z, 6) AS z_score,
+       COALESCE(abs(z) > {ANOMALY_Z}, FALSE) AS is_anomaly
+FROM zz
+"""
