@@ -143,3 +143,52 @@ def q_cluster_balanced_sample(
             (u < F.col("keep_rate")).alias("kept"),
         )
     )
+
+
+OUTLIER_Z = -2.0
+
+
+def q_cluster_outliers(
+    spark: SparkSession, sf_dir: str, n_clusters: int = N_CLUSTERS
+) -> DataFrame:
+    """Per-vector prototypicality within its cluster: cosine to the
+    centroid, z-scored against the cluster's own cosine distribution;
+    vectors below ``OUTLIER_Z`` flag as outliers. The embedding-space
+    junk detector — mislabeled, corrupted, or off-distribution samples
+    sit far from every mode and score low even in their best cluster.
+
+    Plan shape: assignment scan + broadcast centroids → cosine per row;
+    per-cluster mean/std is a ≤k-row aggregate broadcast back; the flag
+    is row-local. The corpus shuffles once (into clusters) and never
+    again. Rows-only (KMeans placement is engine-specific); pytest
+    plants a corrupted vector and requires it to flag.
+    """
+    emb = widen_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_bytes=_LINEAR_MIN_BYTES,
+    )
+    assigned, centroids = cluster_assign(emb, n_clusters)
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+    sim = _dot(F.col("embedding"), F.col("center")) / (
+        norm(F.col("embedding")) * norm(F.col("center"))
+    )
+    sims = assigned.join(F.broadcast(centroids), "cluster_id").select(
+        "vec_id", "cluster_id", "label", sim.alias("center_cos")
+    )
+    stats = sims.groupBy("cluster_id").agg(
+        F.avg("center_cos").alias("mu"),
+        F.stddev_samp("center_cos").alias("sigma"),
+    )
+    z = F.when(
+        F.col("sigma") > 0, (F.col("center_cos") - F.col("mu")) / F.col("sigma")
+    )
+    return sims.join(F.broadcast(stats), "cluster_id").select(
+        "vec_id",
+        "cluster_id",
+        "label",
+        F.round("center_cos", 4).alias("center_cos"),
+        F.round(z, 4).alias("z_score"),
+        F.coalesce(z < OUTLIER_Z, F.lit(False)).alias("is_outlier"),
+    )

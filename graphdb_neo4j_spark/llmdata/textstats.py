@@ -892,3 +892,150 @@ SELECT doc_id, n_bigrams,
        ROUND(exp(-avg_lp), 4) AS bigram_ppl
 FROM per_doc
 """
+
+
+# --- corpus drift (history vs new batch) -------------------------------------
+
+DRIFT_TOP_TERMS = 15
+
+
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution shift between the history half (even doc_id) and the
+    incoming batch (odd doc_id — the dedup_incremental split contract):
+    per-language doc share in each half, plus smoothed KL(batch‖history)
+    over the word-unigram distribution and the batch's new-token rate.
+    The monitoring query a continuously-ingesting pipeline runs before
+    accepting a batch: a drifting source shows up as a language-share
+    jump, a KL spike, or a surge of never-seen tokens.
+
+    Output: one row per lang plus a ``__overall__`` row carrying the
+    corpus-wide KL and new-token metrics (per-lang rows carry NULLs
+    there — the union keeps the result a single relation).
+
+    Plan shape: two scans (doc metadata for shares; token explode for
+    KL), everything aggregates to |vocab| then to |langs|+1 rows before
+    any join; the KL sum is one full-outer token join of two partial-
+    agg'd count tables (co-partitioned on tok) — no corpus-sized state.
+    Smoothing: add-1 on both sides over the UNION vocabulary, so the KL
+    is finite even for tokens unique to one half; integer counts keep
+    the expression tree engine-identical.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    half = F.when(F.col("doc_id") % 2 == 0, "history").otherwise("batch")
+    shares = (
+        docs.groupBy("lang")
+        .agg(
+            F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("hist_docs"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("batch_docs"),
+        )
+    )
+    tot = docs.groupBy().agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("th"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("tb"),
+    )
+    lang_rows = shares.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "hist_docs",
+        "batch_docs",
+        F.round(F.col("hist_docs") / F.col("th"), 6).alias("hist_share"),
+        F.round(F.col("batch_docs") / F.col("tb"), 6).alias("batch_share"),
+        F.lit(None).cast("double").alias("unigram_kl"),
+        F.lit(None).cast("double").alias("new_token_rate"),
+    )
+
+    toks = docs.select(
+        half.alias("half"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+    )
+    counts = (
+        toks.groupBy("tok")
+        .agg(
+            F.sum((F.col("half") == "history").cast("long")).alias("ch"),
+            F.sum((F.col("half") == "batch").cast("long")).alias("cb"),
+        )
+    )
+    vocab_tot = counts.groupBy().agg(
+        F.sum("ch").alias("nh"),
+        F.sum("cb").alias("nb"),
+        F.count("*").alias("v"),
+        F.sum((F.col("ch") == 0).cast("long")).alias("new_types"),
+        F.sum(F.when(F.col("ch") == 0, F.col("cb")).otherwise(0)).alias("new_toks"),
+    )
+    # add-1 smoothing over the union vocabulary on both sides
+    withp = counts.crossJoin(F.broadcast(vocab_tot)).select(
+        (
+            ((F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")))
+            * F.log(
+                ((F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")))
+                / ((F.col("ch") + 1).cast("double") / (F.col("nh") + F.col("v")))
+            )
+        ).alias("term"),
+        "nb",
+        "new_toks",
+        "new_types",
+    )
+    overall = withp.groupBy().agg(
+        F.round(F.sum("term"), 6).alias("unigram_kl"),
+        F.round(F.first("new_toks") / F.first("nb"), 6).alias("new_token_rate"),
+    )
+    overall_row = overall.select(
+        F.lit("__overall__").alias("lang"),
+        F.lit(None).cast("long").alias("hist_docs"),
+        F.lit(None).cast("long").alias("batch_docs"),
+        F.lit(None).cast("double").alias("hist_share"),
+        F.lit(None).cast("double").alias("batch_share"),
+        "unigram_kl",
+        "new_token_rate",
+    )
+    return lang_rows.unionByName(overall_row)
+
+
+CORPUS_DRIFT_SQL = r"""
+WITH shares AS (
+    SELECT lang,
+           SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS hist_docs,
+           SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS batch_docs
+    FROM documents GROUP BY lang
+),
+tot AS (
+    SELECT SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS th,
+           SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS tb
+    FROM documents
+),
+toks AS (
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'history' ELSE 'batch' END AS half,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents
+),
+counts AS (
+    SELECT tok,
+           SUM(CASE WHEN half = 'history' THEN 1 ELSE 0 END) AS ch,
+           SUM(CASE WHEN half = 'batch' THEN 1 ELSE 0 END) AS cb
+    FROM toks GROUP BY tok
+),
+vocab_tot AS (
+    SELECT SUM(ch) AS nh, SUM(cb) AS nb, COUNT(*) AS v,
+           SUM(CASE WHEN ch = 0 THEN 1 ELSE 0 END) AS new_types,
+           SUM(CASE WHEN ch = 0 THEN cb ELSE 0 END) AS new_toks
+    FROM counts
+),
+overall AS (
+    SELECT ROUND(SUM((CAST(cb + 1 AS DOUBLE) / (nb + v))
+                     * ln((CAST(cb + 1 AS DOUBLE) / (nb + v))
+                          / (CAST(ch + 1 AS DOUBLE) / (nh + v)))), 6) AS unigram_kl,
+           ROUND(CAST(ANY_VALUE(new_toks) AS DOUBLE) / ANY_VALUE(nb), 6)
+               AS new_token_rate
+    FROM counts CROSS JOIN vocab_tot
+)
+SELECT lang,
+       CAST(hist_docs AS BIGINT) AS hist_docs,
+       CAST(batch_docs AS BIGINT) AS batch_docs,
+       ROUND(CAST(hist_docs AS DOUBLE) / th, 6) AS hist_share,
+       ROUND(CAST(batch_docs AS DOUBLE) / tb, 6) AS batch_share,
+       CAST(NULL AS DOUBLE) AS unigram_kl,
+       CAST(NULL AS DOUBLE) AS new_token_rate
+FROM shares CROSS JOIN tot
+UNION ALL
+SELECT '__overall__', NULL, NULL, NULL, NULL, unigram_kl, new_token_rate
+FROM overall
+"""

@@ -41,3 +41,28 @@ def test_single_token_docs_drop_out(spark, tmp_path):
     out = {r["doc_id"]: r for r in textstats.q_bigram_logprob(spark, str(tmp_path)).collect()}
     assert set(out) == {2}
     assert out[2]["n_bigrams"] == 1
+
+
+def test_corpus_drift_detects_injected_shift(spark, tmp_path):
+    """history = english prose; batch = half same, half a new vocabulary —
+    the overall row must show a clearly positive KL and new-token rate,
+    and the language shares must reflect the injected lang flip."""
+    from graphdb_neo4j_spark.llmdata import textstats
+
+    rows = []
+    for i in range(0, 40, 2):  # history: even ids, english
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en", "s", 43))
+    for i in range(1, 20, 2):  # batch part 1: same distribution
+        rows.append((i, "the quick brown fox jumps over the lazy dog", "en", "s", 43))
+    for i in range(21, 40, 2):  # batch part 2: drifted source, new tokens
+        rows.append((i, "zzq wvx qqj kkp zzq wvx mmr ttb", "de", "s", 31))
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = {r["lang"]: r for r in textstats.q_corpus_drift(spark, str(tmp_path)).collect()}
+    ov = out["__overall__"]
+    assert ov["unigram_kl"] > 0.5  # half the batch mass sits on unseen tokens
+    assert ov["new_token_rate"] > 0.3
+    assert out["en"]["hist_share"] == 1.0
+    assert out["de"]["hist_docs"] == 0 and out["de"]["batch_docs"] == 10

@@ -64,3 +64,33 @@ def test_balanced_sample_is_deterministic(spark, separable):
     a = {(r["vec_id"], r["kept"]) for r in clustering.q_cluster_balanced_sample(spark, separable, n_clusters=3).collect()}
     b = {(r["vec_id"], r["kept"]) for r in clustering.q_cluster_balanced_sample(spark, separable, n_clusters=3).collect()}
     assert a == b
+
+
+def test_outlier_detection_flags_planted_corruption(spark, tmp_path):
+    """Three tight clusters plus one corrupted vector (noise, far from all
+    modes): only the corruption flags."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for c in range(3):
+        base = np.zeros(64)
+        base[c] = 1.0
+        for i in range(30):
+            v = base + rng.normal(0, 0.02, 64)
+            rows.append((c * 30 + i, [float(x) for x in v / np.linalg.norm(v)], c))
+    junk = rng.normal(0, 1, 64)
+    rows.append((999, [float(x) for x in junk / np.linalg.norm(junk)], 0))
+    spark.createDataFrame(
+        rows, schema="vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    out = clustering.q_cluster_outliers(spark, str(tmp_path), n_clusters=3).collect()
+    flagged = {r["vec_id"] for r in out if r["is_outlier"]}
+    assert 999 in flagged
+    # a z<-2 gate flags ~2% of inliers by construction; the corruption must
+    # still be a small, extreme minority
+    assert len(flagged) <= 6
+    z = {r["vec_id"]: r["z_score"] for r in out}
+    assert z[999] < -5  # far outside its best cluster's cosine band
+    assert z[999] == min(v for v in z.values() if v is not None)
