@@ -92,3 +92,83 @@ def files_touched(df_read: DataFrame) -> int:
             F.input_file_name().alias("f")
         ).distinct().count()
     )
+
+
+# --- time-partitioned event layout (hypertable chunking) ---------------------
+#
+# The standard at-rest shape for an append-heavy event table: hive-style
+# day partitions so time predicates become PARTITION pruning (directories
+# never listed, not just files skipped), with hour-sorted rows inside each
+# partition for tight row-group stats on the residual range. Plus the
+# companion every real deployment needs: small-file compaction — streaming
+# ingest drops a file per micro-batch per partition, and a 100 TB table
+# dies by a thousand 2 MB files long before it dies by data volume.
+
+
+def write_events_partitioned(
+    ev: DataFrame, path: str, files_per_day: int = 1, mode: str = "overwrite"
+) -> None:
+    """Write events hive-partitioned by event day (``d=YYYY-MM-DD``
+    directories), rows sorted by ``ts`` within each file.
+
+    One shuffle keyed on the day (plus an intra-day split when
+    ``files_per_day`` > 1 so one hot day doesn't become one giant task —
+    the writer-side analog of salting); ``mode="append"`` is the
+    micro-batch ingest path that :func:`compact_partition` cleans up
+    after.
+    """
+    part = ev.withColumn("d", F.date_format("ts", "yyyy-MM-dd"))
+    if files_per_day > 1:
+        # deterministic intra-day splitter so one hot day fans out over
+        # several writer tasks (and therefore several files)
+        split = F.pmod(F.xxhash64("event_id"), F.lit(files_per_day))
+        part = part.repartition("d", split)
+    else:
+        part = part.repartition("d")
+    (
+        part.sortWithinPartitions("d", "ts")
+        .write.mode(mode)
+        .partitionBy("d")
+        .parquet(path)
+    )
+
+
+def read_events_partitioned(spark, path: str) -> DataFrame:
+    """Read the partitioned store; ``d`` comes back as the partition
+    column, so ``WHERE d >= '...'`` prunes directories at planning time
+    (``PartitionFilters`` in the scan, pinned by ``test_layout``)."""
+    return spark.read.parquet(path)
+
+
+def compact_partition(spark, path: str, day: str, target_files: int = 1) -> int:
+    """Rewrite ONE day partition into ``target_files`` ts-sorted files;
+    returns the file count before compaction.
+
+    Partition-scoped on purpose: compaction must not touch live ingest on
+    other days, and rewriting a bounded slice keeps the operation O(day),
+    not O(table) — run it behind the watermark where the partition is
+    closed. The rewrite stages into ``_compact_tmp`` inside the partition
+    directory and swaps in atomically-enough for a single-writer batch
+    context (a table format's commit log is the real fix at scale;
+    SURVEY.md §7.4-H1 covers that seam).
+    """
+    import glob
+    import os
+    import shutil
+
+    part_dir = f"{path}/d={day}"
+    before = len(glob.glob(f"{part_dir}/*.parquet"))
+    tmp = f"{part_dir}/_compact_tmp"
+    (
+        spark.read.parquet(part_dir)
+        .repartition(target_files)
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    for f in glob.glob(f"{part_dir}/*.parquet"):
+        os.remove(f)
+    for i, f in enumerate(sorted(glob.glob(f"{tmp}/*.parquet"))):
+        shutil.move(f, f"{part_dir}/compacted-{i:05d}.parquet")
+    shutil.rmtree(tmp)
+    return before

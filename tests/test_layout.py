@@ -82,3 +82,68 @@ def test_distinct_rollup_merged_equals_direct(spark, sf_correct):
         assert abs(r["direct_users"] - exact[r["event_type"]]) <= max(
             2, 0.05 * exact[r["event_type"]]
         )
+
+
+def test_time_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "events_by_day")
+    layout.write_events_partitioned(ev, path)
+
+    days = sorted(
+        str(r["d"])  # partition-column type inference reads d= as DATE
+        for r in layout.read_events_partitioned(spark, path).select("d").distinct().collect()
+    )
+    assert len(days) > 1
+    target = days[len(days) // 2]
+    q = layout.read_events_partitioned(spark, path).filter(F.col("d") == target)
+
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and target in plan  # pruned at planning
+    assert layout.files_touched(q) <= max(
+        1, layout.files_touched(layout.read_events_partitioned(spark, path)) // len(days)
+    )
+    # row fidelity vs the unpartitioned source
+    expect = ev.filter(F.date_format("ts", "yyyy-MM-dd") == target).count()
+    assert q.count() == expect
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "ingest")
+    # simulate micro-batch ingest: 4 appends → ≥4 files per partition
+    for i in range(4):
+        layout.write_events_partitioned(
+            ev.filter(F.pmod("event_id", F.lit(4)) == i), path, mode="append"
+        )
+    days = sorted(
+        str(r["d"])
+        for r in layout.read_events_partitioned(spark, path).select("d").distinct().collect()
+    )
+    target = days[0]
+    before_rows = {
+        tuple(r)
+        for r in layout.read_events_partitioned(spark, path)
+        .filter(F.col("d") == target)
+        .drop("d")
+        .collect()
+    }
+    other = layout.read_events_partitioned(spark, path).filter(F.col("d") != target).count()
+
+    import glob
+
+    n_before = layout.compact_partition(spark, path, target)
+    assert n_before >= 4
+    assert len(glob.glob(f"{path}/d={target}/*.parquet")) == 1
+
+    after_rows = {
+        tuple(r)
+        for r in layout.read_events_partitioned(spark, path)
+        .filter(F.col("d") == target)
+        .drop("d")
+        .collect()
+    }
+    assert after_rows == before_rows  # byte-level row fidelity
+    assert (
+        layout.read_events_partitioned(spark, path).filter(F.col("d") != target).count()
+        == other
+    )  # untouched partitions stay untouched
