@@ -1,0 +1,75 @@
+"""Shuffle-budget contracts: each operator's documented plan shape, pinned
+via the structured audit (graphdb_neo4j_spark.plans) on the EXECUTED plan.
+
+A regression that adds an exchange, demotes a broadcast to a sort-merge
+join, or drops a scan pushdown fails here — not in a 100×-scale incident.
+Budgets are the documented contracts from PLANS.md, asserted as ≤ so AQE
+runtime coalescing can only improve them.
+"""
+
+import pytest
+
+from graphdb_neo4j_spark.plans import assert_max_exchanges, assert_no_cartesian, audit
+
+
+def _run(df):
+    df.count()  # materialize so the audit sees AQE's final plan
+    return df
+
+
+# (query, max shuffle exchanges, joins must all be broadcast, no cartesian)
+CONTRACTS = [
+    ("quality_classifier", 1, True, True),
+    ("quality_classifier_hashed", 1, True, True),
+    ("events_anomaly", 2, True, True),
+    ("shipping_priority", 2, True, True),
+    ("nation_revenue", 2, True, True),
+    ("late_shipment_priority", 1, True, True),
+    ("holdout_split", 0, True, True),
+    ("stratified_sample", 0, True, True),
+    ("pricing_summary", 1, True, True),
+    ("rolling_daily", 2, True, True),
+    ("top_parts_by_revenue", 2, True, True),
+    # corpus_drift's two 1-row broadcast crossJoins ARE nested-loop by
+    # design (a single-row build side) — cartesian check off for it
+    ("corpus_drift", 3, True, False),
+]
+
+
+@pytest.mark.parametrize("name,max_shuf,bcast_only,no_cart", CONTRACTS)
+def test_shuffle_budget(name, max_shuf, bcast_only, no_cart, spark, sf_dir):
+    from graphdb_neo4j_spark.registry import all_queries
+
+    df = _run(all_queries()[name].fn(spark, sf_dir))
+    a = assert_max_exchanges(df, max_shuf)
+    if no_cart:
+        assert_no_cartesian(df)
+    if bcast_only:
+        assert a.sort_merge_joins == 0, f"{name}: SMJ crept into the plan"
+
+
+def test_pushdown_reaches_every_olap_scan(spark, sf_dir):
+    """The Q3 shape must push all three per-table predicates to the scans."""
+    from graphdb_neo4j_spark.operators import olap
+
+    a = audit(_run(olap.q_shipping_priority(spark, sf_dir)))
+    joined = ";".join(a.pushed_filters)
+    assert "l_shipdate" in joined and "o_orderdate" in joined
+    assert "c_mktsegment" in joined and "BUILDING" in joined
+
+
+def test_partition_filters_visible_on_partitioned_store(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.events import load_events
+    from graphdb_neo4j_spark.sources import layout
+
+    path = str(tmp_path / "ev")
+    layout.write_events_partitioned(load_events(spark, sf_dir), path)
+    day = str(
+        layout.read_events_partitioned(spark, path).select("d").distinct().collect()[0]["d"]
+    )
+    q = _run(layout.read_events_partitioned(spark, path).filter(F.col("d") == day))
+    a = audit(q)
+    assert a.partition_filters, "day predicate did not become a PartitionFilter"
+    assert a.shuffle_exchanges == 0
