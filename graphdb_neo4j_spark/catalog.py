@@ -428,5 +428,13 @@ register("events_anomaly", events.q_events_anomaly, events.EVENTS_ANOMALY_SQL)
 register("bigram_logprob", textstats.q_bigram_logprob, textstats.BIGRAM_LOGPROB_SQL)
 register("corpus_drift", textstats.q_corpus_drift, textstats.CORPUS_DRIFT_SQL)
 register("cluster_outliers", clustering.q_cluster_outliers, None)  # KMeans placement
+
+from graphdb_neo4j_spark.streaming import rollup_maintain
+
+register(
+    "stream_rollup",
+    rollup_maintain.q_stream_rollup,
+    events.EVENTS_HOURLY_SQL,  # incremental maintenance must be invisible
+)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates
