@@ -436,5 +436,16 @@ register(
     rollup_maintain.q_stream_rollup,
     events.EVENTS_HOURLY_SQL,  # incremental maintenance must be invisible
 )
+register(
+    "promo_revenue_disjunctive",
+    olap.q_promo_revenue_disjunctive,
+    olap.PROMO_REVENUE_DISJUNCTIVE_SQL,
+)
+register(
+    "quality_gate",
+    lambda spark, sf: classifier.q_quality_gate(spark, sf),
+    classifier.quality_gate_sql(),
+)
+register("dedup_incremental_minhash", dedup.q_dedup_incremental_minhash, None)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

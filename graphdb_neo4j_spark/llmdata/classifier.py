@@ -182,3 +182,49 @@ SELECT doc_id,
                                       / (1000.0 * n_tokens)))), 6) >= 0.5 AS keep
 FROM scored
 """
+
+
+GATE_KEEP_FRAC = 0.6  # keep the top 60% by classifier score
+
+
+def q_quality_gate(
+    spark: SparkSession, sf_dir: str, keep_frac: float = GATE_KEEP_FRAC
+) -> DataFrame:
+    """Top-fraction quality gate: score every document with the linear
+    classifier, find the corpus (1−keep_frac)-quantile of the score, and
+    keep docs at or above it — "train on the best 60%", the relative form
+    of quality filtering (an absolute 0.5 cut keeps whatever the corpus
+    happens to contain; a quantile cut keeps a BUDGET).
+
+    Plan shape: the classifier's one shuffle, then the threshold is a
+    1-ROW exact-percentile aggregate broadcast back over the scored
+    table — no global sort, no window over the corpus (percent_rank
+    would single-partition the world). The exact percentile buffers the
+    score multiset in one aggregator; at 100 TB swap `percentile` for
+    `approx_percentile` (mergeable GK sketch, same plan shape) and keep
+    the oracle on sampled slices — the sketch_profile precedent.
+    """
+    scored = q_quality_classifier(spark, sf_dir).localCheckpoint(eager=False)
+    thr = scored.agg(
+        F.round(
+            F.expr(f"percentile(quality_score, {1.0 - keep_frac})"), 6
+        ).alias("threshold")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "quality_score",
+        "threshold",
+        (F.col("quality_score") >= F.col("threshold")).alias("kept"),
+    )
+
+
+def quality_gate_sql(keep_frac: float = GATE_KEEP_FRAC) -> str:
+    return f"""
+WITH scored_full AS ({quality_classifier_sql().strip()}),
+scored AS (SELECT doc_id, quality_score FROM scored_full),
+thr AS (SELECT ROUND(quantile_cont(quality_score, {1.0 - keep_frac}), 6)
+               AS threshold FROM scored)
+SELECT doc_id, quality_score, threshold,
+       quality_score >= threshold AS kept
+FROM scored CROSS JOIN thr
+"""

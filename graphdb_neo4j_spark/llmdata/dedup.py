@@ -832,3 +832,18 @@ def probe_minhash_store(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of the at-rest incremental path: build the history
+    MinHash store fresh (in production it already exists — the build is
+    the one-time backfill), probe it with the batch, return the estimated
+    near-dup pairs. rows-only (engine hashing in the signatures); pytest
+    pins recall against the exact cross-split pairs."""
+    import tempfile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist, batch = split_history_batch(docs)
+    store = tempfile.mkdtemp(prefix="minhash_store_")
+    write_minhash_store(hist, store)
+    return probe_minhash_store(spark, store, batch)

@@ -343,3 +343,62 @@ WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
   )
 GROUP BY o_orderpriority
 """
+
+
+def q_promo_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive join filter: revenue from lineitems
+    whose PART matches any of three (brand, size-range, quantity-range)
+    clause groups — an OR-of-ANDs spanning both join sides.
+
+    Scale shape: the part-side half of each disjunct (brand ∈ …, size
+    range) pushes to the part scan as one OR predicate (`PushedFilters`
+    carries the Or tree); survivors broadcast into lineitem, and the
+    cross-side residual (each disjunct's quantity range tied to ITS
+    brand group) evaluates inside the broadcast join. The lineitem scan
+    keeps a pushed quantity envelope (the union of the ranges) — Catalyst
+    derives it by constant-folding the disjunction, so the fact scan
+    skips row groups even though the precise predicate needs the join.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    p = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    both = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.filter(F.col("l_quantity").between(1, 30))
+        .join(
+            F.broadcast(part.filter(p).select("p_partkey", "p_brand", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(both)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(F.col("p_brand").alias("brand"), "revenue", "n_lines")
+    )
+
+
+PROMO_REVENUE_DISJUNCTIVE_SQL = """
+SELECT p_brand AS brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_quantity BETWEEN 1 AND 30
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
+GROUP BY p_brand
+"""

@@ -45,8 +45,19 @@ class PlanAudit:
 
 
 def _plan_string(df: DataFrame, executed: bool = True) -> str:
-    qe = df._jdf.queryExecution()
-    return (qe.executedPlan() if executed else qe.sparkPlan()).toString()
+    # Scan metadata (PushedFilters, ReadSchema, Location) truncates at
+    # spark.sql.maxMetadataStringLength chars by default — a long Or(...)
+    # pushdown would vanish mid-list and the audit would under-report.
+    # Render with a wide limit, then restore.
+    spark = df.sparkSession
+    key = "spark.sql.maxMetadataStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "10000")
+    try:
+        qe = df._jdf.queryExecution()
+        return (qe.executedPlan() if executed else qe.sparkPlan()).toString()
+    finally:
+        spark.conf.set(key, old)
 
 
 def audit(df: DataFrame, executed: bool = True) -> PlanAudit:

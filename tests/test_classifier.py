@@ -58,3 +58,20 @@ def test_hashed_bucket_weights_bounded(spark, crafted):
     # the open sigmoid(±8) band, never saturated to exactly 0/1
     for r in classifier.q_quality_classifier_hashed(spark, crafted).collect():
         assert 0.000335 < r["quality_score"] < 0.999665
+
+
+def test_quality_gate_keeps_the_budgeted_fraction(spark, sf_correct):
+    from graphdb_neo4j_spark.llmdata.classifier import q_quality_gate
+
+    rows = q_quality_gate(spark, sf_correct, keep_frac=0.6).collect()
+    n = len(rows)
+    kept = sum(r["kept"] for r in rows)
+    # quantile cut keeps the budget up to score ties at the threshold
+    assert 0.55 * n <= kept <= 0.7 * n
+    thr = rows[0]["threshold"]
+    for r in rows:
+        assert r["kept"] == (r["quality_score"] >= thr)
+    # every kept doc scores >= every dropped doc's score... at the boundary
+    assert min(r["quality_score"] for r in rows if r["kept"]) >= max(
+        (r["quality_score"] for r in rows if not r["kept"]), default=0.0
+    )

@@ -73,3 +73,15 @@ def test_partition_filters_visible_on_partitioned_store(spark, sf_dir, tmp_path)
     a = audit(q)
     assert a.partition_filters, "day predicate did not become a PartitionFilter"
     assert a.shuffle_exchanges == 0
+
+
+def test_disjunctive_predicate_pushes_to_part_scan(spark, sf_dir):
+    """Q19 shape: the OR-of-ANDs part half must reach the part scan, and
+    the quantity envelope must reach the lineitem scan."""
+    from graphdb_neo4j_spark.operators import olap
+
+    a = audit(_run(olap.q_promo_revenue_disjunctive(spark, sf_dir)))
+    joined = ";".join(a.pushed_filters)
+    assert "Or(" in joined and "p_brand" in joined and "p_size" in joined
+    assert "l_quantity" in joined
+    assert a.sort_merge_joins == 0 and a.shuffle_exchanges <= 1
