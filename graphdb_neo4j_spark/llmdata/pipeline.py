@@ -115,3 +115,126 @@ def run_corpus_pipeline(
         chunks=n_chunks,
         kept_tokens=int(kept_tokens),
     )
+
+
+# --- continuous-ingest curation (batch-vs-history) ---------------------------
+
+
+@dataclass(frozen=True)
+class CurationReport:
+    batch_docs: int
+    kept_docs: int
+    dropped_by_reason: dict[str, int]  # near_dup_history / low_quality
+    drift_kl: float
+    drift_new_token_rate: float
+    split_counts: dict[str, int]  # train / eval over the kept docs
+
+    @property
+    def dropped_docs(self) -> int:
+        return sum(self.dropped_by_reason.values())
+
+
+def run_curation_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_base: str,
+    keep_frac: float = 0.6,
+    max_drift_kl: float = 10.0,
+) -> CurationReport:
+    """The CONTINUOUS-ingest curation stack — what runs on every new batch
+    once the corpus already exists (``run_corpus_pipeline`` is the cold-
+    start backfill). History = even doc_ids, batch = odd (the repo's
+    incremental split contract). Stages, each a registered operator:
+
+    1. drift gate      — ``q_corpus_drift``: reject the batch outright if
+       KL(batch‖history) exceeds ``max_drift_kl`` (a poisoned or
+       mis-routed source never reaches dedup cost).
+    2. incremental dedup — ``q_dedup_incremental``: batch docs near-
+       duplicating HISTORY drop first (precedence: a duplicate is a
+       duplicate regardless of its quality score).
+    3. quality gate    — ``q_quality_gate``: survivors keep only the top
+       ``keep_frac`` by classifier score (budgeted, corpus-relative).
+    4. holdout split   — ``q_holdout_split``: kept docs get leakage-free
+       train/eval membership (pure doc_id function).
+    5. signature store — history + kept batch signatures land in
+       ``{out_base}/minhash_store`` (``mode=append`` for the batch), so
+       the NEXT batch probes without touching this one's text.
+
+    Every batch doc is kept or attributed to exactly ONE drop reason —
+    closed accounting, pytest-pinned.
+    """
+    from graphdb_neo4j_spark.llmdata.classifier import q_quality_gate
+    from graphdb_neo4j_spark.llmdata.dedup import (
+        q_dedup_incremental,
+        split_history_batch,
+        write_minhash_store,
+    )
+    from graphdb_neo4j_spark.llmdata.filterset import q_holdout_split
+    from graphdb_neo4j_spark.llmdata.textstats import q_corpus_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist, batch = split_history_batch(docs)
+
+    drift = q_corpus_drift(spark, sf_dir)
+    drift.write.mode("overwrite").parquet(f"{out_base}/drift_report.parquet")
+    overall = drift.filter(F.col("lang") == "__overall__").collect()[0]
+    kl = float(overall["unigram_kl"])
+    new_rate = float(overall["new_token_rate"])
+    if kl > max_drift_kl:
+        raise ValueError(
+            f"batch rejected: unigram KL {kl} exceeds gate {max_drift_kl}"
+        )
+
+    dup_new_ids = (
+        q_dedup_incremental(spark, sf_dir)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+    )
+    gate = q_quality_gate(spark, sf_dir, keep_frac=keep_frac).select(
+        "doc_id", "kept"
+    )
+
+    verdicts = (
+        batch.select("doc_id")
+        .join(dup_new_ids.withColumn("is_dup", F.lit(True)), "doc_id", "left")
+        .join(gate, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.coalesce(F.col("is_dup"), F.lit(False)), "near_dup_history")
+            .when(~F.coalesce(F.col("kept"), F.lit(False)), "low_quality")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )
+    reasons = {
+        r["verdict"]: r["n"]
+        for r in verdicts.groupBy("verdict").agg(F.count("*").alias("n")).collect()
+    }
+    kept = reasons.pop("keep", 0)
+
+    keep_ids = verdicts.filter(F.col("verdict") == "keep").select("doc_id")
+    curated = docs.join(keep_ids, "doc_id", "left_semi")
+    split = q_holdout_split(spark, sf_dir).select("doc_id", "split")
+    curated.join(split, "doc_id").write.mode("overwrite").parquet(
+        f"{out_base}/curated/documents.parquet"
+    )
+    split_counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(f"{out_base}/curated/documents.parquet")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    store = f"{out_base}/minhash_store"
+    write_minhash_store(hist, store)
+    write_minhash_store(curated, store, mode="append")
+
+    return CurationReport(
+        batch_docs=batch.count(),
+        kept_docs=kept,
+        dropped_by_reason=reasons,
+        drift_kl=kl,
+        drift_new_token_rate=new_rate,
+        split_counts=split_counts,
+    )

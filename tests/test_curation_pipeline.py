@@ -1,0 +1,76 @@
+"""Continuous-ingest curation pipeline: closed accounting, drop-reason
+precedence, drift gate, store growth."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.llmdata import pipeline
+
+
+@pytest.fixture(scope="module")
+def report(spark, sf_correct, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("curation"))
+    return pipeline.run_curation_pipeline(spark, sf_correct, out), out
+
+
+def test_accounting_closes(spark, sf_correct, report):
+    rep, _ = report
+    assert rep.batch_docs == rep.kept_docs + rep.dropped_docs
+    batch_n = (
+        spark.read.parquet(f"{sf_correct}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 1)
+        .count()
+    )
+    assert rep.batch_docs == batch_n
+    assert set(rep.dropped_by_reason) <= {"near_dup_history", "low_quality"}
+
+
+def test_curated_set_matches_report_and_is_batch_only(spark, report):
+    rep, out = report
+    curated = spark.read.parquet(f"{out}/curated/documents.parquet")
+    assert curated.count() == rep.kept_docs
+    assert curated.filter(F.col("doc_id") % 2 == 0).count() == 0  # batch only
+    assert sum(rep.split_counts.values()) == rep.kept_docs
+
+
+def test_dup_precedence_over_quality(spark, sf_correct, report):
+    """A batch doc that is BOTH a history near-dup and low quality must be
+    attributed to near_dup_history (the earlier gate)."""
+    from graphdb_neo4j_spark.llmdata.dedup import q_dedup_incremental
+
+    rep, out = report
+    dup_ids = {
+        r["new_id"] for r in q_dedup_incremental(spark, sf_correct).collect()
+    }
+    if not dup_ids:
+        pytest.skip("fixture has no cross-split near-dups at this SF")
+    curated_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/curated/documents.parquet").collect()
+    }
+    assert not (dup_ids & curated_ids)  # no history dup survives, ever
+    assert rep.dropped_by_reason.get("near_dup_history", 0) == len(dup_ids)
+
+
+def test_store_contains_history_plus_kept_batch(spark, sf_correct, report):
+    rep, out = report
+    sigs = spark.read.parquet(f"{out}/minhash_store/sigs")
+    hist_n = (
+        spark.read.parquet(f"{sf_correct}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .count()
+    )
+    # every history doc + every kept batch doc with ≥1 shingle signs in
+    assert hist_n + rep.kept_docs >= sigs.count() >= hist_n
+
+
+def test_drift_gate_rejects_poisoned_batch(spark, tmp_path):
+    rows = [(i, "the quick brown fox jumps over the dog", "en", "s", 38) for i in range(0, 40, 2)]
+    rows += [(i, "zzq wvx qqj kkp mmr ttb glk hhw", "de", "s", 31) for i in range(1, 40, 2)]
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    with pytest.raises(ValueError, match="batch rejected"):
+        pipeline.run_curation_pipeline(
+            spark, str(tmp_path), str(tmp_path / "out"), max_drift_kl=1.0
+        )
