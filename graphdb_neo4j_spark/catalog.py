@@ -447,5 +447,10 @@ register(
     classifier.quality_gate_sql(),
 )
 register("dedup_incremental_minhash", dedup.q_dedup_incremental_minhash, None)
+register(
+    "top_return_customers",
+    olap.q_top_return_customers,
+    olap.top_return_customers_sql(),
+)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

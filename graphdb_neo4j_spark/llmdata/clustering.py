@@ -116,15 +116,16 @@ def q_cluster_balanced_sample(
         min_bytes=_LINEAR_MIN_BYTES,
     )
     assigned, _ = cluster_assign(emb, n_clusters)
-    total = assigned.count()
-    cap = int(total * cap_frac)
-    rates = (
-        assigned.groupBy("cluster_id")
-        .agg(F.count("*").alias("n"))
-        .select(
-            "cluster_id",
-            F.least(F.lit(1.0), F.lit(cap) / F.col("n")).alias("keep_rate"),
-        )
+    # cap derives from the ≤k-row count table (sum over a window of the
+    # whole tiny table) — no separate corpus-count job, and the KMeans
+    # assignment lineage is consumed exactly twice (counts + output)
+    counts = assigned.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    rates = counts.select(
+        "cluster_id",
+        F.least(
+            F.lit(1.0), F.floor(total * cap_frac) / F.col("n")
+        ).alias("keep_rate"),
     )
     # Deterministic per-id uniform in [0,1): the same LCG-on-id primitive
     # as filterset.q_holdout_split (BIGINT-safe arithmetic; a re-run,

@@ -402,3 +402,73 @@ WHERE l_quantity BETWEEN 1 AND 30
     OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))
 GROUP BY p_brand
 """
+
+
+def q_top_return_customers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q10-shaped returned-item ranking: customers who returned the
+    most revenue in one quarter, with their nation attached.
+
+    Scale shape: both fact filters push to the scans (returnflag on
+    lineitem, the date range on orders); lineitem⋈orders is the one real
+    shuffle; revenue aggregates to ≤|customers| rows BEFORE the customer
+    and nation dimensions broadcast on; top-k is TakeOrderedAndProject.
+    Aggregating before the dimension joins keeps the join build sides
+    payload-free — the classic "join late, join small" reporting shape.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01"))
+            ).select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+            F.col("c_acctbal").alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(k)
+    )
+
+
+def top_return_customers_sql(k: int = 20) -> str:
+    return f"""
+SELECT c_custkey AS custkey, c_name AS cust_name, n_name AS nation,
+       c_acctbal AS acctbal,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, custkey ASC
+LIMIT {k}
+"""
