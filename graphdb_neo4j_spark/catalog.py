@@ -452,5 +452,6 @@ register(
     olap.q_top_return_customers,
     olap.top_return_customers_sql(),
 )
+register("decontaminated", scrub.q_decontaminated, scrub.decontaminated_sql())
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

@@ -155,3 +155,39 @@ JOIN bench b ON g.gram = b.gram
 WHERE g.doc_id >= {bench_max_id}
 GROUP BY g.doc_id
 """
+
+
+def q_decontaminated(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = NGRAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+) -> DataFrame:
+    """The decontamination OUTPUT: every non-benchmark doc with zero
+    benchmark 13-gram collisions — ``q_contamination``'s complement as a
+    LEFT ANTI join, the form the training pipeline actually consumes
+    (GPT-3-style: drop, don't just report).
+
+    Plan shape: the contaminated-id set is small (collisions are rare by
+    construction), so the anti join broadcasts it; the docs scan stays
+    column-pruned to the output columns.
+    """
+    flagged = q_contamination(spark, sf_dir, width, bench_max_id).select("doc_id")
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("doc_id") >= bench_max_id)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def decontaminated_sql(
+    width: int = NGRAM_WIDTH, bench_max_id: int = BENCH_MAX_ID
+) -> str:
+    return f"""
+WITH contaminated AS ({contamination_sql(width, bench_max_id).strip()})
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id >= {bench_max_id}
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""

@@ -129,3 +129,85 @@ def test_asof_join_matches_reference(spark, rows):
         for eid, (prior, n) in _asof_ref(events).items()
     }
     assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_md5_bucket_is_engine_portable(spark, tokens):
+    """The hashing-trick classifier's portability claim, property-tested:
+    Spark's conv(substr(md5,1,8),16,10) % B must equal DuckDB's
+    ('0x'||substr(md5,1,8))::BIGINT % B for ARBITRARY unicode tokens —
+    md5 operates on identical UTF-8 bytes in both engines."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata.classifier import N_BUCKETS
+
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    got = {
+        r["token"]: r["b"]
+        for r in df.select(
+            "token",
+            (
+                F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+                % N_BUCKETS
+            ).alias("b"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(token VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(t,) for t in tokens])
+    want = dict(
+        con.execute(
+            f"SELECT token, CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT)"
+            f" % {N_BUCKETS} FROM t"
+        ).fetchall()
+    )
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=8_000_000_000), min_size=1, max_size=50, unique=True))
+def test_lcg_bucket_is_engine_portable(spark, ids):
+    """The id-keyed LCG (holdout split / stratified / cluster-cap
+    membership) must agree across engines over its documented domain:
+    ids small enough that id*a stays inside int64 (~8.3e9 — Spark ANSI
+    mode hard-errors past it rather than silently wrapping, which is
+    itself the right behavior; DuckDB would widen to int128 and the
+    engines would silently disagree)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata.filterset import _LCG_A, _LCG_C, _LCG_M
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id",
+            (
+                ((F.col("doc_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M))
+                % 100
+            ).alias("b"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    want = dict(
+        con.execute(
+            f"SELECT doc_id, (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} % 100 FROM t"
+        ).fetchall()
+    )
+    assert got == want
