@@ -425,8 +425,18 @@ register(
     None,  # cluster ids are engine-specific; membership itself is the LCG
 )
 register("events_anomaly", events.q_events_anomaly, events.EVENTS_ANOMALY_SQL)
-register("bigram_logprob", textstats.q_bigram_logprob, textstats.BIGRAM_LOGPROB_SQL)
-register("corpus_drift", textstats.q_corpus_drift, textstats.CORPUS_DRIFT_SQL)
+register(
+    "bigram_logprob",
+    textstats.q_bigram_logprob,
+    textstats.BIGRAM_LOGPROB_SQL,
+    bench=True,  # the LM-scoring ladder's transition model
+)
+register(
+    "corpus_drift",
+    textstats.q_corpus_drift,
+    textstats.CORPUS_DRIFT_SQL,
+    bench=True,  # the per-batch accept gate
+)
 register("cluster_outliers", clustering.q_cluster_outliers, None)  # KMeans placement
 
 from graphdb_neo4j_spark.streaming import rollup_maintain
@@ -440,11 +450,13 @@ register(
     "promo_revenue_disjunctive",
     olap.q_promo_revenue_disjunctive,
     olap.PROMO_REVENUE_DISJUNCTIVE_SQL,
+    bench=True,  # the disjunctive-pushdown anchor
 )
 register(
     "quality_gate",
     lambda spark, sf: classifier.q_quality_gate(spark, sf),
     classifier.quality_gate_sql(),
+    bench=True,
 )
 register("dedup_incremental_minhash", dedup.q_dedup_incremental_minhash, None)
 register(
