@@ -61,10 +61,24 @@ def _plan_string(df: DataFrame, executed: bool = True) -> str:
 
 
 def audit(df: DataFrame, executed: bool = True) -> PlanAudit:
-    """Audit ``df``'s physical plan. With ``executed=True`` (default) the
-    query must have RUN for AQE's final plan to be materialized — call an
-    action first; pre-run the string still parses but shows the initial
-    plan, which overstates sort-merge joins that AQE later demotes."""
+    """Audit ``df``'s physical plan.
+
+    Two rendering states, both useful, with different count semantics:
+
+    - PRE-final adaptive plan (``df.count()`` ran, or nothing ran): every
+      operator renders exactly once — structural counts (exchanges,
+      joins, scans) are EXACT for the statically-planned shape. AQE can
+      only improve on them at runtime (demote SMJ→BHJ, coalesce
+      partitions), so budget assertions against this form are sound
+      upper bounds. No codegen annotation yet.
+    - FINAL adaptive plan (``df.collect()`` ran on the SAME DataFrame):
+      ``isFinalPlan=true``, codegen spans appear as ``*(N)`` prefixes,
+      but completed query stages RE-RENDER their subtrees, so structural
+      counts become over-counts. Use this form for codegen-span and
+      pushdown inspection, not exchange budgets.
+
+    The shuffle-budget contract tests use the pre-final form.
+    """
     plan = _plan_string(df, executed)
     pushed = [
         m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()
@@ -83,7 +97,12 @@ def audit(df: DataFrame, executed: bool = True) -> PlanAudit:
         nested_loop_joins=plan.count("BroadcastNestedLoopJoin")
         + plan.count("CartesianProduct"),
         single_partition_exchanges=plan.count("Exchange SinglePartition"),
-        codegen_spans=len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # executed plans mark codegen stages as "*(N)" operator prefixes;
+        # formatted/tree renderings use "WholeStageCodegen (N)" — count both
+        codegen_spans=len(
+            set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+            | set(re.findall(r"\*\((\d+)\)", plan))
+        ),
         pushed_filters=pushed,
         partition_filters=part,
         scans=plan.count("FileScan ") + plan.count("BatchScan "),

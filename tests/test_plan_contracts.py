@@ -13,7 +13,10 @@ from graphdb_neo4j_spark.plans import assert_max_exchanges, assert_no_cartesian,
 
 
 def _run(df):
-    df.count()  # materialize so the audit sees AQE's final plan
+    # count() runs a DERIVED Dataset, leaving df's own adaptive plan
+    # pre-final: each operator renders once, so structural counts are
+    # exact (see plans.audit docstring) — the right form for budgets
+    df.count()
     return df
 
 
