@@ -465,5 +465,10 @@ register(
     olap.top_return_customers_sql(),
 )
 register("decontaminated", scrub.q_decontaminated, scrub.decontaminated_sql())
+register(
+    "stream_anomaly",
+    rollup_maintain.q_stream_anomaly,
+    events.EVENTS_ANOMALY_SQL,  # maintenance must be invisible
+)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

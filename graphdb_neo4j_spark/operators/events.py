@@ -665,23 +665,16 @@ ANOMALY_MIN_BASELINE = 7  # need a week of history before a z-score means anythi
 ANOMALY_Z = 2.0
 
 
-def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per (event_type, day): daily event count, trailing-28-day baseline
-    mean/std (EXCLUDING the current day), z-score, anomaly flag — the
-    standard ops/metrics spike detector run as a batch query.
-
-    Scale shape: identical to :func:`q_rolling_daily` — one shuffle down
-    to event_type × day, then every window runs over the tiny daily
-    table. The baseline stats are computed from INTEGER window sums
-    (Σn, Σn², count) rather than an engine variance aggregate, so both
-    engines evaluate the same double expression tree and the value hash
-    is bit-stable; the RANGE frame over unix_date makes calendar gaps
-    widen the window instead of sliding over rows.
-    """
-    ev = load_events(spark, sf_dir)
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
-        F.count("*").alias("n")
-    )
+def anomaly_from_daily(daily) -> DataFrame:
+    """Rolling z-score detector over a (event_type, d: date, n) daily
+    table — shared by the batch query (daily built from raw events) and
+    the streaming twin (daily read from the incrementally-maintained
+    store). Baseline mean/std come from INTEGER window sums (Σn, Σn², k)
+    rather than an engine variance aggregate, so both engines evaluate
+    the same double expression tree and the value hash is bit-stable;
+    the RANGE frame over unix_date makes calendar gaps widen the window
+    instead of sliding over rows, and it EXCLUDES the current day (a
+    spike cannot suppress its own z-score)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.unix_date(F.col("d")))
@@ -712,6 +705,22 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_score"),
         F.coalesce(F.abs(z) > ANOMALY_Z, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): daily event count, trailing-28-day baseline
+    mean/std (EXCLUDING the current day), z-score, anomaly flag — the
+    standard ops/metrics spike detector run as a batch query.
+
+    Scale shape: identical to :func:`q_rolling_daily` — one shuffle down
+    to event_type × day, then every window (see
+    :func:`anomaly_from_daily`) runs over the tiny daily table.
+    """
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    return anomaly_from_daily(daily)
 
 
 EVENTS_ANOMALY_SQL = f"""

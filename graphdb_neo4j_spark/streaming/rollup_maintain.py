@@ -153,3 +153,96 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="rollup_store_")
     maintain_hourly_rollup(spark, stream_events(spark, sf_dir), store)
     return read_hourly_rollup(spark, store)
+
+
+# --- incrementally-maintained daily counts → streaming anomaly serving -------
+
+
+def _daily_partials(batch: DataFrame) -> DataFrame:
+    return (
+        batch.groupBy("event_type", F.to_date("ts").alias("d0"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.date_format("d0", "yyyy-MM-dd").alias("d"),
+        )
+    )
+
+
+def merge_daily_batch(store_path: str):
+    """foreachBatch hook for the daily-count store — same fold discipline
+    as :func:`merge_rollup_batch` (read back ONLY touched days, sum-merge
+    on the key, dynamic-partition-overwrite those days)."""
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        partial = _daily_partials(batch)
+        days = [r["d"] for r in partial.select("d").distinct().collect()]
+        if not days:
+            return
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = (
+                spark.read.parquet(store_path)
+                .filter(F.col("d").cast("string").isin(days))
+                .select(
+                    "event_type", "n", F.col("d").cast("string").alias("d")
+                )
+                .localCheckpoint(eager=True)  # cut lineage before self-overwrite
+            )
+            merged_in = partial.unionByName(existing)
+        except AnalysisException:
+            merged_in = partial
+        (
+            merged_in.groupBy("event_type", "d")
+            .agg(F.sum("n").alias("n"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("d")
+            .parquet(store_path)
+        )
+
+    return _fn
+
+
+def maintain_daily_counts(
+    spark: SparkSession,
+    events_stream_df: DataFrame,
+    store_path: str,
+    timeout_s: int = 120,
+) -> None:
+    """Drain the (bounded) event stream into the daily-count store."""
+    q = (
+        events_stream_df.writeStream.foreachBatch(merge_daily_batch(store_path))
+        .option("checkpointLocation", f"{store_path}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(f"daily maintenance did not drain within {timeout_s}s")
+
+
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_anomaly``: the daily counts are
+    MAINTAINED incrementally (mergeable partials, O(touched days) per
+    batch); the z-score detector then runs over the tiny maintained
+    table at serve time. This is the production monitoring shape — the
+    raw event firehose is touched once per micro-batch, never re-scanned
+    per anomaly query. Oracle = the batch anomaly SQL: maintenance must
+    be invisible in the answer."""
+    import tempfile
+
+    from graphdb_neo4j_spark.operators.events import anomaly_from_daily
+
+    store = tempfile.mkdtemp(prefix="daily_store_")
+    maintain_daily_counts(spark, stream_events(spark, sf_dir), store)
+    daily = spark.read.parquet(store).select(
+        "event_type", F.col("d").cast("date").alias("d"), "n"
+    )
+    return anomaly_from_daily(daily)

@@ -49,3 +49,39 @@ def test_store_is_day_partitioned(spark, sf_dir, tmp_path):
         spark, stream_events(spark, sf_dir), store
     )
     assert len(glob.glob(f"{store}/d=*")) > 1  # directory-prunable layout
+
+
+def test_stream_anomaly_equals_batch_anomaly(spark, sf_correct):
+    from graphdb_neo4j_spark.streaming import rollup_maintain
+
+    got = _rows(rollup_maintain.q_stream_anomaly(spark, sf_correct))
+    want = _rows(events.q_events_anomaly(spark, sf_correct))
+    assert got == want
+
+
+def test_daily_store_two_generation_merge(spark, sf_dir, tmp_path):
+    """Events split across two maintenance runs: per-day counts must SUM
+    (a day straddling the split gets contributions from both runs)."""
+    import shutil
+
+    from graphdb_neo4j_spark.streaming import rollup_maintain
+
+    store = str(tmp_path / "daily")
+    s1 = stream_events(spark, sf_dir).filter(F.col("event_id") % 2 == 0)
+    s2 = stream_events(spark, sf_dir).filter(F.col("event_id") % 2 == 1)
+    rollup_maintain.maintain_daily_counts(spark, s1, store)
+    shutil.rmtree(f"{store}/_checkpoint")
+    rollup_maintain.maintain_daily_counts(spark, s2, store)
+
+    got = {
+        (r["event_type"], str(r["d"])): r["n"]
+        for r in spark.read.parquet(store).collect()
+    }
+    want = {
+        (r["event_type"], str(r["d"])): r["n"]
+        for r in events.load_events(spark, sf_dir)
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
