@@ -470,5 +470,6 @@ register(
     rollup_maintain.q_stream_anomaly,
     events.EVENTS_ANOMALY_SQL,  # maintenance must be invisible
 )
+register("domain_stats", scrub.q_domain_stats, scrub.DOMAIN_STATS_SQL)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

@@ -191,3 +191,44 @@ FROM documents
 WHERE doc_id >= {bench_max_id}
   AND doc_id NOT IN (SELECT doc_id FROM contaminated)
 """
+
+
+DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation profile: how many documents and URL mentions
+    each web domain has across the corpus — the signal behind per-domain
+    blocklists/weights in web-scale pipelines (a handful of domains
+    dominating the corpus is the first thing a curation pass looks for).
+
+    Shape: single scan → ``regexp_extract_all`` of URL hosts (in-row,
+    codegen'd) → explode → one (domain) aggregation, map-side combined.
+    The domain key is Zipf-skewed at scale; the partial agg collapses the
+    head before the shuffle, and there is no join at all.
+    """
+    docs = _docs(spark, sf_dir)
+    doms = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(DOMAIN_RE), 1)
+        ).alias("domain"),
+    )
+    return doms.groupBy("domain").agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_mentions"),
+    )
+
+
+DOMAIN_STATS_SQL = rf"""
+WITH doms AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{DOMAIN_RE}', 1)) AS domain
+    FROM documents
+)
+SELECT domain,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_mentions
+FROM doms
+GROUP BY domain
+"""

@@ -83,3 +83,21 @@ def test_contamination_flags_verbatim_copy(spark, tmp_path):
         for r in scrub.q_contamination(spark, str(tmp_path)).collect()
     }
     assert out == {100: 30 - 13 + 1}
+
+
+def test_domain_stats_on_crafted_urls(spark, tmp_path):
+    from graphdb_neo4j_spark.llmdata.scrub import q_domain_stats
+
+    rows = [
+        (1, "see https://example.com/a and http://example.com/b too", "en", "s", 0),
+        (2, "only Https://Sub.Example.ORG/page here", "en", "s", 0),
+        (3, "no links at all", "en", "s", 0),
+        (4, "again https://example.com once", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    got = {r["domain"]: (r["n_docs"], r["n_mentions"]) for r in q_domain_stats(spark, str(tmp_path)).collect()}
+    assert got["example.com"] == (2, 3)  # docs 1 and 4; 3 mentions
+    assert got["sub.example.org"] == (1, 1)  # lowercased host
+    assert len(got) == 2  # doc 3 contributes nothing
