@@ -14,6 +14,17 @@ round), NL / multimodal / ANN (green r2, rotated out by r3 insertions),
 ``pagerank``/``pagerank_factored`` (first round with a driver oracle),
 then the heavyweight analytics greens. Rotated out: the simple
 lookup/edge/ingest family (all hash-green in r3).
+
+r5 rotation TODO: everything registered past the window this round has
+pytest-parity but no driver row yet — front-load (in rough value order)
+``stream_rollup``, ``stream_anomaly``, ``dedup_incremental``,
+``quality_classifier``/``_hashed``/``quality_gate``, ``bigram_logprob``,
+``corpus_drift``, ``events_anomaly``, the OLAP join family
+(``shipping_priority``, ``nation_revenue``, ``late_shipment_priority``,
+``promo_revenue_disjunctive``, ``top_return_customers``),
+``decontaminated``, ``domain_stats``, plus the r4-early additions
+(``funnel_counts`` … ``distinct_rollup``); rotate the r4-window greens
+back.
 """
 
 from __future__ import annotations
