@@ -482,5 +482,11 @@ register(
     events.EVENTS_ANOMALY_SQL,  # maintenance must be invisible
 )
 register("domain_stats", scrub.q_domain_stats, scrub.DOMAIN_STATS_SQL)
+register("forecast_revenue", olap.q_forecast_revenue, olap.FORECAST_REVENUE_SQL, bench=True)
+register(
+    "source_scorecard",
+    classifier.q_source_scorecard,
+    classifier.source_scorecard_sql(),
+)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

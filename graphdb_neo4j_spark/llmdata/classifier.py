@@ -228,3 +228,90 @@ SELECT doc_id, quality_score, threshold,
        quality_score >= threshold AS kept
 FROM scored CROSS JOIN thr
 """
+
+
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard — the table a data lead reads to
+    decide which sources to keep, reweight, or drop: document count,
+    mean classifier quality, classifier keep rate, mean Gopher
+    duplicate-token fraction, and the source's dominant language with
+    its share.
+
+    Plan shape: three per-doc operator outputs (classifier, repetition,
+    doc metadata) join on doc_id — co-partitioned key, each side already
+    one row per doc — then ONE aggregation down to |sources| rows; the
+    dominant language is a window over the tiny (source × lang) table.
+    Integer sums / round-6 discipline keeps the hash stable.
+    """
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.llmdata.textstats import q_repetition_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "lang"
+    )
+    quality = q_quality_classifier(spark, sf_dir).select(
+        "doc_id", "quality_score", "keep"
+    )
+    rep = q_repetition_scores(spark, sf_dir).select("doc_id", "dup_token_frac")
+    per_doc = docs.join(quality, "doc_id").join(rep, "doc_id")
+    card = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sum("quality_score") / F.count("*"), 6).alias("mean_quality"),
+        F.round(
+            F.sum(F.col("keep").cast("long")).cast("double") / F.count("*"), 6
+        ).alias("keep_rate"),
+        F.round(F.sum("dup_token_frac") / F.count("*"), 6).alias("mean_dup_frac"),
+    )
+    by_lang = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top_lang = (
+        by_lang.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"), F.col("n").alias("top_n"))
+    )
+    return card.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "mean_quality",
+        "keep_rate",
+        "mean_dup_frac",
+        "top_lang",
+        F.round(F.col("top_n") / F.col("n_docs"), 6).alias("top_lang_share"),
+    )
+
+
+def source_scorecard_sql() -> str:
+    from graphdb_neo4j_spark.llmdata.textstats import REPETITION_SCORES_SQL
+
+    return f"""
+WITH quality AS ({quality_classifier_sql().strip()}),
+rep AS ({REPETITION_SCORES_SQL.strip()}),
+per_doc AS (
+    SELECT d.doc_id, d.source, d.lang, q.quality_score, q.keep,
+           r.dup_token_frac
+    FROM documents d
+    JOIN quality q ON d.doc_id = q.doc_id
+    JOIN rep r ON d.doc_id = r.doc_id
+),
+card AS (
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(SUM(quality_score) / COUNT(*), 6) AS mean_quality,
+           ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS keep_rate,
+           ROUND(SUM(dup_token_frac) / COUNT(*), 6) AS mean_dup_frac
+    FROM per_doc GROUP BY source
+),
+by_lang AS (
+    SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+),
+top_lang AS (
+    SELECT source, lang AS top_lang, n AS top_n,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS rk
+    FROM by_lang QUALIFY rk = 1
+)
+SELECT c.source, c.n_docs, c.mean_quality, c.keep_rate, c.mean_dup_frac,
+       t.top_lang, ROUND(CAST(t.top_n AS DOUBLE) / c.n_docs, 6) AS top_lang_share
+FROM card c JOIN top_lang t ON c.source = t.source
+"""

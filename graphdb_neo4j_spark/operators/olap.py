@@ -472,3 +472,38 @@ GROUP BY 1, 2, 3, 4
 ORDER BY revenue DESC, custkey ASC
 LIMIT {k}
 """
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: one table, three pushed
+    range predicates, one global sum — the pure scan-throughput anchor.
+    Nothing but FileScan → codegen'd filter+project → partial/final agg;
+    at any scale the plan is a single pass with every predicate in
+    ``PushedFilters`` (row-group skipping does the heavy lifting on a
+    date-sorted layout — see ``sources/layout.py``)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    revenue = _dec("l_extendedprice") * _dec("l_discount", 4, 2)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
