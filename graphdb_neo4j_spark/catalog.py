@@ -488,5 +488,6 @@ register(
     classifier.q_source_scorecard,
     classifier.source_scorecard_sql(),
 )
+register("token_cms", sketches.q_token_cms, None)  # hash-seeded counters
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

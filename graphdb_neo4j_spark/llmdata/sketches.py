@@ -141,3 +141,110 @@ def q_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(merged, "event_type").select(
         "event_type", "direct_users", "merged_users", "n_hours"
     )
+
+
+# --- Count-Min sketch (mergeable frequency estimation) -----------------------
+
+CMS_DEPTH = 4  # δ = e^-depth ≈ 1.8% per-query overestimate-beyond-bound prob
+CMS_WIDTH = 1024  # ε = e/width ≈ 0.27% of total mass
+
+
+def cms_build(toks: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Count-Min sketch of the ``tok`` column as a (row_idx, bucket, cnt)
+    counter table — ``depth × width`` rows TOTAL regardless of input
+    cardinality.
+
+    Represented relationally instead of as an opaque binary blob so the
+    engine's own primitives give the sketch operations: BUILD is one
+    partial-agg'd groupBy (the shuffle carries ≤ depth·width counters per
+    partition), MERGE is ``unionByName`` + sum (:func:`cms_merge` —
+    associative by construction), and QUERY is a broadcast join
+    (:func:`cms_estimate`). Hash rows are xxhash64 with the row index as
+    seed — deterministic, so two shards' sketches merge EXACTLY into the
+    whole-input sketch (pytest-pinned, the defining mergeability
+    property).
+    """
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_idx"),
+                F.pmod(F.xxhash64(F.col("tok"), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        toks.select(F.explode(probes).alias("p"))
+        .select("p.row_idx", "p.bucket")
+        .groupBy("row_idx", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with the same (depth, width): counter-wise
+    sum. Exact — merge(build(X), build(Y)) ≡ build(X ∪ Y)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """(tok, est): Count-Min estimate for each query token — min over the
+    depth rows of the addressed counters (a missing counter is 0). The
+    sketch side is ≤ depth·width rows, so it BROADCASTS; estimating any
+    number of tokens is one broadcast join + a depth-row groupBy, never a
+    corpus scan."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_idx"),
+                F.pmod(F.xxhash64(F.col("tok"), F.lit(i)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(depth)
+        ]
+    )
+    addressed = queries.select("tok", F.explode(probes).alias("p")).select(
+        "tok", "p.row_idx", "p.bucket"
+    )
+    return (
+        addressed.join(F.broadcast(cms), ["row_idx", "bucket"], "left")
+        .groupBy("tok")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def q_token_cms(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
+    """Registered form: sketch the corpus token stream, then estimate the
+    exact top-``k`` tokens' counts from the SKETCH ALONE — (tok, est,
+    exact) side by side. rows-only (hash-seeded counters are
+    engine-internal); pytest pins the CMS contract: est ≥ exact always,
+    est − exact ≤ ε·N with the standard (ε, δ) slack, shard-merge ≡
+    whole-input."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    cms = cms_build(toks).localCheckpoint(eager=False)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), F.asc("tok"))
+        .limit(k)
+    )
+    return (
+        cms_estimate(cms, top.select("tok"))
+        .join(top, "tok")
+        .select("tok", "est", "exact")
+    )

@@ -53,3 +53,65 @@ def test_frequent_tokens_match_exact_topk(spark, sf_dir):
     assert len(got) == 20
     dfs = [d for _, d in got]
     assert dfs == sorted(dfs, reverse=True)
+
+
+def test_cms_one_sided_and_bounded(spark, sf_correct):
+    """CMS contract: never underestimates; overestimate within the
+    (ε = e/width) mass bound with slack for the δ tail across k queries."""
+    from graphdb_neo4j_spark.llmdata import sketches
+
+    rows = sketches.q_token_cms(spark, sf_correct).collect()
+    assert rows
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    n_total = (
+        docs.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .count()
+    )
+    eps = 2.718281828 / sketches.CMS_WIDTH
+    for r in rows:
+        assert r["est"] >= r["exact"], f"CMS underestimated {r}"
+        assert r["est"] - r["exact"] <= 2 * eps * n_total, f"CMS overflow {r}"
+
+
+def test_cms_shard_merge_equals_whole(spark, sf_correct):
+    """merge(build(X), build(Y)) must equal build(X ∪ Y) EXACTLY —
+    deterministic hashing makes mergeability an identity, not an
+    approximation."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata import sketches
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    whole = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_build(toks.select("tok")).collect()
+    }
+    a = sketches.cms_build(toks.filter("doc_id % 2 = 0").select("tok"))
+    b = sketches.cms_build(toks.filter("doc_id % 2 = 1").select("tok"))
+    merged = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_merge(a, b).collect()
+    }
+    assert merged == whole
+
+
+def test_cms_estimate_counts_unseen_token_as_small(spark, sf_correct):
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata import sketches
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    cms = sketches.cms_build(toks)
+    n_total = toks.count()
+    q = spark.createDataFrame([("zzz-never-a-token-zzz",)], "tok string")
+    est = sketches.cms_estimate(cms, q).collect()[0]["est"]
+    # unseen token estimates only collision mass: ≤ 2ε·N
+    assert 0 <= est <= 2 * (2.718281828 / sketches.CMS_WIDTH) * n_total
