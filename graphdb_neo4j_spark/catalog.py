@@ -489,5 +489,10 @@ register(
     classifier.source_scorecard_sql(),
 )
 register("token_cms", sketches.q_token_cms, None)  # hash-seeded counters
+register(
+    "dedup_incremental_exact",
+    dedup.q_dedup_incremental_exact,
+    dedup.DEDUP_INCREMENTAL_EXACT_SQL,  # bloom is a pre-filter; answer exact
+)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

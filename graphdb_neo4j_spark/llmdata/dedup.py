@@ -847,3 +847,54 @@ def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = tempfile.mkdtemp(prefix="minhash_store_")
     write_minhash_store(hist, store)
     return probe_minhash_store(spark, store, batch)
+
+
+def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(new_id, fingerprint, dup_of): batch docs whose EXACT normalized
+    fingerprint already exists in history — the cheap first gate of
+    incremental dedup (near-dup handles the rest).
+
+    Plan shape: a Bloom filter of the history fingerprints (mergeable,
+    ≤ m rows — at 100 TB it persists next to the MinHash store and
+    appends per batch) broadcast-probes the batch; only the flagged
+    SLIVER joins the history fingerprint table for exact verification,
+    so false positives cost one small join and correctness never depends
+    on the filter. The final answer is exact — oracle-checked.
+    """
+    from graphdb_neo4j_spark.llmdata.sketches import bloom_build, bloom_probe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    hist = fp.filter(F.col("doc_id") % 2 == 0)
+    batch = fp.filter(F.col("doc_id") % 2 == 1)
+
+    bloom = bloom_build(hist.select(F.col("fingerprint").alias("key")))
+    flagged = (
+        bloom_probe(bloom, batch.select(F.col("fingerprint").alias("key")))
+        .filter("might_contain")
+        .select(F.col("key").alias("fingerprint"))
+        .distinct()
+    )
+    cand = batch.join(F.broadcast(flagged), "fingerprint")
+    return (
+        cand.join(
+            hist.select("fingerprint", F.col("doc_id").alias("hist_id")),
+            "fingerprint",
+        )
+        .groupBy(F.col("doc_id").alias("new_id"), "fingerprint")
+        .agg(F.min("hist_id").alias("dup_of"))
+    )
+
+
+DEDUP_INCREMENTAL_EXACT_SQL = r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+)
+SELECT b.doc_id AS new_id, b.fingerprint, MIN(h.doc_id) AS dup_of
+FROM fp b JOIN fp h ON b.fingerprint = h.fingerprint
+WHERE b.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+GROUP BY 1, 2
+"""

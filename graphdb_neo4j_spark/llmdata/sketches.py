@@ -248,3 +248,63 @@ def q_token_cms(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
         .join(top, "tok")
         .select("tok", "est", "exact")
     )
+
+
+# --- Bloom filter (mergeable membership sketch) ------------------------------
+
+BLOOM_HASHES = 5
+BLOOM_BITS = 1 << 16  # m; FP rate ≈ (1 - e^{-kn/m})^k
+
+
+def bloom_build(
+    keys: DataFrame,
+    col: str = "key",
+    n_hashes: int = BLOOM_HASHES,
+    n_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Bloom filter of ``keys[col]`` as a one-column ``(bit)`` table of
+    SET bit positions (distinct; ≤ min(k·n, m) rows, bounded by m).
+
+    Same relational-sketch discipline as :func:`cms_build`: build is one
+    distinct-aggregation, merge is union-distinct (set union — exact, so
+    shard-merge ≡ whole-input), probe is a broadcast join. The table-of-
+    set-bits form stays tiny for sparse filters and never exceeds m rows
+    for dense ones."""
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    return keys.select(F.explode(probes).alias("bit")).distinct()
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Set union of two filters built with the same (k, m)."""
+    return a.unionByName(b).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    queries: DataFrame,
+    col: str = "key",
+    n_hashes: int = BLOOM_HASHES,
+    n_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """(key, might_contain): TRUE iff all ``n_hashes`` addressed bits are
+    set — no false negatives; false positives at the (k, n, m) rate. The
+    filter broadcasts (≤ m rows of one int)."""
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(n_bits))
+            for i in range(n_hashes)
+        ]
+    )
+    addressed = queries.select(col, F.explode(probes).alias("bit"))
+    return (
+        addressed.join(
+            F.broadcast(bloom.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy(col)
+        .agg((F.count("hit") == n_hashes).alias("might_contain"))
+    )

@@ -115,3 +115,40 @@ def test_cms_estimate_counts_unseen_token_as_small(spark, sf_correct):
     est = sketches.cms_estimate(cms, q).collect()[0]["est"]
     # unseen token estimates only collision mass: ≤ 2ε·N
     assert 0 <= est <= 2 * (2.718281828 / sketches.CMS_WIDTH) * n_total
+
+
+def test_bloom_no_false_negatives_and_merge_identity(spark, sf_correct):
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata import sketches
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    keys = docs.select(F.md5("text").alias("key"), "doc_id")
+    bloom = sketches.bloom_build(keys.select("key"))
+    probed = sketches.bloom_probe(bloom, keys.select("key"))
+    # every inserted key must probe TRUE — the no-false-negative law
+    assert probed.filter("NOT might_contain").count() == 0
+
+    a = sketches.bloom_build(keys.filter("doc_id % 2 = 0").select("key"))
+    b = sketches.bloom_build(keys.filter("doc_id % 2 = 1").select("key"))
+    merged = {r["bit"] for r in sketches.bloom_merge(a, b).collect()}
+    whole = {r["bit"] for r in bloom.collect()}
+    assert merged == whole  # set-union mergeability is an identity
+
+
+def test_bloom_false_positive_rate_in_range(spark):
+    from graphdb_neo4j_spark.llmdata import sketches
+
+    inserted = spark.createDataFrame(
+        [(f"in-{i}",) for i in range(2000)], "key string"
+    )
+    others = spark.createDataFrame(
+        [(f"out-{i}",) for i in range(2000)], "key string"
+    )
+    bloom = sketches.bloom_build(inserted)
+    fp = (
+        sketches.bloom_probe(bloom, others).filter("might_contain").count()
+        / 2000.0
+    )
+    # k=5, n=2000, m=65536 → theoretical FP ≈ (1-e^{-kn/m})^k ≈ 5.6e-4
+    assert fp <= 0.01
