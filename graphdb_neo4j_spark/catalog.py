@@ -494,5 +494,11 @@ register(
     dedup.q_dedup_incremental_exact,
     dedup.DEDUP_INCREMENTAL_EXACT_SQL,  # bloom is a pre-filter; answer exact
 )
+register(
+    "group_sample",
+    lambda spark, sf: filterset.q_group_sample(spark, sf),
+    filterset.group_sample_sql(),
+)
+register("integrity_check", olap.q_integrity_check, olap.INTEGRITY_CHECK_SQL)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

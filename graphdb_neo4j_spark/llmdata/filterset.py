@@ -231,3 +231,50 @@ WITH b AS (
 )
 SELECT doc_id, lang, bucket, rate_pct FROM b WHERE bucket < rate_pct
 """
+
+
+GROUP_SAMPLE_K = 20
+
+
+def q_group_sample(
+    spark: SparkSession, sf_dir: str, k: int = GROUP_SAMPLE_K
+) -> DataFrame:
+    """Exactly-``k``-per-source deterministic sample — the fixed-size
+    eval-slice builder (a rate-based sample gives a RANDOM size per
+    group; eval sets need exact counts). Rank docs within each source by
+    the LCG hash of doc_id (uniform, reproducible, partition-layout-
+    independent) and keep the first ``k``; groups smaller than ``k``
+    pass through whole.
+
+    Scale shape: ONE window partitioned by source (the per-group sort is
+    distributed across sources — no global sort, no single-partition
+    window); membership is a pure function of (doc_id, source), so
+    re-runs and incremental ingest never reshuffle a group's sample
+    except where new ids genuinely out-rank old ones.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = (F.col("doc_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", "lang", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def group_sample_sql(k: int = GROUP_SAMPLE_K) -> str:
+    return f"""
+SELECT doc_id, source, lang, CAST(rk AS INT) AS rk
+FROM (
+    SELECT doc_id, source, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} ASC, doc_id ASC
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= {k}
+"""

@@ -507,3 +507,68 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount BETWEEN 0.02 AND 0.04
   AND l_quantity < 24
 """
+
+
+def q_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse: orphan counts
+    for every foreign-key edge (lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer, customer→nation,
+    supplier→nation, nation→region). The data-quality gate a pipeline
+    runs after every load — a nonzero row is a broken ingest.
+
+    Scale shape: each check is a LEFT ANTI join from the fact side to
+    the (broadcast where small) key side, counted — no payload columns
+    move, duplicates collapse in the anti join's probe, and the 7 checks
+    union into one 7-row result. On a healthy warehouse every count is
+    0, which also makes the oracle row trivial to eyeball.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+
+    def orphans(name, fact, fk, dim, pk, broadcast_dim=True):
+        keys = dim.select(F.col(pk).alias("k"))
+        if broadcast_dim:
+            keys = F.broadcast(keys)
+        return (
+            fact.select(F.col(fk).alias("k"))
+            .join(keys, "k", "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("fk_edge"), "n_orphans")
+        )
+
+    checks = [
+        orphans("lineitem->orders", li, "l_orderkey", orders, "o_orderkey", False),
+        orphans("lineitem->part", li, "l_partkey", part, "p_partkey"),
+        orphans("lineitem->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        orphans("orders->customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        orphans("supplier->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        orphans("nation->region", nation, "n_regionkey", reg, "r_regionkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out  # one lazy 7-row plan; nothing runs on the driver
+
+
+INTEGRITY_CHECK_SQL = """
+SELECT 'lineitem->orders' AS fk_edge,
+       (SELECT COUNT(*) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey) AS n_orphans
+UNION ALL SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey)
+UNION ALL SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey)
+UNION ALL SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey)
+UNION ALL SELECT 'customer->nation',
+       (SELECT COUNT(*) FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey)
+UNION ALL SELECT 'supplier->nation',
+       (SELECT COUNT(*) FROM supplier s ANTI JOIN nation n ON s.s_nationkey = n.n_nationkey)
+UNION ALL SELECT 'nation->region',
+       (SELECT COUNT(*) FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey)
+"""

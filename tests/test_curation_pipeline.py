@@ -74,3 +74,25 @@ def test_drift_gate_rejects_poisoned_batch(spark, tmp_path):
         pipeline.run_curation_pipeline(
             spark, str(tmp_path), str(tmp_path / "out"), max_drift_kl=1.0
         )
+
+
+def test_group_sample_exact_k_and_deterministic(spark, sf_correct):
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata.filterset import q_group_sample
+
+    out = q_group_sample(spark, sf_correct, k=5)
+    sizes = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    totals = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in sizes.items():
+        assert n == min(5, totals[src])  # EXACTLY k (or the whole group)
+    a = {tuple(r) for r in q_group_sample(spark, sf_correct, k=5).collect()}
+    b = {tuple(r) for r in q_group_sample(spark, sf_correct, k=5).collect()}
+    assert a == b  # reruns pick the identical sample
