@@ -500,5 +500,10 @@ register(
     filterset.group_sample_sql(),
 )
 register("integrity_check", olap.q_integrity_check, olap.INTEGRITY_CHECK_SQL)
+register(
+    "mix_plan",
+    lambda spark, sf: classifier.q_mix_plan(spark, sf),
+    classifier.mix_plan_sql(),
+)
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates

@@ -315,3 +315,60 @@ SELECT c.source, c.n_docs, c.mean_quality, c.keep_rate, c.mean_dup_frac,
        t.top_lang, ROUND(CAST(t.top_n AS DOUBLE) / c.n_docs, 6) AS top_lang_share
 FROM card c JOIN top_lang t ON c.source = t.source
 """
+
+
+MIX_ALPHA = 0.5  # temperature exponent: 1 = proportional, 0 = uniform
+
+
+def q_mix_plan(
+    spark: SparkSession, sf_dir: str, alpha: float = MIX_ALPHA
+) -> DataFrame:
+    """Training-mix plan from the source scorecard: each source's
+    quality-adjusted mass (docs × mean classifier quality) is
+    temperature-rebalanced (mass^α, normalized) into a sampling weight —
+    the mT5/XLM-R rebalance applied to QUALITY-WEIGHTED sizes instead of
+    raw sizes, so a big low-quality source is doubly damped. Output per
+    source: n_docs, quality_mass, weight, and the per-doc inclusion rate
+    implied by one epoch at the weighted mix.
+
+    Plan shape: everything downstream of the scorecard operates on the
+    |sources|-row table — two window totals over ≤20 rows, zero extra
+    corpus work. Rounded-6 doubles over an integer/round-6 base keep the
+    oracle hash stable.
+    """
+    from pyspark.sql import Window
+
+    card = q_source_scorecard(spark, sf_dir).select(
+        "source", "n_docs", "mean_quality"
+    )
+    mass = F.col("n_docs") * F.col("mean_quality")
+    w_all = Window.partitionBy()
+    powed = F.pow(mass, F.lit(alpha))
+    weight = powed / F.sum(powed).over(w_all)
+    total_docs = F.sum("n_docs").over(w_all)
+    # docs drawn from this source in one epoch of total_docs samples
+    expected = weight * total_docs
+    return card.select(
+        "source",
+        "n_docs",
+        F.round(mass, 6).alias("quality_mass"),
+        F.round(weight, 6).alias("weight"),
+        F.round(expected / F.col("n_docs"), 6).alias("per_doc_rate"),
+    )
+
+
+def mix_plan_sql(alpha: float = MIX_ALPHA) -> str:
+    return f"""
+WITH card AS ({source_scorecard_sql().strip()}),
+m AS (
+    SELECT source, n_docs, n_docs * mean_quality AS mass,
+           pow(n_docs * mean_quality, {alpha}) AS powed
+    FROM card
+)
+SELECT source, n_docs,
+       ROUND(mass, 6) AS quality_mass,
+       ROUND(powed / SUM(powed) OVER (), 6) AS weight,
+       ROUND(powed / SUM(powed) OVER () * SUM(n_docs) OVER () / n_docs, 6)
+           AS per_doc_rate
+FROM m
+"""
