@@ -501,6 +501,11 @@ register(
 )
 register("integrity_check", olap.q_integrity_check, olap.INTEGRITY_CHECK_SQL)
 register(
+    "stream_sessionize",
+    rollup_maintain.q_stream_sessionize,
+    events.SESSIONIZE_SQL,  # batch boundaries must be invisible
+)
+register(
     "mix_plan",
     lambda spark, sf: classifier.q_mix_plan(spark, sf),
     classifier.mix_plan_sql(),

@@ -21,7 +21,7 @@ batch split of the input.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.streaming.events_stream import stream_events
@@ -246,3 +246,143 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("d").cast("date").alias("d"), "n"
     )
     return anomaly_from_daily(daily)
+
+
+# --- incrementally-maintained session store ----------------------------------
+#
+# The hard continuous aggregate: sessions STRADDLE micro-batches (a user
+# active across a batch boundary must get ONE session, and a late batch
+# can even fuse two previously-separate sessions). The store keeps one
+# row per (user, session interval); each batch sessionizes ITSELF at
+# event level, then the store fold merges intervals per user with the
+# same gap rule. Interval merging is exact: two mini-sessions chain in
+# the merged event stream iff their intervals overlap or sit within the
+# gap (events inside a valid session are never more than a gap apart, so
+# an overlap always yields a bridging pair) — pinned by the
+# two-generation pytest against the batch answer.
+
+SESSION_BUCKETS = 32  # store partition key: pmod(user_id, SESSION_BUCKETS)
+
+
+def merge_session_intervals(
+    intervals: DataFrame, gap_minutes: int
+) -> DataFrame:
+    """Fuse per-user session intervals under the gap rule: sort by start,
+    break when start − running-max(end) exceeds the gap (running max
+    handles nested/overlapping intervals), re-aggregate. Windows run per
+    user over a handful of interval rows — never over events."""
+    gap_ms = gap_minutes * 60 * 1000
+    w = Window.partitionBy("user_id").orderBy("start_ms", "end_ms")
+    prev_end = F.max("end_ms").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_new = F.when(F.col("start_ms") - prev_end > gap_ms, 1).otherwise(0)
+    grp = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        intervals.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("start_ms").alias("start_ms"),
+            F.max("end_ms").alias("end_ms"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .drop("grp")
+    )
+
+
+def merge_sessions_batch(store_path: str, gap_minutes: int):
+    """foreachBatch hook: event-level sessionize THIS batch, then fold the
+    mini-session intervals into the store (read back only the touched
+    user buckets, interval-merge per user, dynamic-overwrite those
+    buckets)."""
+
+    def _fn(batch: DataFrame, batch_id: int) -> None:
+        from graphdb_neo4j_spark.operators.events import sessionize
+
+        spark = batch.sparkSession
+        mini = (
+            sessionize(batch, gap_minutes)
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.min(F.unix_millis("ts")).alias("start_ms"),
+                F.max(F.unix_millis("ts")).alias("end_ms"),
+                F.count("*").alias("n_events"),
+            )
+            .drop("session_id")
+            .withColumn("bucket", F.pmod("user_id", F.lit(SESSION_BUCKETS)))
+        )
+        buckets = [r["bucket"] for r in mini.select("bucket").distinct().collect()]
+        if not buckets:
+            return
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = (
+                spark.read.parquet(store_path)
+                .filter(F.col("bucket").isin(buckets))
+                .select("user_id", "start_ms", "end_ms", "n_events", "bucket")
+                .localCheckpoint(eager=True)  # cut lineage before self-overwrite
+            )
+            merged_in = mini.unionByName(existing)
+        except AnalysisException:
+            merged_in = mini
+        merged = merge_session_intervals(
+            merged_in.drop("bucket"), gap_minutes
+        ).withColumn("bucket", F.pmod("user_id", F.lit(SESSION_BUCKETS)))
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(store_path)
+        )
+
+    return _fn
+
+
+def maintain_sessions(
+    spark: SparkSession,
+    events_stream_df: DataFrame,
+    store_path: str,
+    gap_minutes: int | None = None,
+    timeout_s: int = 120,
+) -> None:
+    """Drain the (bounded) event stream into the session store."""
+    from graphdb_neo4j_spark.operators.events import SESSION_GAP_MIN
+
+    gap = SESSION_GAP_MIN if gap_minutes is None else gap_minutes
+    q = (
+        events_stream_df.writeStream.foreachBatch(
+            merge_sessions_batch(store_path, gap)
+        )
+        .option("checkpointLocation", f"{store_path}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    if not finished:
+        raise TimeoutError(f"session maintenance did not drain within {timeout_s}s")
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``sessionize``: per-user session stats served
+    from the incrementally-maintained interval store. Oracle = the batch
+    sessionize SQL — batch boundaries must be invisible, including
+    sessions that straddle (or are FUSED by) later batches."""
+    import tempfile
+
+    store = tempfile.mkdtemp(prefix="session_store_")
+    maintain_sessions(spark, stream_events(spark, sf_dir), store)
+    return (
+        spark.read.parquet(store)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )

@@ -85,3 +85,45 @@ def test_daily_store_two_generation_merge(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_sessionize_equals_batch(spark, sf_correct):
+    from graphdb_neo4j_spark.streaming import rollup_maintain
+
+    got = _rows(rollup_maintain.q_stream_sessionize(spark, sf_correct))
+    want = _rows(events.q_sessionize(spark, sf_correct))
+    assert got == want
+
+
+def test_session_store_fuses_straddling_sessions(spark, sf_dir, tmp_path):
+    """Split events by parity (timestamps interleave heavily, so most
+    sessions straddle the two maintenance runs — and a second run can
+    FUSE two previously-separate stored sessions): the merged store must
+    equal the whole-input batch sessionization exactly."""
+    import shutil
+
+    from graphdb_neo4j_spark.streaming import rollup_maintain
+
+    store = str(tmp_path / "sess")
+    s1 = stream_events(spark, sf_dir).filter(F.col("event_id") % 2 == 0)
+    s2 = stream_events(spark, sf_dir).filter(F.col("event_id") % 2 == 1)
+    rollup_maintain.maintain_sessions(spark, s1, store)
+    shutil.rmtree(f"{store}/_checkpoint")
+    rollup_maintain.maintain_sessions(spark, s2, store)
+
+    got = {
+        (r["user_id"], r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in spark.read.parquet(store)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_session_events"),
+        )
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["n_sessions"], r["n_events"], r["max_session_events"])
+        for r in events.q_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want
