@@ -361,3 +361,34 @@ def test_pq_refine_recall_vs_bruteforce(spark, sf_correct):
     codes.unpersist()
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.7, f"PQ+refine mean recall@10 {mean} below 0.7 ({recalls})"
+
+
+def test_ann_index_append_equals_one_shot(spark, sf_correct, tmp_path):
+    """Incremental index ingest: build on one half, append the other —
+    probes against the appended index must equal probes against an index
+    built in one shot (bucketing is a pure function of the vector, so
+    append-only growth is exact)."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    anchor = emb.filter("vec_id = 0").collect()[0]["embedding"]
+
+    one_shot = str(tmp_path / "full")
+    simsearch.write_ann_index(emb, one_shot)
+    grown = str(tmp_path / "grown")
+    simsearch.write_ann_index(emb.filter("vec_id % 2 = 0"), grown)
+    simsearch.write_ann_index(
+        emb.filter("vec_id % 2 = 1"), grown, mode="append"
+    )
+
+    a = [
+        tuple(r)
+        for r in simsearch.probe_ann_index(
+            spark, one_shot, list(anchor), anchor_id=0
+        ).collect()
+    ]
+    b = [
+        tuple(r)
+        for r in simsearch.probe_ann_index(
+            spark, grown, list(anchor), anchor_id=0
+        ).collect()
+    ]
+    assert a == b
