@@ -501,6 +501,11 @@ register(
 )
 register("integrity_check", olap.q_integrity_check, olap.INTEGRITY_CHECK_SQL)
 register(
+    "dedup_components_incremental",
+    lambda spark, sf: dedup.q_dedup_components_incremental(spark, sf),
+    dedup.dedup_components_sql(),  # the fold must equal a fresh clustering
+)
+register(
     "stream_sessionize",
     rollup_maintain.q_stream_sessionize,
     events.SESSIONIZE_SQL,  # batch boundaries must be invisible

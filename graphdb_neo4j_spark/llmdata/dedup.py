@@ -898,3 +898,66 @@ FROM fp b JOIN fp h ON b.fingerprint = h.fingerprint
 WHERE b.doc_id % 2 = 1 AND h.doc_id % 2 = 0
 GROUP BY 1, 2
 """
+
+
+def update_components(components: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Fold new near-dup pairs into an EXISTING (node, component) table
+    without the original pair graph: each stored component collapses to a
+    star around its canonical id (pseudo-edges node→component, self-rows
+    kept so untouched singletons survive), the star union the new pairs
+    re-clusters. Exact: a star connects precisely the old component's
+    member set, and the canonical (min reachable id) of any merged
+    cluster is the min over member mins.
+
+    This is the 100 TB maintenance shape: the expensive artifact (the
+    shingle-join pair graph) is never recomputed for history — each batch
+    contributes its own small pair set and the label propagation runs on
+    |corpus| pseudo-edges + |new pairs|, converging in O(merged-diameter)
+    rounds (stars have diameter 2).
+    """
+    pseudo = components.select(
+        F.col("node").alias("a"), F.col("component").alias("b")
+    )
+    return connected_components(pseudo.unionByName(new_pairs.select("a", "b")))
+
+
+def q_dedup_components_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> DataFrame:
+    """Registered form of incremental component maintenance: the history
+    half's components play the persisted artifact; the batch contributes
+    cross-split and within-batch pairs; :func:`update_components` folds
+    them in. Oracle = the FULL-graph recursive-CTE components — the
+    incremental fold must be indistinguishable from a fresh clustering.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
+        eager=False
+    )
+
+    def pairs_between(left_parity: int, right_parity: int) -> DataFrame:
+        a = toks.filter(F.col("doc_id") % 2 == left_parity).select(
+            F.col("doc_id").alias("a"), "tok"
+        )
+        b = toks.filter(F.col("doc_id") % 2 == right_parity).select(
+            F.col("doc_id").alias("b"), "tok"
+        )
+        inter = a.join(b, "tok")
+        if left_parity == right_parity:
+            inter = inter.filter(F.col("a") < F.col("b"))
+        grouped = inter.groupBy("a", "b").agg(F.count("*").alias("n_inter"))
+        return _pair_jaccard(toks, grouped, threshold)
+
+    hist_components = connected_components(pairs_between(0, 0))
+    new_pairs = pairs_between(0, 1).unionByName(pairs_between(1, 1))
+    comp = update_components(hist_components, new_pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )

@@ -80,3 +80,33 @@ def test_minhash_store_append_is_incremental(spark, sf_correct, tmp_path):
         for r in dedup.probe_minhash_store(spark, full_store, batch).collect()
     }
     assert merged == direct  # append-built store ≡ store built in one shot
+
+
+def test_update_components_merges_across_generations(spark):
+    """A new cross pair must FUSE two stored components, canonical = the
+    global min, and untouched components must pass through intact."""
+    from graphdb_neo4j_spark.llmdata.dedup import update_components
+
+    stored = spark.createDataFrame(
+        [(1, 1), (3, 1), (5, 5), (7, 5), (9, 9)], "node long, component long"
+    )
+    new_pairs = spark.createDataFrame([(3, 7)], "a long, b long")
+    out = {
+        r["node"]: r["component"]
+        for r in update_components(stored, new_pairs).collect()
+    }
+    assert out == {1: 1, 3: 1, 5: 1, 7: 1, 9: 9}  # {1,3}+{5,7} fuse; {9} intact
+
+
+def test_incremental_components_equal_fresh(spark, sf_correct):
+    from graphdb_neo4j_spark.llmdata.dedup import (
+        q_dedup_components,
+        q_dedup_components_incremental,
+    )
+
+    fresh = {tuple(r) for r in q_dedup_components(spark, sf_correct).collect()}
+    inc = {
+        tuple(r)
+        for r in q_dedup_components_incremental(spark, sf_correct).collect()
+    }
+    assert inc == fresh
