@@ -500,6 +500,8 @@ register(
     filterset.group_sample_sql(),
 )
 register("integrity_check", olap.q_integrity_check, olap.INTEGRITY_CHECK_SQL)
+register("value_histogram", events.q_value_histogram, events.VALUE_HISTOGRAM_SQL)
+register("asof_forward", events.q_asof_forward, events.ASOF_FORWARD_SQL)
 register(
     "dedup_components_incremental",
     lambda spark, sf: dedup.q_dedup_components_incremental(spark, sf),

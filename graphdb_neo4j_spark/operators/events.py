@@ -762,3 +762,140 @@ SELECT event_type,
        COALESCE(abs(z) > {ANOMALY_Z}, FALSE) AS is_anomaly
 FROM zz
 """
+
+
+# --- equi-width histogram ----------------------------------------------------
+
+HIST_BUCKETS = 20
+
+
+def q_value_histogram(
+    spark: SparkSession, sf_dir: str, n_buckets: int = HIST_BUCKETS
+) -> DataFrame:
+    """Per-type equi-width histogram of ``value``: bucket index, bucket
+    bounds, count — the distribution-drilldown complement of the exact
+    quantiles (`events_quantiles`) and the GK sketch (`sketch_profile`).
+
+    Scale shape: the global min/max come from ONE 1-row aggregate
+    broadcast back (the range is data-defined), bucketing is codegen'd
+    arithmetic, and the histogram is a partial-agg'd groupBy over
+    ≤ types·buckets keys. Two scans total (range + bucket pass) — the
+    unavoidable minimum for a data-defined range without approximation.
+    Bucketing arithmetic is written EXPLICITLY and identically in both
+    engines (floor((v−lo)/w)+1, max clamped into the top bucket) rather
+    than via an engine width_bucket builtin, whose boundary rounding
+    differs across implementations.
+    """
+    ev = load_events(spark, sf_dir)
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / n_buckets
+    b = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / w) + 1, F.lit(n_buckets)
+        ),
+    ).otherwise(1)
+    return (
+        ev.crossJoin(F.broadcast(rng))
+        .select("event_type", b.alias("bucket"), "lo", w.alias("w"))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("lo") + (F.col("bucket") - 1) * F.first("w"), 6).alias(
+                "bucket_lo"
+            ),
+            F.round(F.first("lo") + F.col("bucket") * F.first("w"), 6).alias(
+                "bucket_hi"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("bucket").cast("int").alias("bucket"),
+            "bucket_lo",
+            "bucket_hi",
+            "n",
+        )
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+WITH rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+bucketed AS (
+    SELECT event_type,
+           CASE WHEN hi > lo
+                THEN least(CAST(floor((value - lo) / ((hi - lo) / {HIST_BUCKETS})) AS BIGINT) + 1,
+                           {HIST_BUCKETS})
+                ELSE 1 END AS bucket,
+           lo, (hi - lo) / {HIST_BUCKETS} AS w
+    FROM events CROSS JOIN rng
+)
+SELECT event_type,
+       CAST(bucket AS INT) AS bucket,
+       ROUND(lo + (bucket - 1) * w, 6) AS bucket_lo,
+       ROUND(lo + bucket * w, 6) AS bucket_hi,
+       COUNT(*) AS n
+FROM bucketed
+GROUP BY event_type, bucket, lo, w
+"""
+
+
+def asof_join_forward(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+) -> DataFrame:
+    """Forward as-of: each ``left_type`` event picks up the EARLIEST
+    ``right_type`` event of the same user at-or-after its timestamp
+    (``l.ts <= r.ts``) plus the count of right events still ahead — the
+    time-to-conversion / next-event attribution direction, mirror of
+    :func:`asof_join_events`.
+
+    Same single-shuffle union-window shape, scanned in DESCENDING time
+    order; at equal ``ts`` the right row sorts first so equality matches
+    (``<=``). Linear in events, no range-join pair blow-up.
+    """
+    u = events.filter(
+        F.col("event_type").isin(left_type, right_type)
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == left_type).cast("int").alias("is_l"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_l").asc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    right_ts = F.when(F.col("is_l") == 0, F.col("ts"))
+    return (
+        u.withColumn("next_ts", F.last(right_ts, ignorenulls=True).over(w))
+        .withColumn("n_ahead", F.sum(1 - F.col("is_l")).over(w))
+        .filter(F.col("is_l") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.unix_millis("next_ts").alias("next_ts_ms"),
+            (F.unix_millis("next_ts") - F.unix_millis("ts")).alias("lead_ms"),
+            "n_ahead",
+        )
+    )
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return asof_join_forward(load_events(spark, sf_dir))
+
+
+ASOF_FORWARD_SQL = """
+WITH l AS (SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'purchase')
+SELECT l.event_id,
+       l.user_id,
+       epoch_ms(l.ts) AS ts_ms,
+       epoch_ms(r.ts) AS next_ts_ms,
+       epoch_ms(r.ts) - epoch_ms(l.ts) AS lead_ms,
+       (SELECT COUNT(*) FROM r r2
+         WHERE r2.user_id = l.user_id AND r2.ts >= l.ts) AS n_ahead
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
