@@ -502,6 +502,7 @@ register(
 register("integrity_check", olap.q_integrity_check, olap.INTEGRITY_CHECK_SQL)
 register("value_histogram", events.q_value_histogram, events.VALUE_HISTOGRAM_SQL)
 register("asof_forward", events.q_asof_forward, events.ASOF_FORWARD_SQL)
+register("user_profile", events.q_user_profile, events.USER_PROFILE_SQL)
 register(
     "dedup_components_incremental",
     lambda spark, sf: dedup.q_dedup_components_incremental(spark, sf),

@@ -899,3 +899,76 @@ SELECT l.event_id,
          WHERE r2.user_id = l.user_id AND r2.ts >= l.ts) AS n_ahead
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
 """
+
+
+def q_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity 360: first/last seen, active days, event count,
+    distinct event types, total value, and the user's dominant event type
+    with its share — the entity-summary table a serving layer keys on.
+
+    Scale shape: ONE aggregation over user_id for the scalar profile
+    (every aggregate partial-combines map-side), plus a (user_id,
+    event_type) aggregation whose argmax runs as a window over the
+    already-aggregated table (≤ users × types rows, never events).
+    Exact decimal for the value sum; counts integer — hash-stable.
+    """
+    ev = load_events(spark, sf_dir)
+    base = ev.groupBy("user_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_seen"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+        F.count_distinct(F.to_date("ts")).alias("active_days"),
+        F.count("*").alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+    by_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    top = (
+        by_type.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("top_type"),
+            F.col("n").alias("top_n"),
+        )
+    )
+    return base.join(top, "user_id").select(
+        "user_id",
+        "first_seen",
+        "last_seen",
+        "active_days",
+        "n_events",
+        "n_types",
+        "total_value",
+        "top_type",
+        F.round(F.col("top_n") / F.col("n_events"), 6).alias("top_type_share"),
+    )
+
+
+USER_PROFILE_SQL = """
+WITH base AS (
+    SELECT user_id,
+           strftime(MIN(ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS first_seen,
+           strftime(MAX(ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS last_seen,
+           COUNT(DISTINCT CAST(ts::TIMESTAMP AS DATE)) AS active_days,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+),
+by_type AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+top AS (
+    SELECT user_id, event_type AS top_type, n AS top_n,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk
+    FROM by_type QUALIFY rk = 1
+)
+SELECT b.user_id, b.first_seen, b.last_seen, b.active_days, b.n_events,
+       b.n_types, b.total_value, t.top_type,
+       ROUND(CAST(t.top_n AS DOUBLE) / b.n_events, 6) AS top_type_share
+FROM base b JOIN top t ON b.user_id = t.user_id
+"""

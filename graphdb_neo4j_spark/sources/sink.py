@@ -94,3 +94,23 @@ def append_ingest_batch(
     is conflict-free by construction)."""
     write_nodes(new_nodes, f"{base}/nodes", mode="append")
     write_edges(new_edges, f"{base}/edges", mode="append")
+
+
+# --- schema evolution across corpus generations ------------------------------
+
+
+def read_evolving_corpus(spark, paths: list[str]):
+    """Read parquet written across schema GENERATIONS (years of ingest
+    accumulate added columns) as one DataFrame: ``mergeSchema`` unions the
+    footers' schemas, and rows from generations that predate a column get
+    NULL there — the standard additive-evolution contract.
+
+    At 100 TB the alternative — rewriting history on every schema change —
+    is a non-starter; additive evolution is free at read time because the
+    merged schema is computed from footers, not data. RENAMED or
+    RETYPED columns are NOT reconcilable this way (parquet matches by
+    name): keep evolution additive, or migrate via an explicit rewrite.
+    Guarded by ``test_sink`` (new column null-backfilled, old column
+    values byte-identical, row counts additive).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

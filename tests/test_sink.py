@@ -103,3 +103,23 @@ def test_bucketed_join_plans_no_shuffle(spark, sf_correct, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS docs_bkt")
         spark.sql("DROP TABLE IF EXISTS stats_bkt")
+
+
+def test_schema_evolution_merged_read(spark, tmp_path):
+    """Two corpus generations, the newer with an added column: one merged
+    read, old rows null-backfilled, values intact, counts additive."""
+    from graphdb_neo4j_spark.sources.sink import read_evolving_corpus
+
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.parquet(gen1)
+    spark.createDataFrame(
+        [(3, "gamma", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(gen2)
+
+    df = read_evolving_corpus(spark, [gen1, gen2])
+    assert set(df.columns) == {"doc_id", "text", "lang"}
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in df.collect()}
+    assert rows == {1: ("alpha", None), 2: ("beta", None), 3: ("gamma", "en")}
