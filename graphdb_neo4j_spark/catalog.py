@@ -520,3 +520,14 @@ register(
 )
 register("knn_join", simsearch.q_knn_join, simsearch.knn_join_sql(), bench=True)
 register("distinct_rollup", sketches.q_distinct_rollup, None)  # sketch estimates
+register(
+    "dedup_spans",
+    lambda spark, sf: dedup.q_dedup_spans(spark, sf),
+    dedup.dedup_spans_sql(),
+    bench=True,  # overlapping-gram df join — the exact-substring scale path
+)
+register(
+    "dedup_snm",
+    lambda spark, sf: dedup.q_dedup_snm(spark, sf),
+    dedup.dedup_snm_sql(),
+)

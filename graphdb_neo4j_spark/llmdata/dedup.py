@@ -961,3 +961,258 @@ def q_dedup_components_incremental(
         F.col("component").alias("canonical_id"),
         "cluster_size",
     )
+
+
+# --- exact-substring span dedup ----------------------------------------------
+#
+# The actionable form of substring-level deduplication (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"): find every
+# OVERLAPPING width-token gram that occurs in >= min_df distinct documents,
+# then merge per-document the hit positions into maximal token intervals —
+# the spans a curation pass would cut, rather than the per-doc ratio
+# q_dedup_segments profiles.
+
+SPAN_WIDTH = 15  # tokens per overlapping gram
+SPAN_MIN_DF = 2  # a gram appearing in >= this many docs is "duplicated"
+
+
+def duplicated_gram_starts(
+    docs: DataFrame,
+    width: int = SPAN_WIDTH,
+    min_df: int = SPAN_MIN_DF,
+    hashed: bool = False,
+) -> DataFrame:
+    """(doc_id, start) of every overlapping ``width``-token gram whose
+    corpus document-frequency is >= ``min_df``.
+
+    Scale shape: grams are built by a codegen'd
+    ``transform(sequence(...), i -> array_join(slice(...)))`` — no groupBy,
+    no self-join over token positions. The df aggregation is one
+    partial-agg shuffle keyed by gram; the join back reuses the same key.
+    ``hashed=True`` replaces the ~width·6-byte gram text with its
+    ``xxhash64`` BEFORE the shuffle — the 100 TB form (shuffle bytes drop
+    ~10×; collisions at 2^-64 are curation-noise). The text-keyed form is
+    the DuckDB-oracle mirror; pytest pins the two identical.
+    """
+    arrs = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    ).filter(F.size("arr") >= width)
+    grams = arrs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(arr) - {width}),"
+                f" i -> array_join(slice(arr, i + 1, {width}), ' '))"
+            )
+        ).alias("start", "gram"),
+    )
+    if hashed:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("gram_df"))
+        .filter(F.col("gram_df") >= min_df)
+        .select("gram")
+    )
+    return grams.join(dup_grams, "gram").select("doc_id", "start")
+
+
+def q_dedup_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = SPAN_WIDTH,
+    min_df: int = SPAN_MIN_DF,
+    hashed: bool = False,
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    (doc_id, span_start, span_end, span_tokens, n_grams).
+
+    Interval merge is gaps-and-islands: per doc, a hit starts a new island
+    iff its start exceeds the running max end of all earlier hits + 1
+    (adjacent spans merge). Two window passes + one groupBy, all
+    partitioned by doc_id — per-doc hit counts are bounded by doc length,
+    so no skew beyond document length itself.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    hits = duplicated_gram_starts(docs, width, min_df, hashed).select(
+        "doc_id", "start", (F.col("start") + width - 1).alias("end")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max("end").over(w_prev)
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(
+            prev_end.isNull() | (F.col("start") > prev_end + 1), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            F.max("end").alias("span_end"),
+            (F.max("end") - F.min("start") + 1).alias("span_tokens"),
+            F.count("*").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "span_tokens", "n_grams")
+    )
+
+
+def dedup_spans_sql(width: int = SPAN_WIDTH, min_df: int = SPAN_MIN_DF) -> str:
+    return rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+  WHERE array_length(regexp_split_to_array(trim(text), '\s+'), 1) >= {width}
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, array_length(arr, 1) - {width} + 1)) AS start,
+         unnest(list_transform(range(1, array_length(arr, 1) - {width} + 2),
+                i -> array_to_string(arr[i : i + {width} - 1], ' '))) AS gram
+  FROM arrs
+),
+dup_grams AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_df}
+),
+hits AS (
+  SELECT g.doc_id, g.start, g.start + {width} - 1 AS "end"
+  FROM grams g JOIN dup_grams d USING (gram)
+),
+flagged AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN MAX("end") OVER w IS NULL OR start > MAX("end") OVER w + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+islands AS (
+  SELECT doc_id, start, "end",
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT doc_id,
+       MIN(start) AS span_start,
+       MAX("end") AS span_end,
+       MAX("end") - MIN(start) + 1 AS span_tokens,
+       COUNT(*) AS n_grams
+FROM islands
+GROUP BY doc_id, island
+"""
+
+
+# --- sorted-neighborhood dedup (SNM) -----------------------------------------
+
+SNM_WINDOW = 3  # compare each doc with its w successors in sort order
+SNM_BLOCK_CHARS = 8  # blocking key = first chars of the normalized text
+SNM_THRESHOLD = 0.8
+
+
+def q_dedup_snm(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = SNM_WINDOW,
+    block_chars: int = SNM_BLOCK_CHARS,
+    threshold: float = SNM_THRESHOLD,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (Hernandez–Stolfo SNM):
+    (a, b, jaccard) for every pair within ``window`` positions of each
+    other in blocked sort order whose word-unigram Jaccard >= threshold.
+
+    SNM is the third classic dedup family next to shingle-join and
+    MinHash-LSH (SURVEY.md §7.1-8): sort by a blocking key, slide a
+    fixed window, verify only in-window pairs — O(N·w) verifications.
+
+    Scale shape: the sort is NOT a global single-partition window — the
+    blocking key (first ``block_chars`` of the normalized text) partitions
+    the rank window, so ``row_number`` runs per block and the candidate
+    join is an equi-join on (block, rank+d) for d in 1..w, d exploded
+    from a literal array. Blocks are data-bounded (prefix granularity
+    tunes them); pairs straddling a block boundary are missed, which is
+    SNM's documented recall trade-off (multi-pass with a second key is
+    the standard mitigation). Verification is array_intersect on distinct
+    unigrams of JUST the w·N candidate pairs.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keyed = docs.select(
+        "doc_id",
+        normalized.alias("norm"),
+        F.substring(normalized, 1, block_chars).alias("block"),
+        F.array_distinct(F.split(normalized, " ")).alias("toks"),
+    )
+    w = Window.partitionBy("block").orderBy("norm", "doc_id")
+    ranked = keyed.withColumn("rank", F.row_number().over(w))
+    probe = ranked.select(
+        "block",
+        F.col("doc_id").alias("a"),
+        F.col("toks").alias("toks_a"),
+        F.explode(
+            F.array(*[F.col("rank") + d for d in range(1, window + 1)])
+        ).alias("rank"),
+    )
+    pairs = probe.join(
+        ranked.select(
+            "block", "rank", F.col("doc_id").alias("b"), F.col("toks").alias("toks_b")
+        ),
+        ["block", "rank"],
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        pairs.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
+    )
+
+
+def dedup_snm_sql(
+    window: int = SNM_WINDOW,
+    block_chars: int = SNM_BLOCK_CHARS,
+    threshold: float = SNM_THRESHOLD,
+) -> str:
+    offsets = ", ".join(str(d) for d in range(1, window + 1))
+    return rf"""
+WITH keyed AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+         substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, {block_chars}) AS block,
+         list_distinct(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS toks
+  FROM documents
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY block ORDER BY norm, doc_id) AS rank
+  FROM keyed
+),
+probe AS (
+  SELECT block, doc_id AS a, toks AS toks_a, rank + d.d AS rank
+  FROM ranked, (SELECT unnest([{offsets}]) AS d) d
+),
+pairs AS (
+  SELECT p.a, r.doc_id AS b,
+         len(list_intersect(p.toks_a, r.toks)) AS n_inter,
+         len(p.toks_a) + len(r.toks) - len(list_intersect(p.toks_a, r.toks)) AS n_union
+  FROM probe p JOIN ranked r ON p.block = r.block AND p.rank = r.rank
+)
+SELECT DISTINCT
+       LEAST(a, b) AS a,
+       GREATEST(a, b) AS b,
+       ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+FROM pairs
+WHERE ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) >= {threshold}
+"""

@@ -392,3 +392,91 @@ def test_ann_index_append_equals_one_shot(spark, sf_correct, tmp_path):
         ).collect()
     ]
     assert a == b
+
+
+class TestDedupSpans:
+    """Exact-substring span dedup (overlapping grams + interval merge)."""
+
+    def test_synthetic_spans(self, spark, tmp_path):
+        from graphdb_neo4j_spark.llmdata.dedup import q_dedup_spans
+
+        # docs 1 and 2 share an 8-token run (positions 2-9 in doc 1,
+        # 0-7 in doc 2); doc 3 shares nothing. width=4 grams.
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, "x0 x1 " + shared + " x2 x3"),
+            (2, shared + " y0 y1 y2"),
+            (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in q_dedup_spans(
+                spark, str(tmp_path), width=4, min_df=2
+            ).collect()
+        }
+        assert set(out) == {1, 2}
+        assert (out[1]["span_start"], out[1]["span_end"]) == (2, 9)
+        assert (out[2]["span_start"], out[2]["span_end"]) == (0, 7)
+        # 8-token span with width-4 grams → 5 gram hits each
+        assert out[1]["n_grams"] == 5
+        assert out[1]["span_tokens"] == 8
+
+    def test_hashed_form_identical(self, spark, sf_dir):
+        from graphdb_neo4j_spark.llmdata.dedup import q_dedup_spans
+
+        text = q_dedup_spans(spark, sf_dir).collect()
+        hashed = q_dedup_spans(spark, sf_dir, hashed=True).collect()
+        key = lambda r: (r["doc_id"], r["span_start"])
+        assert sorted(map(tuple, text)) == sorted(map(tuple, hashed))
+
+    def test_disjoint_spans_not_merged(self, spark, tmp_path):
+        from graphdb_neo4j_spark.llmdata.dedup import q_dedup_spans
+
+        # two shared runs separated by unique middles → two islands
+        s1 = "a1 a2 a3 a4"
+        s2 = "b1 b2 b3 b4"
+        rows = [
+            (1, s1 + " m1 m2 m3 " + s2),
+            (2, s1 + " n1 n2 n3 " + s2),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = q_dedup_spans(spark, str(tmp_path), width=4, min_df=2).collect()
+        spans = sorted((r["doc_id"], r["span_start"], r["span_end"]) for r in out)
+        assert spans == [(1, 0, 3), (1, 7, 10), (2, 0, 3), (2, 7, 10)]
+
+
+class TestDedupSNM:
+    """Sorted-neighborhood dedup: blocked rank window + Jaccard verify."""
+
+    def test_identical_docs_all_paired(self, spark, tmp_path):
+        from graphdb_neo4j_spark.llmdata.dedup import q_dedup_snm
+
+        same = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [(1, same), (2, same), (3, same), (4, "zz completely different text here")]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = q_dedup_snm(spark, str(tmp_path), window=3).collect()
+        pairs = {(r["a"], r["b"]): r["jaccard"] for r in out}
+        assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+        assert all(j == 1.0 for j in pairs.values())
+
+    def test_pairs_are_true_neardups(self, spark, sf_dir):
+        """Every emitted pair's Jaccard matches a brute-force recompute —
+        SNM may miss pairs (bounded window), but must never fabricate."""
+        from graphdb_neo4j_spark.llmdata.dedup import SNM_THRESHOLD, q_dedup_snm
+
+        docs = {
+            r["doc_id"]: set(r["text"].lower().split())
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        }
+        for r in q_dedup_snm(spark, sf_dir).collect():
+            a, b = docs[r["a"]], docs[r["b"]]
+            true_j = len(a & b) / len(a | b)
+            assert abs(true_j - r["jaccard"]) < 1e-5
+            assert true_j >= SNM_THRESHOLD - 1e-6
