@@ -36,6 +36,11 @@ CONTRACTS = [
     # corpus_drift's two 1-row broadcast crossJoins ARE nested-loop by
     # design (a single-row build side) — cartesian check off for it
     ("corpus_drift", 3, True, False),
+    # gram-df shuffle + join-back + doc_id window; islands groupBy reuses
+    # the doc_id partitioning (subset satisfaction), dup-gram side broadcast
+    ("dedup_spans", 3, True, True),
+    # block window + (block, rank+d) equi-join + final distinct
+    ("dedup_snm", 3, True, True),
 ]
 
 
