@@ -531,3 +531,12 @@ register(
     lambda spark, sf: dedup.q_dedup_snm(spark, sf),
     dedup.dedup_snm_sql(),
 )
+
+from graphdb_neo4j_spark.llmdata import textsearch
+
+register(
+    "bm25_search",
+    lambda spark, sf: textsearch.q_bm25_search(spark, sf),
+    textsearch.bm25_search_sql(),
+    bench=True,  # retrieval counterpart of the similarity-search family
+)

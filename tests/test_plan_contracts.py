@@ -41,6 +41,9 @@ CONTRACTS = [
     ("dedup_spans", 3, True, True),
     # block window + (block, rank+d) equi-join + final distinct
     ("dedup_snm", 3, True, True),
+    # term-df groupBy (≤q keys) + final doc_id groupBy; 1-row stats
+    # crossJoin is nested-loop by design (single-row build side)
+    ("bm25_search", 2, True, False),
 ]
 
 
