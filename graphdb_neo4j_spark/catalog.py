@@ -540,3 +540,13 @@ register(
     textsearch.bm25_search_sql(),
     bench=True,  # retrieval counterpart of the similarity-search family
 )
+register("gap_fill", events.q_gap_fill, events.GAP_FILL_SQL)
+
+from graphdb_neo4j_spark.operators import scd
+
+register("scd2_customers", scd.q_scd2_customers, scd.SCD2_CUSTOMERS_SQL)
+register(
+    "weighted_sample",
+    lambda spark, sf: mixing.q_weighted_sample(spark, sf),
+    mixing.weighted_sample_sql(),
+)

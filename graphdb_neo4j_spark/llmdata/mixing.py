@@ -166,3 +166,46 @@ SELECT doc_id,
        ROW_NUMBER() OVER (ORDER BY key % 256, key, doc_id) - 1 AS pos
 FROM keyed
 """
+
+
+# --- weighted sampling without replacement (Efraimidis–Spirakis A-ES) --------
+
+WS_K = 100
+
+
+def q_weighted_sample(
+    spark: SparkSession, sf_dir: str, k: int = WS_K
+) -> DataFrame:
+    """Exactly-k weighted sample WITHOUT replacement over ``documents``,
+    weight ∝ document length (n_chars): the A-ES exponential-key trick —
+    key_i = −ln(u_i)/w_i with u_i uniform, the k SMALLEST keys are a
+    weighted sample without replacement (Efraimidis & Spirakis 2006).
+
+    One pass, no shuffle beyond the top-k: the key is a row-local
+    expression (u_i from the portable id-keyed LCG so re-runs and both
+    engines agree bit-for-bit) and the selection is
+    TakeOrderedAndProject — per-partition heaps of k, never a global
+    sort. Keys are rounded to 12 decimals BEFORE ordering (doc_id
+    tiebreak) so the k-th-place cutoff is engine-identical.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = (
+        (F.col("doc_id") * _LCG_A + _LCG_C) % _LCG_M + 1
+    ) / F.lit(float(_LCG_M + 1))
+    key = F.round(-F.log(u) / F.col("n_chars"), 12)
+    return (
+        docs.select("doc_id", "n_chars", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(k)
+    )
+
+
+def weighted_sample_sql(k: int = WS_K) -> str:
+    return rf"""
+SELECT doc_id, n_chars,
+       ROUND(-ln((((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) + 1)
+                 / {float(_LCG_M + 1)!r}) / n_chars, 12) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT {k}
+"""

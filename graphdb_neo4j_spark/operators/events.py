@@ -972,3 +972,92 @@ SELECT b.user_id, b.first_seen, b.last_seen, b.active_days, b.n_events,
        ROUND(CAST(t.top_n AS DOUBLE) / b.n_events, 6) AS top_type_share
 FROM base b JOIN top t ON b.user_id = t.user_id
 """
+
+
+# --- time-series gap fill (dense resample + LOCF) ----------------------------
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly resample per event_type over the corpus' [min, max]
+    hour range: every (hour, type) cell exists, missing cells get n=0,
+    ``is_gap`` marks them, and ``sum_value_locf`` carries the last
+    observed hourly sum forward (timescaledb-style ``locf()`` gap fill).
+
+    Scale shape: the only corpus-sized work is the hourly pre-aggregation
+    (one shuffle). The spine is ``sequence(min_hour, max_hour)`` exploded
+    from a 1-row bounds aggregate crossed with the distinct type table —
+    its size is hours × types, independent of event count — and the LOCF
+    window runs over that dense table, partitioned by type.
+    """
+    ev = load_events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(
+        hour.alias("h"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        spine.crossJoin(F.broadcast(types))
+        .join(hourly, ["h", "event_type"], "left")
+        .select(
+            "h",
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            "sum_value",
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        F.round(F.last("sum_value", ignorenulls=True).over(w), 6).alias(
+            "sum_value_locf"
+        ),
+        "is_gap",
+    )
+
+
+GAP_FILL_SQL = r"""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts::TIMESTAMP) AS h, event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT time_bucket(INTERVAL '1 hour', MIN(ts::TIMESTAMP)) AS h0,
+         time_bucket(INTERVAL '1 hour', MAX(ts::TIMESTAMP)) AS h1
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT s.h, t.event_type, COALESCE(x.n, 0) AS n, x.sum_value,
+         x.n IS NULL AS is_gap
+  FROM spine s CROSS JOIN types t
+  LEFT JOIN hourly x ON s.h = x.h AND t.event_type = x.event_type
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n,
+       ROUND(last_value(sum_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS sum_value_locf,
+       is_gap
+FROM dense
+"""

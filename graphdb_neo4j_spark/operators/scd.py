@@ -1,0 +1,140 @@
+"""Slowly-changing-dimension (SCD type 2) maintenance.
+
+The warehouse-side sibling of the engine's MERGE paths: apply an update
+batch to a versioned dimension, closing out rows whose tracked attributes
+changed (``valid_to`` = batch ts), inserting the new versions, and
+leaving history plus unchanged rows untouched — idempotent when the
+update restates current values.
+
+Plan shape: ONE equi-join of the CURRENT slice with the update batch on
+the business key (history rows never join anything), change detection is
+a row-local null-safe comparison, and the result is a 3-branch union
+(history ∪ carried/closed current ∪ inserted versions) that stays a
+single lazy plan. At 100 TB the update batch is the small side —
+broadcast — and with the dimension stored as Delta this collapses to
+``MERGE INTO`` (see operators/merge_delta.py); the relational form here
+is the format-agnostic fallback and the semantics oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.session import widen_scan
+
+DIM_START = "2020-01-01 00:00:00"
+BATCH_TS = "2024-01-01 00:00:00"
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    batch_ts: str,
+) -> DataFrame:
+    """Apply ``updates`` (key + tracked attribute columns) to an SCD2
+    ``dim`` (key + tracked + valid_from + valid_to, valid_to null =
+    current). Returns the full post-batch dimension."""
+    ts = F.lit(batch_ts).cast("timestamp")
+    history = dim.filter(F.col("valid_to").isNotNull())
+    current = dim.filter(F.col("valid_to").isNull())
+
+    upd = updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"_new_{c}") for c in tracked],
+        F.lit(True).alias("_has_update"),
+    )
+    joined = current.join(F.broadcast(upd), key, "full_outer")
+    # null-safe "any tracked attr differs" (an update may set an attr to NULL)
+    diff = None
+    for c in tracked:
+        term = ~F.col(c).eqNullSafe(F.col(f"_new_{c}"))
+        diff = term if diff is None else (diff | term)
+    has_update = F.coalesce(F.col("_has_update"), F.lit(False))
+    # dim rows always carry a non-null valid_from; brand-new keys join
+    # with a null dim side
+    in_dim = F.col("valid_from").isNotNull()
+
+    carried = joined.filter(in_dim).select(
+        key,
+        *tracked,
+        "valid_from",
+        F.when(has_update & diff, ts).otherwise(F.col("valid_to")).alias(
+            "valid_to"
+        ),
+    )
+    inserted = joined.filter(has_update & (diff | ~in_dim)).select(
+        key,
+        *[F.col(f"_new_{c}").alias(c) for c in tracked],
+        ts.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    return history.unionByName(carried).unionByName(inserted)
+
+
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SCD2 scenario, fully deterministic from the fixture:
+    the dimension starts as every customer's mktsegment valid from
+    DIM_START; the update batch restates segment for custkey % 3 == 0 as
+    'SEG_' || nationkey (a real change except where it accidentally
+    restates); output is the post-batch dimension with an is_current
+    flag. Keys with custkey % 3 != 0 must pass through byte-identical."""
+    cust = widen_scan(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(DIM_START).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.lit("SEG_"), F.col("c_nationkey")).alias("segment"),
+    )
+    out = scd2_apply(dim, updates, "custkey", ["segment"], BATCH_TS)
+    return out.select(
+        "custkey",
+        "segment",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+SCD2_CUSTOMERS_SQL = rf"""
+WITH dim AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         TIMESTAMP '{DIM_START}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey AS custkey, 'SEG_' || c_nationkey AS segment
+  FROM customer WHERE c_custkey % 3 = 0
+),
+joined AS (
+  SELECT d.custkey AS d_key, d.segment, d.valid_from, d.valid_to,
+         u.custkey AS u_key, u.segment AS new_segment
+  FROM dim d FULL OUTER JOIN upd u ON d.custkey = u.custkey
+),
+carried AS (
+  SELECT d_key AS custkey, segment, valid_from,
+         CASE WHEN u_key IS NOT NULL AND segment IS DISTINCT FROM new_segment
+              THEN TIMESTAMP '{BATCH_TS}' ELSE valid_to END AS valid_to
+  FROM joined WHERE d_key IS NOT NULL
+),
+inserted AS (
+  SELECT u_key AS custkey, new_segment AS segment,
+         TIMESTAMP '{BATCH_TS}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM joined
+  WHERE u_key IS NOT NULL
+    AND (d_key IS NULL OR segment IS DISTINCT FROM new_segment)
+)
+SELECT custkey, segment,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+       valid_to IS NULL AS is_current
+FROM (SELECT * FROM carried UNION ALL SELECT * FROM inserted)
+"""

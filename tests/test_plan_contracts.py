@@ -44,6 +44,13 @@ CONTRACTS = [
     # term-df groupBy (≤q keys) + final doc_id groupBy; 1-row stats
     # crossJoin is nested-loop by design (single-row build side)
     ("bm25_search", 2, True, False),
+    # hourly agg + dense-grid left join; spine×types crossJoin is a
+    # broadcast nested-loop over a tiny literal-sized build side
+    ("gap_fill", 2, True, False),
+    # ZERO shuffles: history filter + full-outer broadcast join + union
+    ("scd2_customers", 0, True, True),
+    # pure scan → row-local exponential key → TakeOrderedAndProject
+    ("weighted_sample", 0, True, True),
 ]
 
 

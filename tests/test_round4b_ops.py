@@ -1,0 +1,108 @@
+"""Round-4 late additions: gap fill, SCD2 maintenance, weighted sampling."""
+
+from pyspark.sql import functions as F
+
+from graphdb_neo4j_spark.operators.events import load_events, q_gap_fill
+from graphdb_neo4j_spark.operators.scd import scd2_apply
+from graphdb_neo4j_spark.llmdata.mixing import q_weighted_sample
+
+
+class TestGapFill:
+    def test_dense_and_count_preserving(self, spark, sf_dir):
+        out = q_gap_fill(spark, sf_dir)
+        rows = out.collect()
+        ev = load_events(spark, sf_dir)
+        n_types = ev.select("event_type").distinct().count()
+        n_hours = len({r["window_start"] for r in rows})
+        # dense grid: every (hour, type) cell exists exactly once
+        assert len(rows) == n_types * n_hours
+        assert len({(r["window_start"], r["event_type"]) for r in rows}) == len(rows)
+        # resample preserves the event count; gaps carry zero
+        assert sum(r["n"] for r in rows) == ev.count()
+        assert all(r["n"] == 0 for r in rows if r["is_gap"])
+        assert all(r["n"] > 0 for r in rows if not r["is_gap"])
+
+    def test_locf_carries_last_observation(self, spark, sf_dir):
+        rows = sorted(
+            q_gap_fill(spark, sf_dir).collect(),
+            key=lambda r: (r["event_type"], r["window_start"]),
+        )
+        last_seen = {}
+        for r in rows:
+            t = r["event_type"]
+            if not r["is_gap"]:
+                last_seen[t] = r["sum_value_locf"]
+            elif t in last_seen:
+                assert r["sum_value_locf"] == last_seen[t]
+            else:
+                assert r["sum_value_locf"] is None
+
+
+class TestSCD2:
+    def _dim(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, attr string, valid_from timestamp, valid_to timestamp"
+        )
+
+    def _upd(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, attr string")
+
+    def test_change_close_insert_passthrough(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2020, 1, 1)
+        dim = self._dim(
+            spark,
+            [
+                (1, "a", t0, None),  # will change
+                (2, "b", t0, None),  # restated unchanged
+                (3, "c", t0, None),  # untouched
+                (1, "old", dt.datetime(2019, 1, 1), t0),  # history
+            ],
+        )
+        upd = self._upd(spark, [(1, "a2"), (2, "b"), (9, "new")])
+        out = scd2_apply(dim, upd, "k", ["attr"], "2024-01-01 00:00:00")
+        rows = {(r["k"], r["attr"], r["valid_to"] is None) for r in out.collect()}
+        assert (1, "a", False) in rows  # closed
+        assert (1, "a2", True) in rows  # new version
+        assert (2, "b", True) in rows  # unchanged restate = no new version
+        assert (3, "c", True) in rows  # untouched
+        assert (9, "new", True) in rows  # brand-new key
+        assert (1, "old", False) in rows  # history intact
+        assert out.count() == 6
+        # exactly one current row per live key
+        cur = out.filter(F.col("valid_to").isNull()).groupBy("k").count().collect()
+        assert all(r["count"] == 1 for r in cur)
+
+    def test_idempotent_reapply(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2020, 1, 1)
+        dim = self._dim(spark, [(1, "a", t0, None), (2, "b", t0, None)])
+        upd = self._upd(spark, [(1, "a2")])
+        once = scd2_apply(dim, upd, "k", ["attr"], "2024-01-01 00:00:00")
+        twice = scd2_apply(once, upd, "k", ["attr"], "2024-06-01 00:00:00")
+        assert sorted(map(tuple, once.collect())) == sorted(
+            map(tuple, twice.collect())
+        )
+
+
+class TestWeightedSample:
+    def test_exact_k_deterministic(self, spark, sf_dir):
+        a = q_weighted_sample(spark, sf_dir, k=50).collect()
+        b = q_weighted_sample(spark, sf_dir, k=50).collect()
+        assert len(a) == 50
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_weight_bias(self, spark, sf_dir):
+        """Longer docs must be overrepresented: the sampled mean n_chars
+        exceeds the corpus mean (weight ∝ length)."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+        sample = q_weighted_sample(spark, sf_dir, k=30).collect()
+        sample_mean = sum(r["n_chars"] for r in sample) / len(sample)
+        assert sample_mean > corpus_mean
+
+    def test_without_replacement(self, spark, sf_dir):
+        ids = [r["doc_id"] for r in q_weighted_sample(spark, sf_dir, k=100).collect()]
+        assert len(ids) == len(set(ids))
