@@ -550,3 +550,8 @@ register(
     lambda spark, sf: mixing.q_weighted_sample(spark, sf),
     mixing.weighted_sample_sql(),
 )
+register(
+    "hybrid_search",
+    lambda spark, sf: textsearch.q_hybrid_search(spark, sf),
+    textsearch.hybrid_search_sql(),
+)

@@ -229,3 +229,95 @@ def probe_text_index(
         .orderBy(F.desc("score"), "doc_id")
         .limit(k)
     )
+
+
+# --- hybrid retrieval (BM25 ∪ embedding kNN, reciprocal-rank fusion) ---------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al.)
+POOL = 50  # per-branch candidate pool feeding the fusion
+
+
+def q_hybrid_search(
+    spark: SparkSession,
+    sf_dir: str,
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    anchor_id: int = 0,
+    k: int = DEFAULT_K,
+    pool: int = POOL,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 keyword branch and the exact
+    cosine-kNN embedding branch by reciprocal-rank fusion —
+    rrf(d) = Σ_branch 1/(rrf_k + rank_branch(d)) — the standard
+    score-scale-free way to combine lexical and dense retrieval.
+
+    Scale shape: each branch is its own top-``pool`` (TakeOrdered heaps
+    over the corpus); everything after operates on ≤2·pool rows — the
+    rank windows and the fusion join are bounded by the CONSTANT pool
+    size, not the corpus, so the single-partition window is a constant
+    ~50-row sort, not a data-sized one. Both branches rank on round-6/4
+    scores with doc_id tiebreaks, so ranks — and the fused order — are
+    engine-identical.
+    """
+    from pyspark.sql import Window
+
+    from graphdb_neo4j_spark.llmdata.simsearch import q_knn_anchor
+
+    bm = q_bm25_search(spark, sf_dir, query_terms, k=pool).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("bm25_rank"),
+    )
+    knn = q_knn_anchor(spark, sf_dir, anchor_id, k=pool).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("knn_rank"),
+    )
+    contrib = lambda r: F.coalesce(1.0 / (F.lit(rrf_k) + F.col(r)), F.lit(0.0))
+    # the fusion full-outer join is SMJ in the plan — over two
+    # CONSTANT pool-sized inputs (≤50 rows/side), not corpus data
+    return (
+        bm.join(knn, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "bm25_rank",
+            "knn_rank",
+            F.round(contrib("bm25_rank") + contrib("knn_rank"), 6).alias(
+                "rrf_score"
+            ),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(k)
+    )
+
+
+def hybrid_search_sql(
+    query_terms: tuple[str, ...] = DEFAULT_QUERY,
+    anchor_id: int = 0,
+    k: int = DEFAULT_K,
+    pool: int = POOL,
+    rrf_k: int = RRF_K,
+) -> str:
+    from graphdb_neo4j_spark.llmdata.simsearch import knn_anchor_sql
+
+    return rf"""
+WITH bm AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+  FROM ({bm25_search_sql(query_terms, pool)})
+),
+knn AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS knn_rank
+  FROM ({knn_anchor_sql(anchor_id, pool)})
+)
+SELECT COALESCE(bm.doc_id, knn.doc_id) AS doc_id,
+       bm.bm25_rank, knn.knn_rank,
+       ROUND(COALESCE(1.0 / ({rrf_k} + bm.bm25_rank), 0)
+             + COALESCE(1.0 / ({rrf_k} + knn.knn_rank), 0), 6) AS rrf_score
+FROM bm FULL OUTER JOIN knn ON bm.doc_id = knn.doc_id
+ORDER BY rrf_score DESC, doc_id
+LIMIT {k}
+"""

@@ -51,6 +51,9 @@ CONTRACTS = [
     ("scd2_customers", 0, True, True),
     # pure scan → row-local exponential key → TakeOrderedAndProject
     ("weighted_sample", 0, True, True),
+    # two TakeOrdered branches; the fusion SMJ + rank windows operate on
+    # constant pool-sized inputs (≤50 rows/side), 1-row crossJoins by design
+    ("hybrid_search", 2, False, False),
 ]
 
 

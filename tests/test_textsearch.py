@@ -76,3 +76,22 @@ def test_append_batch_restates_only_stats(spark, tmp_path):
     a = ts.probe_text_index(spark, idx_a, query_terms=q, k=5).collect()
     b = ts.probe_text_index(spark, idx_b, query_terms=q, k=5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hybrid_rrf_consistency(spark, sf_dir):
+    """Fused score must equal the RRF formula over the two branch ranks,
+    and both-branch docs must outrank a doc whose single rank is worse."""
+    from graphdb_neo4j_spark.llmdata.textsearch import RRF_K, q_hybrid_search
+
+    rows = q_hybrid_search(spark, sf_dir, k=20).collect()
+    assert rows
+    for r in rows:
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["bm25_rank"])
+        if r["knn_rank"] is not None:
+            expect += 1.0 / (RRF_K + r["knn_rank"])
+        assert abs(expect - r["rrf_score"]) < 1e-6
+        assert r["bm25_rank"] is not None or r["knn_rank"] is not None
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
