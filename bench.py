@@ -10,6 +10,7 @@ plan without driver-side result transfer dominating the timing).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -56,6 +57,16 @@ def main() -> None:
                 break
         if best is not None:
             timings[name] = round(best, 3)
+        # Steady-state isolation: queries localCheckpoint/cache intermediates
+        # and streaming runs leave memory-sink tables; unreleased, they pile
+        # up across the ~40 bench queries and late-alphabet queries pay the
+        # GC thrash (observed 2-4× inflation on stream_asof/training_filter
+        # vs the same query in a fresh session). Python gc triggers py4j
+        # detach so the ContextCleaner can drop the blocks; clearCache drops
+        # explicit caches; System.gc() compacts before the next timing.
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -23,7 +23,9 @@ pytest-parity but no driver row yet — front-load (in rough value order)
 (``shipping_priority``, ``nation_revenue``, ``late_shipment_priority``,
 ``promo_revenue_disjunctive``, ``top_return_customers``),
 ``decontaminated``, ``domain_stats``, plus the r4-early additions
-(``funnel_counts`` … ``distinct_rollup``); rotate the r4-window greens
+(``funnel_counts`` … ``distinct_rollup``), the TPC-H subquery family
+(``order_priority_check`` … ``brand_supplier_counts``), and
+``node_similarity``/``stream_interval``; rotate the r4-window greens
 back.
 """
 
@@ -554,4 +556,45 @@ register(
     "hybrid_search",
     lambda spark, sf: textsearch.q_hybrid_search(spark, sf),
     textsearch.hybrid_search_sql(),
+)
+
+# --- TPC-H decision-support shapes: semi/anti/correlated-subquery family -----
+register(
+    "order_priority_check",
+    olap.q_order_priority_check,
+    olap.ORDER_PRIORITY_CHECK_SQL,
+    bench=True,  # the EXISTS-against-the-fact-table anchor
+)
+register(
+    "dormant_customers",
+    olap.q_dormant_customers,
+    olap.DORMANT_CUSTOMERS_SQL,
+)
+register(
+    "small_lot_revenue",
+    lambda spark, sf: olap.q_small_lot_revenue(spark, sf),
+    olap.small_lot_revenue_sql(),
+)
+register(
+    "big_orders",
+    lambda spark, sf: olap.q_big_orders(spark, sf),
+    olap.big_orders_sql(),
+)
+register(
+    "brand_supplier_counts",
+    lambda spark, sf: olap.q_brand_supplier_counts(spark, sf),
+    olap.brand_supplier_counts_sql(),
+)
+
+# --- graph-DS node similarity + native stream-stream join --------------------
+register(
+    "node_similarity",
+    lambda spark, sf: graphalgo.q_node_similarity(spark, sf),
+    graphalgo.node_similarity_sql(),
+    bench=True,  # GDS nodeSimilarity shape: token equi-join, per-node top-k
+)
+register(
+    "stream_interval",
+    events_stream.q_stream_interval,
+    events_stream.STREAM_INTERVAL_SQL,
 )

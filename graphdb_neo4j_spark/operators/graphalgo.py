@@ -356,3 +356,102 @@ SELECT n.id, CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles
 FROM nodes n LEFT JOIN tri t ON n.id = t.id
 WHERE n.college IS NOT NULL AND n.college <> ''
 """
+
+
+# --- node similarity (GDS nodeSimilarity analog) ------------------------------
+
+NODE_SIM_CUTOFF = 0.05
+NODE_SIM_TOPK = 5
+NODE_SIM_MAX_DF = 1000  # hot-interest guard: work is Σ_interest df·(df−1)
+
+
+def q_node_similarity(
+    spark: SparkSession,
+    sf_dir: str,
+    cutoff: float = NODE_SIM_CUTOFF,
+    k: int = NODE_SIM_TOPK,
+    max_df: int = NODE_SIM_MAX_DF,
+) -> DataFrame:
+    """Graph-DS node similarity (the Neo4j GDS ``nodeSimilarity`` shape):
+    for every node, its top-``k`` most-similar peers by Jaccard over the
+    interest neighborhood, at or above ``cutoff``. The reference's graph
+    model (students + SHARES_INTEREST edges,
+    /root/reference/src/graph_queries.py) motivates the operator; the
+    reference itself has no similarity ranking — this is the designated
+    analytics extension over the same derived graph.
+
+    Scale shape: the bipartite (node, interest) table joins to itself on
+    the interest token — NEVER an array-overlap nested loop — so work is
+    Σ_interest df·(df−1), bounded by dropping interests hotter than
+    ``max_df`` (the dedup_jaccard hot-token discipline; a token shared by
+    everyone carries no similarity signal and quadratic cost). The
+    per-node top-k is one window over the (already cutoff-filtered) pair
+    list, partitioned on the source node — no global sort. Neighborhood
+    sizes ride along via two broadcast-size aggregate joins.
+    """
+    from pyspark.sql.window import Window
+
+    pairs = customer_interest_pairs(spark, sf_dir)
+    hot = pairs.groupBy("interest").agg(F.count("*").alias("df")).filter(
+        F.col("df") > max_df
+    )
+    toks = pairs.join(F.broadcast(hot), "interest", "left_anti").localCheckpoint()
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    a = toks.select(F.col("id").alias("a"), "interest")
+    b = toks.select(F.col("id").alias("b"), "interest")
+    inter = (
+        a.join(b, "interest")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sim = (
+        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        .withColumn(
+            "j",
+            F.col("n_inter").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("n_inter")),
+        )
+        .filter(F.col("j") >= cutoff)
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("j"), F.asc("b"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("a").alias("id"),
+            F.col("b").alias("nbr"),
+            F.round("j", 6).alias("jaccard"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def node_similarity_sql(
+    cutoff: float = NODE_SIM_CUTOFF,
+    k: int = NODE_SIM_TOPK,
+    max_df: int = NODE_SIM_MAX_DF,
+) -> str:
+    return f"""
+WITH {CUST_PARTS_CTE.strip()},
+hot AS (SELECT interest FROM cust_parts GROUP BY interest HAVING COUNT(*) > {max_df}),
+toks AS (SELECT id, interest FROM cust_parts WHERE interest NOT IN (SELECT interest FROM hot)),
+sizes AS (SELECT id, COUNT(*) AS sz FROM toks GROUP BY id),
+inter AS (
+    SELECT t1.id AS a, t2.id AS b, COUNT(*) AS n_inter
+    FROM toks t1 JOIN toks t2 ON t1.interest = t2.interest AND t1.id <> t2.id
+    GROUP BY t1.id, t2.id
+),
+sim AS (
+    SELECT a, b, CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS j
+    FROM inter JOIN sizes sa ON sa.id = a JOIN sizes sb ON sb.id = b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {cutoff}
+)
+SELECT a AS id, b AS nbr, ROUND(j, 6) AS jaccard,
+       CAST(rank AS INTEGER) AS rank
+FROM (SELECT a, b, j,
+             ROW_NUMBER() OVER (PARTITION BY a ORDER BY j DESC, b ASC) AS rank
+      FROM sim)
+WHERE rank <= {k}
+"""

@@ -572,3 +572,255 @@ UNION ALL SELECT 'supplier->nation',
 UNION ALL SELECT 'nation->region',
        (SELECT COUNT(*) FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey)
 """
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: per priority class, count the
+    orders in one quarter that had at least one line item shipped after
+    the order date (the fixture has no commit/receipt dates, so "late
+    shipment" is the residual predicate — same EXISTS shape as Q4).
+
+    Scale shape: the date range pushes to the orders scan; the EXISTS
+    becomes a LEFT SEMI join with a non-equi residual
+    (``l_shipdate > o_orderdate``) evaluated on the join probe — semi
+    joins never duplicate probe rows, so a 7-line order costs one output
+    row and the per-priority aggregate shuffles ≤5 rows. The lineitem
+    side carries only (orderkey, shipdate); at 100 TB this is the
+    canonical "EXISTS against the fact table" plan with no
+    de-duplication step.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .join(
+            li.select("l_orderkey", "l_shipdate"),
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORDER_PRIORITY_CHECK_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-account report: per market segment, the
+    count and total balance of customers whose balance is above the
+    positive-balance average but who placed NO order since 2000-01-01 —
+    the "money parked, relationship gone" audit.
+
+    Scale shape: the global average is a 1-ROW aggregate cross-joined
+    (broadcast) onto the customer scan — a scalar subquery, never a
+    shuffle; the NOT EXISTS is a LEFT ANTI join against the
+    date-filtered orders keyed on custkey only (the filter pushes to
+    the orders scan, the anti join moves no payload); the final
+    aggregate is ≤|segments| rows. No step is proportional to anything
+    but one pass over each table.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")) / F.count("*")).alias("avg_bal"))
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        F.col("o_custkey")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(_dec("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_dormant"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+DORMANT_CUSTOMERS_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_dormant,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_bal
+FROM customer
+WHERE CAST(c_acctbal AS DECIMAL(15,2)) >
+      (SELECT SUM(CAST(c_acctbal AS DECIMAL(15,2))) / COUNT(*)
+       FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+def q_small_lot_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#1") -> DataFrame:
+    """TPC-H Q17-shaped small-lot revenue: total revenue from line items
+    of one brand whose quantity is below half that part's average
+    order quantity — the correlated-scalar-subquery shape
+    (``l_quantity < 0.5 * (SELECT AVG ... WHERE same part)``).
+
+    Scale shape: the correlation de-correlates into a self-aggregation
+    of lineitem to (partkey, sum_qty, n) — ≤|parts| rows — joined back
+    on partkey. The brand filter prunes the part dim FIRST and
+    broadcast-semi-joins both the fact scan and the per-part aggregate,
+    so only the brand's ~1/25th of lines shuffle. The half-average
+    predicate is exact decimal cross-multiplication
+    (``2·qty·n < sum_qty``) — no engine-dependent double division on
+    the boundary."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    brand_parts = F.broadcast(
+        part.filter(F.col("p_brand") == brand).select("p_partkey")
+    )
+    li_b = li.join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    per_part = li_b.groupBy("l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return (
+        li_b.join(
+            per_part.select(
+                F.col("l_partkey").alias("pk"), "sum_qty", "n_lines"
+            ),
+            F.col("l_partkey") == F.col("pk"),
+        )
+        .filter(
+            F.lit(2).cast("decimal(15,2)") * _dec("l_quantity") * F.col("n_lines")
+            < F.col("sum_qty")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("small_lot_revenue"),
+            F.count("*").alias("n_small_lots"),
+        )
+    )
+
+
+def small_lot_revenue_sql(brand: str = "Brand#1") -> str:
+    return f"""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS small_lot_revenue,
+       COUNT(*) AS n_small_lots
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{brand}'
+  AND CAST(2 AS DECIMAL(15,2)) * CAST(l_quantity AS DECIMAL(15,2))
+      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+         AND EXISTS (SELECT 1 FROM part p2 WHERE p2.p_partkey = l2.l_partkey AND p2.p_brand = '{brand}'))
+      < (SELECT SUM(CAST(l_quantity AS DECIMAL(15,2))) FROM lineitem l3
+         WHERE l3.l_partkey = lineitem.l_partkey
+         AND EXISTS (SELECT 1 FROM part p3 WHERE p3.p_partkey = l3.l_partkey AND p3.p_brand = '{brand}'))
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300, k: int = 25) -> DataFrame:
+    """TPC-H Q18-shaped large-volume orders: orders whose total line
+    quantity exceeds ``min_qty``, with customer detail — the
+    HAVING-then-join-back shape.
+
+    Scale shape: lineitem aggregates to (orderkey, sum_qty) with the
+    HAVING applied BEFORE any join — the surviving key set is tiny (a
+    long right tail), so the join back to orders is effectively a
+    selective semi join and the customer dim broadcasts on last.
+    Partial aggregation absorbs the fact scan; nothing downstream is
+    proportional to lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > F.lit(min_qty).cast("decimal(15,2)"))
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_custkey").cast("long").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("o_orderkey").cast("long").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(k)
+    )
+
+
+def big_orders_sql(min_qty: int = 300, k: int = 25) -> str:
+    return f"""
+SELECT c_custkey AS custkey, c_name AS cust_name, o_orderkey AS orderkey,
+       o_orderdate AS orderdate, o_totalprice AS totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(15,2))) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(15,2))) > {min_qty}) big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice DESC, orderkey ASC
+LIMIT {k}
+"""
+
+
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: per (brand, type), how many
+    DISTINCT suppliers have shipped that combination — excluding
+    suppliers in bad standing (negative balance), the NOT-IN shape.
+    The fixture has no partsupp table; lineitem is the supplying-fact
+    source, which preserves the plan shape exactly.
+
+    Scale shape: the exclusion list is a tiny aggregate broadcast as a
+    LEFT ANTI join (NOT IN with non-null keys ≡ anti join); the
+    grouped COUNT(DISTINCT supplier) runs as Spark's two-phase
+    distinct-expand over (brand, type, suppkey) — partial distinct
+    happens map-side, so the shuffle carries unique triples, not fact
+    rows. Part is the only dimension and broadcasts onto the fact
+    scan."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    bad = F.broadcast(
+        supp.filter(F.col("s_acctbal") < 0).select(F.col("s_suppkey").alias("bad_key"))
+    )
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(bad, F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+        .limit(k)
+    )
+
+
+def brand_supplier_counts_sql(k: int = 20) -> str:
+    return f"""
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+LIMIT {k}
+"""

@@ -554,3 +554,92 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack(3, '{s1}', 1, c1, '{s2}', 2, c2, '{s3}', 3, c3)"
         ).alias("stage", "stage_idx", "n_users")
     )
+
+
+# --- stream-stream interval join ---------------------------------------------
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    window_min: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join with an event-time range
+    condition — the streaming twin of the batch attribution join
+    (operators/events.attribution_window_join): each purchase collects
+    the same user's clicks inside its trailing ``(ts − window, ts]``
+    attribution window as both streams arrive.
+
+    State/scale contract: this is Spark's native stream-stream join —
+    both sides buffer keyed state, and the JOINT condition (equality on
+    user + a BOUNDED time range + watermarks on both sides) is exactly
+    what lets the engine evict: a buffered click older than
+    ``watermark + window`` below the right-side event-time frontier can
+    never match a future purchase and is dropped, so state is bounded by
+    arrival rate × (watermark + window), not stream length. An
+    unconstrained (or one-sided-watermark) stream join would buffer
+    forever — the condition shape IS the 100 TB design.
+
+    Inner semantics by design: left-outer emission of never-matched rows
+    waits on watermark advancement past the end of a bounded source,
+    which availableNow does not guarantee before draining; the batch twin
+    keeps LEFT semantics for the zero-click report.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            "event_id", F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = p_user AND c_ts > p_ts - INTERVAL {window_min} MINUTES"
+            " AND c_ts <= p_ts"
+        ),
+    ).select(
+        "event_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_millis("p_ts").alias("ts_ms"),
+        F.unix_millis("c_ts").alias("click_ms"),
+    )
+
+
+def q_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded availableNow run of the stream-stream attribution join;
+    the final (purchase, click) pair set must equal the batch inner
+    join exactly (nothing is late on the bounded fixture)."""
+    clicks = stream_events(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return run_available_now(
+        spark,
+        interval_join_stream(clicks, purchases),
+        "stream_interval_sink",
+        output_mode="append",
+    )
+
+
+STREAM_INTERVAL_SQL = """
+WITH c AS (
+    SELECT user_id, epoch_ms(ts::TIMESTAMP) AS c_ms
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT event_id, user_id, epoch_ms(ts::TIMESTAMP) AS p_ms
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.p_ms AS ts_ms, c.c_ms AS click_ms
+FROM p JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ms > p.p_ms - 60 * 60 * 1000
+ AND c.c_ms <= p.p_ms
+"""

@@ -186,3 +186,33 @@ def test_stream_funnel_repairs_out_of_order_stage1(spark):
     # purchase at 31h is within [20h, 44h] → reached 3 again.
     r3 = run_batch(state, [("view", 20 * 3600 * 10**9)])
     assert r3 == 3
+
+
+def test_stream_interval_join_matches_batch_pairs(spark, sf_dir):
+    """The watermarked stream-stream interval join drained with
+    availableNow must equal the batch inner pair join exactly."""
+    from graphdb_neo4j_spark.streaming.events_stream import q_stream_interval
+
+    out = q_stream_interval(spark, sf_dir)
+    ev = load_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.unix_millis("ts").alias("c_ms")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("pu"), F.unix_millis("ts").alias("p_ms")
+    )
+    w_ms = 60 * 60 * 1000
+    batch = p.join(
+        c,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("c_ms") > F.col("p_ms") - w_ms)
+        & (F.col("c_ms") <= F.col("p_ms")),
+    ).select(
+        "event_id",
+        F.col("pu").alias("user_id"),
+        F.col("p_ms").alias("ts_ms"),
+        F.col("c_ms").alias("click_ms"),
+    )
+    cols = ["event_id", "user_id", "ts_ms", "click_ms"]
+    assert _rows(out, cols) == _rows(batch, cols)
+    assert batch.count() > 0  # fixture must actually exercise the join
