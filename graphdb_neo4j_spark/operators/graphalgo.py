@@ -405,9 +405,23 @@ def q_node_similarity(
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
+    # sizes is one row per node — dimension-sized next to the pair list, so
+    # both lookups broadcast (at a scale where nodes outgrow the broadcast
+    # budget, annotate sz onto the token rows before the pair aggregation
+    # instead of joining after)
     sim = (
-        inter.join(sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa")), "a")
-        .join(sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb")), "b")
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col("id").alias("a"), F.col("sz").alias("sa"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col("id").alias("b"), F.col("sz").alias("sb"))
+            ),
+            "b",
+        )
         .withColumn(
             "j",
             F.col("n_inter").cast("double")

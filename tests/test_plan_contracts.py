@@ -54,6 +54,19 @@ CONTRACTS = [
     # two TakeOrdered branches; the fusion SMJ + rank windows operate on
     # constant pool-sized inputs (≤50 rows/side), 1-row crossJoins by design
     ("hybrid_search", 2, False, False),
+    # EXISTS → left-semi with a non-equi residual on the broadcast probe
+    ("order_priority_check", 1, True, True),
+    # scalar-subquery average is a 1-row broadcast crossJoin by design
+    ("dormant_customers", 1, True, False),
+    # brand dim broadcast-prunes both the fact scan and the per-part agg
+    ("small_lot_revenue", 1, True, True),
+    # HAVING before any join; orders + customer broadcast onto the survivors
+    ("big_orders", 1, True, True),
+    # two-phase distinct expand + broadcast part/bad-supplier dims
+    ("brand_supplier_counts", 2, True, True),
+    # token self-join is big-big (SMJ correct); size lookups broadcast;
+    # hot-token agg + sizes agg + 2 join sides + pair agg + top-k window
+    ("node_similarity", 6, False, True),
 ]
 
 
