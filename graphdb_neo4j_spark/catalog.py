@@ -598,3 +598,12 @@ register(
     events_stream.q_stream_interval,
     events_stream.STREAM_INTERVAL_SQL,
 )
+
+# --- pivot, set operations, quality-ranked canonical selection ---------------
+register("events_pivot", events.q_events_pivot, events.EVENTS_PIVOT_SQL)
+register("segment_overlap", events.q_segment_overlap, events.SEGMENT_OVERLAP_SQL)
+register(
+    "dedup_representatives",
+    lambda spark, sf: dedup.q_dedup_representatives(spark, sf),
+    dedup.dedup_representatives_sql(),
+)

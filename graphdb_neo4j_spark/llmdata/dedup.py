@@ -1216,3 +1216,99 @@ SELECT DISTINCT
 FROM pairs
 WHERE ROUND(CAST(n_inter AS DOUBLE) / n_union, 6) >= {threshold}
 """
+
+
+# --- quality-ranked canonical selection --------------------------------------
+#
+# q_dedup_components keeps MIN(doc_id) per near-dup cluster — fine when all
+# members are interchangeable, wrong when they aren't: the production policy
+# is "keep the BEST copy" (highest quality score), not the lowest id. This
+# operator re-elects each cluster's representative by quality.
+
+
+def q_dedup_representatives(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> DataFrame:
+    """(doc_id, component_id, rep_id, keep) for every doc in a near-dup
+    cluster: ``rep_id`` is the cluster member with the highest quality
+    score (ties broken by lowest doc_id), ``keep`` marks it.
+
+    Scale shape: clustering work is inherited from
+    :func:`q_dedup_components` (bucketed pair graph + label propagation —
+    at 100 TB consume its materialized output instead, same contract as
+    training_filter's ``components`` argument); the election itself adds
+    one broadcast-joinable quality lookup and ONE window over the
+    cluster-membership table (rows = clustered docs only, a sliver of the
+    corpus), partitioned on the component key — no global sort, no new
+    pair work. Ranking compares the same double expression tree both
+    engines compute, so the argmax is engine-stable; doc_id breaks ties.
+    """
+    from pyspark.sql.window import Window
+
+    from graphdb_neo4j_spark.llmdata.textstats import q_quality_scores
+
+    comp = q_dedup_components(spark, sf_dir, threshold, width, max_df).select(
+        "doc_id", F.col("canonical_id").alias("component_id")
+    )
+    quality = q_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        comp.join(quality, "doc_id")
+        .withColumn("rep_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "component_id",
+            "rep_id",
+            (F.col("doc_id") == F.col("rep_id")).alias("keep"),
+        )
+    )
+
+
+def dedup_representatives_sql(
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> str:
+    """Recursive-CTE components + quality CTE + window election mirror."""
+    from graphdb_neo4j_spark.llmdata.textstats import QUALITY_SCORES_SQL
+
+    return rf"""
+WITH RECURSIVE {_shingle_toks_cte(width, max_df).strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS n_inter
+    FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+    GROUP BY t1.doc_id, t2.doc_id
+),
+pairs AS (
+    SELECT a, b
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+),
+edges AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach(x, y) AS (
+    SELECT x, y FROM edges
+    UNION
+    SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+),
+comps AS (
+    SELECT x AS doc_id, LEAST(x, MIN(y)) AS component_id
+    FROM reach GROUP BY x
+),
+quality AS ({QUALITY_SCORES_SQL}),
+ranked AS (
+    SELECT c.doc_id, c.component_id, q.quality_score,
+           ROW_NUMBER() OVER (PARTITION BY c.component_id
+                              ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+    FROM comps c JOIN quality q USING (doc_id)
+),
+reps AS (SELECT component_id, doc_id AS rep_id FROM ranked WHERE rn = 1)
+SELECT r.doc_id, r.component_id, p.rep_id, r.doc_id = p.rep_id AS keep
+FROM ranked r JOIN reps p USING (component_id)
+"""

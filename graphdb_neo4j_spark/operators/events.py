@@ -1061,3 +1061,98 @@ SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, n,
        is_gap
 FROM dense
 """
+
+
+# --- pivot: hour-of-day × event-type matrix ----------------------------------
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × event-type count matrix via the relational PIVOT
+    operator — the wide-report shape dashboards read (one row per hour,
+    one column per event type).
+
+    Scale shape: ``pivot`` with an EXPLICIT value list plans as ONE
+    two-phase hash aggregate — map-side partial per (hour, type) then a
+    single shuffle on the 24 hour keys; the column expansion happens in
+    the aggregate expressions, never as per-type scans or joins. An
+    implicit pivot (no value list) would add a distinct-values collect
+    job first — always pass the list at scale. Absent cells coalesce to
+    0 so the matrix is dense and hash-stable.
+    """
+    ev = load_events(spark, sf_dir)
+    piv = (
+        ev.groupBy(F.hour("ts").cast("int").alias("hour"))
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "hour", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in PIVOT_TYPES]
+    )
+
+
+EVENTS_PIVOT_SQL = """
+SELECT CAST(hour(ts::TIMESTAMP) AS INT) AS hour,
+       COUNT(*) FILTER (event_type = 'click')    AS click,
+       COUNT(*) FILTER (event_type = 'error')    AS error,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+"""
+
+
+# --- set operations: user-segment overlap ------------------------------------
+
+
+def q_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra over distinct user sets: who both clicked and
+    purchased (INTERSECT), who clicked but never purchased (EXCEPT), and
+    the reverse — the segment-overlap report behind every funnel/cohort
+    comparison. The oracle IS the INTERSECT/EXCEPT SQL, so the query is
+    pinned to true set-algebra semantics.
+
+    Scale shape: the naive form — ``intersect``/``subtract`` per segment —
+    plans as 3 independent agg+semi/anti pipelines that re-scan the fact
+    table 6 times and shuffle 6 times (measured). N-way set overlap folds
+    into ONE pass instead: per-user membership flags (one shuffle with
+    map-side partial max), then a single global flag-combination count —
+    the standard bitmap/flag rewrite for audience overlap. The engine-
+    native operators stay available on the distinct sets; pytest pins this
+    rewrite equal to their composition.
+    """
+    ev = load_events(spark, sf_dir)
+    is_c = (F.col("event_type") == "click").cast("int")
+    is_p = (F.col("event_type") == "purchase").cast("int")
+    flags = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.max(is_c).alias("c"), F.max(is_p).alias("p"))
+    )
+    counts = flags.agg(
+        F.sum(((F.col("c") == 1) & (F.col("p") == 1)).cast("long")).alias("cp"),
+        F.sum(((F.col("c") == 1) & (F.col("p") == 0)).cast("long")).alias("co"),
+        F.sum(((F.col("c") == 0) & (F.col("p") == 1)).cast("long")).alias("po"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'click_and_purchase', cp, 'click_only', co,"
+            " 'purchase_only', po)"
+        ).alias("segment", "n_users")
+    )
+
+
+SEGMENT_OVERLAP_SQL = """
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+     p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'click_and_purchase' AS segment,
+       (SELECT COUNT(*) FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)) AS n_users
+UNION ALL
+SELECT 'click_only',
+       (SELECT COUNT(*) FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p))
+UNION ALL
+SELECT 'purchase_only',
+       (SELECT COUNT(*) FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c))
+"""

@@ -67,6 +67,11 @@ CONTRACTS = [
     # token self-join is big-big (SMJ correct); size lookups broadcast;
     # hot-token agg + sizes agg + 2 join sides + pair agg + top-k window
     ("node_similarity", 6, False, True),
+    # two-phase pivot aggregate: partial on (hour, type), final on hour
+    ("events_pivot", 2, True, True),
+    # n-way set overlap folded into one flag-agg pass (scan-pushed IN
+    # filter + per-user max flags + 1-row combination count)
+    ("segment_overlap", 1, True, True),
 ]
 
 

@@ -106,3 +106,51 @@ class TestWeightedSample:
     def test_without_replacement(self, spark, sf_dir):
         ids = [r["doc_id"] for r in q_weighted_sample(spark, sf_dir, k=100).collect()]
         assert len(ids) == len(set(ids))
+
+
+def test_segment_overlap_equals_native_set_operators(spark, sf_dir):
+    """The one-pass flag-aggregation rewrite must equal the composition of
+    the engine's native intersect/subtract set operators."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.events import load_events, q_segment_overlap
+
+    got = {r["segment"]: r["n_users"] for r in q_segment_overlap(spark, sf_dir).collect()}
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    assert got == {
+        "click_and_purchase": clicks.intersect(purch).count(),
+        "click_only": clicks.subtract(purch).count(),
+        "purchase_only": purch.subtract(clicks).count(),
+    }
+    assert sum(got.values()) > 0
+
+
+def test_dedup_representatives_election(spark, sf_correct):
+    """Every cluster elects exactly one keeper; the keeper has the
+    cluster-max quality (ties to the lowest doc_id); rep_id is constant
+    within a cluster."""
+    from graphdb_neo4j_spark.llmdata.dedup import q_dedup_representatives
+    from graphdb_neo4j_spark.llmdata.textstats import q_quality_scores
+
+    rows = q_dedup_representatives(spark, sf_correct).collect()
+    assert rows
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in q_quality_scores(spark, sf_correct).collect()
+    }
+    by_comp: dict = {}
+    for r in rows:
+        by_comp.setdefault(r["component_id"], []).append(r)
+    for comp, members in by_comp.items():
+        reps = {m["rep_id"] for m in members}
+        assert len(reps) == 1, f"component {comp}: rep not constant"
+        keepers = [m for m in members if m["keep"]]
+        assert len(keepers) == 1, f"component {comp}: {len(keepers)} keepers"
+        rep = keepers[0]["doc_id"]
+        assert rep == reps.pop()
+        best = max(quality[m["doc_id"]] for m in members)
+        assert quality[rep] == best
+        ties = [m["doc_id"] for m in members if quality[m["doc_id"]] == best]
+        assert rep == min(ties)
