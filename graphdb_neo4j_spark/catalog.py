@@ -607,3 +607,10 @@ register(
     lambda spark, sf: dedup.q_dedup_representatives(spark, sf),
     dedup.dedup_representatives_sql(),
 )
+register("revenue_rollup", olap.q_revenue_rollup, olap.REVENUE_ROLLUP_SQL)
+register(
+    "balance_ntiles",
+    lambda spark, sf: olap.q_balance_ntiles(spark, sf),
+    olap.balance_ntiles_sql(),
+)
+register("events_unpivot", events.q_events_unpivot, events.EVENTS_UNPIVOT_SQL)

@@ -1156,3 +1156,30 @@ UNION ALL
 SELECT 'purchase_only',
        (SELECT COUNT(*) FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM c))
 """
+
+
+def q_events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the hour × event-type matrix back to long form with the
+    relational UNPIVOT — the wide-to-long reshape every feature store and
+    plotting layer needs (inverse of :func:`q_events_pivot`, which pins
+    round-trip semantics).
+
+    Scale shape: ``unpivot`` is a row-local expand (each input row emits
+    one row per value column) — NO shuffle of its own; the only exchanges
+    are the pivot aggregation it consumes. Column names become values, so
+    the melt is schema-driven and adding a type never rewrites the
+    operator."""
+    wide = q_events_pivot(spark, sf_dir)
+    return wide.unpivot(
+        ids=["hour"],
+        values=PIVOT_TYPES,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    )
+
+
+EVENTS_UNPIVOT_SQL = f"""
+SELECT hour, event_type, n
+FROM ({EVENTS_PIVOT_SQL.strip()}) wide
+UNPIVOT INCLUDE NULLS (n FOR event_type IN (click, error, purchase, signup, view))
+"""

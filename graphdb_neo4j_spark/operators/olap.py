@@ -824,3 +824,116 @@ GROUP BY p_brand, p_type
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
 LIMIT {k}
 """
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation revenue hierarchy via the relational ROLLUP: one
+    row per nation, one subtotal per region, one grand total — the
+    drill-down report CUBE's full cross-product would overserve
+    (events_cube covers that family; ROLLUP materializes only the
+    hierarchy's prefixes).
+
+    Scale shape: one pass — Spark expands the grouping sets INSIDE a
+    single two-phase hash aggregate (partials per grouping set map-side),
+    so the fact scan is never repeated per level. Dims broadcast onto the
+    orders scan largest-last; NULL subtotal cells are labeled '(all)' so
+    the hash is engine-stable.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    joined = (
+        orders.select("o_custkey", "o_totalprice")
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("(all)")).alias("region"),
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+SELECT COALESCE(r_name, '(all)') AS region,
+       COALESCE(n_name, '(all)') AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_balance_ntiles(spark: SparkSession, sf_dir: str, n: int = 4) -> DataFrame:
+    """Per-market-segment balance quartiles: every customer is assigned an
+    ``ntile(n)`` bucket within their segment (highest balances in tile 1),
+    then each (segment, tile) reports its population and balance range —
+    the equal-population banding behind credit tiers / A-B cohorts.
+
+    Scale shape: ntile needs each segment totally ordered — the window
+    shuffles once on the segment key and sorts within partitions (5
+    segments here; for a high-cardinality or skewed partition key, band
+    by percent_rank thresholds instead, which composes from a
+    distributed sort). The tie order is pinned (balance DESC, custkey
+    ASC) so tile boundaries are engine-deterministic; the final rollup
+    aggregates the already-partitioned rows.
+    """
+    from pyspark.sql.window import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("bal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            _dec("c_acctbal").alias("bal"),
+        )
+        .withColumn("tile", F.ntile(n).over(w))
+        .groupBy("c_mktsegment", "tile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("bal").cast("double").alias("lo_bal"),
+            F.max("bal").cast("double").alias("hi_bal"),
+        )
+    )
+
+
+def balance_ntiles_sql(n: int = 4) -> str:
+    return f"""
+WITH t AS (
+    SELECT c_mktsegment,
+           CAST(c_acctbal AS DECIMAL(15,2)) AS bal,
+           NTILE({n}) OVER (PARTITION BY c_mktsegment
+                            ORDER BY CAST(c_acctbal AS DECIMAL(15,2)) DESC,
+                                     c_custkey ASC) AS tile
+    FROM customer
+)
+SELECT c_mktsegment, tile, COUNT(*) AS n_customers,
+       CAST(MIN(bal) AS DOUBLE) AS lo_bal,
+       CAST(MAX(bal) AS DOUBLE) AS hi_bal
+FROM t GROUP BY c_mktsegment, tile
+"""

@@ -72,6 +72,12 @@ CONTRACTS = [
     # n-way set overlap folded into one flag-agg pass (scan-pushed IN
     # filter + per-user max flags + 1-row combination count)
     ("segment_overlap", 1, True, True),
+    # grouping sets expand INSIDE one two-phase agg; 3 broadcast dims
+    ("revenue_rollup", 1, True, True),
+    # one window shuffle on the segment key; final agg reuses it
+    ("balance_ntiles", 1, True, True),
+    # row-local melt — only the pivot's own 2 exchanges
+    ("events_unpivot", 2, True, True),
 ]
 
 

@@ -154,3 +154,33 @@ def test_dedup_representatives_election(spark, sf_correct):
         assert quality[rep] == best
         ties = [m["doc_id"] for m in members if quality[m["doc_id"]] == best]
         assert rep == min(ties)
+
+
+def test_pivot_unpivot_round_trip(spark, sf_dir):
+    """melt(pivot(x)) must equal the plain long-form aggregation (dense:
+    zero cells present)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.events import (
+        PIVOT_TYPES,
+        load_events,
+        q_events_unpivot,
+    )
+
+    long_rows = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in q_events_unpivot(spark, sf_dir).collect()
+    }
+    ev = load_events(spark, sf_dir)
+    direct = {
+        (r["hour"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.hour("ts").cast("int").alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    hours = {h for h, _ in long_rows}
+    assert long_rows == {
+        (h, t): direct.get((h, t), 0) for h in hours for t in PIVOT_TYPES
+    }
