@@ -614,3 +614,9 @@ register(
     olap.balance_ntiles_sql(),
 )
 register("events_unpivot", events.q_events_unpivot, events.EVENTS_UNPIVOT_SQL)
+register(
+    "graph_components",
+    lambda spark, sf: graphalgo.q_graph_components(spark, sf),
+    None,  # transitive closure infeasible in SQL at this density;
+    # union-find parity pinned in tests/test_graphalgo.py
+)

@@ -155,3 +155,54 @@ def test_node_similarity_scores_are_symmetric(spark, sf_dir):
     for (a, b), j in score.items():
         if (b, a) in score:
             assert score[(b, a)] == j
+
+
+def test_graph_components_matches_union_find(spark, sf_dir):
+    """Factored bipartite WCC vs a driver-side union-find over the same
+    incidence (node ~ attribute value / interest token)."""
+    from graphdb_neo4j_spark.graph import ATTRIBUTE_EDGE_TYPES
+    from graphdb_neo4j_spark.sources.tpch import (
+        customer_interest_pairs,
+        customer_nodes,
+    )
+
+    got = {
+        r["id"]: (r["component"], r["component_size"])
+        for r in graphalgo.q_graph_components(spark, sf_dir).collect()
+    }
+
+    nodes = customer_nodes(spark, sf_dir).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    ids = [n["id"] for n in nodes]
+    for n in nodes:
+        for attr in ATTRIBUTE_EDGE_TYPES.values():
+            v = n[attr]
+            if v:
+                union(n["id"], f"{attr}:{v}")
+    for r in customer_interest_pairs(spark, sf_dir).collect():
+        union(r["id"], f"i:{r['interest']}")
+
+    comp_min: dict = {}
+    for i in ids:
+        root = find(i)
+        comp_min[root] = min(comp_min.get(root, i), i)
+    members: dict = {}
+    for i in ids:
+        members.setdefault(comp_min[find(i)], []).append(i)
+    want = {
+        i: (comp_min[find(i)], len(members[comp_min[find(i)]])) for i in ids
+    }
+    assert got == want
+    assert len(got) == len(ids)
