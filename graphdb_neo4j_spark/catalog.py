@@ -620,3 +620,13 @@ register(
     None,  # transitive closure infeasible in SQL at this density;
     # union-find parity pinned in tests/test_graphalgo.py
 )
+register(
+    "order_count_distribution",
+    olap.q_order_count_distribution,
+    olap.ORDER_COUNT_DISTRIBUTION_SQL,
+)
+register(
+    "lone_late_supplier",
+    lambda spark, sf: olap.q_lone_late_supplier(spark, sf),
+    olap.lone_late_supplier_sql(),
+)

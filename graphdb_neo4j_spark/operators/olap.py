@@ -937,3 +937,114 @@ SELECT c_mktsegment, tile, COUNT(*) AS n_customers,
        CAST(MAX(bal) AS DOUBLE) AS hi_bal
 FROM t GROUP BY c_mktsegment, tile
 """
+
+
+def q_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped activity distribution: how many customers placed
+    exactly k (non-urgent) orders, INCLUDING the zero-order customers —
+    the engagement histogram (same shape profiles docs-per-source in a
+    curation pipeline).
+
+    Scale shape: the classic Q13 lesson is that the order-side predicate
+    must act as a JOIN-side filter, not a WHERE (a WHERE would silently
+    drop the zero-order customers a LEFT join exists to keep) — here the
+    filter applies to the orders scan BEFORE the left join, which is
+    plan-equivalent and pushdown-friendly. Two aggregations, both
+    map-side combinable: per-customer count (shuffle on custkey), then
+    count-of-counts over ≤|distinct k| rows. Nothing re-scans the fact
+    table.
+    """
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    filtered = orders.filter(F.col("o_orderpriority") != "1-URGENT").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.select("c_custkey")
+        .join(filtered, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORDER_COUNT_DISTRIBUTION_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS c_count
+    FROM customer LEFT JOIN orders
+      ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+    GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+LATE_DAYS = 100
+
+
+def q_lone_late_supplier(
+    spark: SparkSession, sf_dir: str, late_days: int = LATE_DAYS, k: int = 25
+) -> DataFrame:
+    """TPC-H Q21-shaped reliability audit: suppliers who were the ONLY
+    late shipper on a multi-supplier order ("late" = shipped more than
+    ``late_days`` after the order date — the fixture has no
+    commit/receipt dates), ranked by how often. The nastiest subquery
+    shape in the suite: a correlated EXISTS (another supplier exists on
+    the order) AND a correlated NOT EXISTS (no OTHER supplier was late).
+
+    Scale shape: both correlated subqueries decorrelate into ONE
+    per-order aggregate — n distinct suppliers, n distinct LATE
+    suppliers, and (via min=max on the late side) the lone late supplier
+    id — so the fact table shuffles once on orderkey instead of probing
+    itself twice per (line, order). Orders contributes only
+    (orderkey, orderdate); a qualifying order is exactly
+    ``n_supp ≥ 2 AND n_late_supp = 1``, and the per-supplier tally runs
+    over ≤|qualifying orders| rows.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lines = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {late_days} DAYS"
+    )
+    late_supp = F.when(is_late, F.col("l_suppkey"))
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(late_supp).alias("n_late_supp"),
+        F.min(late_supp).alias("lone_late"),
+    )
+    return (
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy(F.col("lone_late").alias("suppkey"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("suppkey"))
+        .limit(k)
+    )
+
+
+def lone_late_supplier_sql(late_days: int = LATE_DAYS, k: int = 25) -> str:
+    return f"""
+SELECT l1.l_suppkey AS suppkey, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL {late_days} DAY)
+GROUP BY l1.l_suppkey
+ORDER BY numwait DESC, suppkey ASC
+LIMIT {k}
+"""

@@ -78,6 +78,12 @@ CONTRACTS = [
     ("balance_ntiles", 1, True, True),
     # row-local melt — only the pivot's own 2 exchanges
     ("events_unpivot", 2, True, True),
+    # custkey agg + count-of-counts agg + tiny final sort; orders filter
+    # applies pre-join so zero-order customers survive the LEFT join
+    ("order_count_distribution", 3, True, True),
+    # EXISTS + NOT EXISTS decorrelated into ONE per-order aggregate:
+    # orderkey shuffle + distinct expand + per-supplier tally
+    ("lone_late_supplier", 3, True, True),
 ]
 
 
