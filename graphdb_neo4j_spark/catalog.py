@@ -630,3 +630,8 @@ register(
     lambda spark, sf: olap.q_lone_late_supplier(spark, sf),
     olap.lone_late_supplier_sql(),
 )
+register(
+    "event_transitions",
+    events.q_event_transitions,
+    events.EVENT_TRANSITIONS_SQL,
+)

@@ -1183,3 +1183,61 @@ SELECT hour, event_type, n
 FROM ({EVENTS_PIVOT_SQL.strip()}) wide
 UNPIVOT INCLUDE NULLS (n FOR event_type IN (click, error, purchase, signup, view))
 """
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition profile of user behavior: for every
+    (from_type → to_type) pair of CONSECUTIVE events of the same user,
+    the global count and the row-conditional probability
+    p(to | from) — the input to next-action prediction, journey mining,
+    and bot detection (improbable transition chains).
+
+    Scale shape: one window shuffle on user_id (lag over each user's
+    timeline — the sessionize partitioning, reusable across both), then
+    one ≤|types|² aggregation; the probability denominator is a window
+    over the already-aggregated 25-row table, not a second pass. Tie
+    order pinned (ts, event_id) so consecutive-pair extraction is
+    engine-deterministic. Exact integer counts; the probability divides
+    two integers, so the double is engine-identical.
+    """
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_from), 6
+        ).alias("p_to_given_from"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+    SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS from_type,
+           event_type AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM pairs WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)
+           AS p_to_given_from
+FROM counts
+"""

@@ -86,6 +86,9 @@ CONTRACTS = [
     # EXISTS + NOT EXISTS decorrelated into ONE per-order aggregate:
     # orderkey shuffle + distinct expand + per-supplier tally
     ("lone_late_supplier", 3, True, True),
+    # user-timeline lag window + ≤|types|² agg + denominator window over
+    # the aggregated 25-row table
+    ("event_transitions", 3, True, True),
 ]
 
 
