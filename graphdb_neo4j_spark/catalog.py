@@ -635,3 +635,12 @@ register(
     events.q_event_transitions,
     events.EVENT_TRANSITIONS_SQL,
 )
+
+from graphdb_neo4j_spark.llmdata import pca
+
+register(
+    "embedding_pca",
+    lambda spark, sf: pca.q_embedding_pca(spark, sf),
+    None,  # float partial sums are partitioning-sensitive; numpy parity
+    # + basis invariants pinned in tests/test_pca.py
+)
