@@ -644,3 +644,13 @@ register(
     None,  # float partial sums are partitioning-sensitive; numpy parity
     # + basis invariants pinned in tests/test_pca.py
 )
+register(
+    "cumulative_revenue",
+    olap.q_cumulative_revenue,
+    olap.CUMULATIVE_REVENUE_SQL,
+)
+register(
+    "session_paths",
+    lambda spark, sf: events.q_session_paths(spark, sf),
+    events.session_paths_sql(),
+)

@@ -1241,3 +1241,77 @@ SELECT from_type, to_type, n,
            AS p_to_given_from
 FROM counts
 """
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k user journeys: the most frequent within-session event-type
+    paths ("view>click>purchase") — the journey-mining report behind
+    funnel design and anomaly triage (a path that suddenly enters the
+    top-k is a product change or a bot).
+
+    Scale shape: rides on the sessionizer's single user_id shuffle; each
+    session's path assembles IN-ROW from a sort_array'd struct collect
+    (events within one session are bounded by the session, never the
+    stream), the path frequency count aggregates ≤|sessions| rows, and
+    the top-k is TakeOrderedAndProject. Tie order inside a path is
+    pinned (ts, event_id); path ties in the ranking break on the path
+    string.
+    """
+    ev = load_events(spark, sf_dir)
+    sess = sessionize(ev)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.col("event_type")
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
+def session_paths_sql(k: int = 20, gap_minutes: int = SESSION_GAP_MIN) -> str:
+    return f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN epoch_ms(ts::TIMESTAMP)
+                     - LAG(epoch_ms(ts::TIMESTAMP))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > {gap_minutes * 60 * 1000}
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, event_type, ts, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+),
+paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+    FROM sessions
+    GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {k}
+"""

@@ -1048,3 +1048,46 @@ GROUP BY l1.l_suppkey
 ORDER BY numwait DESC, suppkey ASC
 LIMIT {k}
 """
+
+
+def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running lifetime value: every order annotated with its customer's
+    cumulative revenue to date — the classic running-total window (LTV
+    curves, pacing alerts, spend caps).
+
+    Scale shape: ONE shuffle on the customer key; the running sum is a
+    rows-frame scan within each customer's date-ordered slice (no second
+    pass, no self-join — the pre-window-function formulation was a
+    triangular self-join, O(orders²) per customer). Tie order pinned
+    (orderdate, orderkey); the accumulation runs in exact decimal and
+    casts to double only at the output, so partial order can't perturb
+    the hash.
+    """
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        F.col("o_orderkey").cast("long").alias("orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+CUMULATIVE_REVENUE_SQL = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       strftime(o_orderdate::TIMESTAMP, '%Y-%m-%d') AS orderdate,
+       o_totalprice AS totalprice,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+FROM orders
+"""

@@ -89,6 +89,11 @@ CONTRACTS = [
     # user-timeline lag window + ≤|types|² agg + denominator window over
     # the aggregated 25-row table
     ("event_transitions", 3, True, True),
+    # ONE custkey shuffle; running sum is a rows-frame scan in-slice
+    ("cumulative_revenue", 1, True, True),
+    # sessionizer's user shuffle + ≤|sessions| path-frequency agg;
+    # paths assemble in-row, top-k is TakeOrderedAndProject
+    ("session_paths", 2, True, True),
 ]
 
 
