@@ -654,3 +654,8 @@ register(
     lambda spark, sf: events.q_session_paths(spark, sf),
     events.session_paths_sql(),
 )
+register(
+    "cheapest_supplier_per_part",
+    lambda spark, sf: olap.q_cheapest_supplier_per_part(spark, sf),
+    olap.cheapest_supplier_per_part_sql(),
+)

@@ -1091,3 +1091,76 @@ SELECT o_custkey AS custkey,
                   ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
 FROM orders
 """
+
+
+def q_cheapest_supplier_per_part(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#2"
+) -> DataFrame:
+    """TPC-H Q2-shaped sourcing query: for every part of one brand, the
+    supplier(s) that shipped it at the MINIMUM price — the
+    correlated-min + ARGMIN-JOIN-BACK shape (Q17 stops at the correlated
+    aggregate; Q2 must rejoin to recover the rows that ACHIEVE it).
+
+    Scale shape: the brand dim broadcast-SEMI-prunes the fact scan once;
+    the per-part minimum aggregates to ≤|brand parts| rows and broadcasts
+    back onto the SAME pruned fact slice with the equality as a join
+    residual (`price = min_price`) — no window over the fact table, no
+    second global shuffle. Ties keep every achieving supplier (set
+    semantics — deterministic without an arbitrary pick); the supplier
+    dim broadcasts on last.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    brand_parts = F.broadcast(
+        part.filter(F.col("p_brand") == brand).select("p_partkey", "p_name")
+    )
+    li_b = li.select("l_partkey", "l_suppkey", "l_extendedprice").join(
+        brand_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    min_price = li_b.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min(_dec("l_extendedprice")).alias("min_price")
+    )
+    achieving = (
+        li_b.join(
+            F.broadcast(min_price),
+            (F.col("l_partkey") == F.col("pk"))
+            & (_dec("l_extendedprice") == F.col("min_price")),
+        )
+        .select("l_partkey", "l_suppkey", "min_price")
+        .distinct()
+    )
+    return (
+        achieving.join(
+            brand_parts, F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("l_partkey").cast("long").alias("partkey"),
+            F.col("p_name").alias("part_name"),
+            F.col("l_suppkey").cast("long").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+    )
+
+
+def cheapest_supplier_per_part_sql(brand: str = "Brand#2") -> str:
+    return f"""
+SELECT l_partkey AS partkey, p_name AS part_name,
+       l_suppkey AS suppkey, s_name AS supp_name,
+       CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS DOUBLE) AS min_price
+FROM (SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = '{brand}'
+        AND CAST(l_extendedprice AS DECIMAL(15,2)) =
+            (SELECT MIN(CAST(l2.l_extendedprice AS DECIMAL(15,2)))
+             FROM lineitem l2
+             WHERE l2.l_partkey = lineitem.l_partkey)) a
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+"""

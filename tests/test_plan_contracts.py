@@ -94,6 +94,9 @@ CONTRACTS = [
     # sessionizer's user shuffle + ≤|sessions| path-frequency agg;
     # paths assemble in-row, top-k is TakeOrderedAndProject
     ("session_paths", 2, True, True),
+    # per-part min agg + distinct; the argmin join-back and all dims
+    # broadcast — no window over the fact table
+    ("cheapest_supplier_per_part", 2, True, True),
 ]
 
 
