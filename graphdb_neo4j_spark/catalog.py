@@ -659,3 +659,9 @@ register(
     lambda spark, sf: olap.q_cheapest_supplier_per_part(spark, sf),
     olap.cheapest_supplier_per_part_sql(),
 )
+register(
+    "cluster_medoids",
+    clustering.q_cluster_medoids,
+    None,  # KMeans placement engine-specific; medoid exactness
+    # brute-force-pinned in tests/test_clustering.py
+)

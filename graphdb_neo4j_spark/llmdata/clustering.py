@@ -193,3 +193,72 @@ def q_cluster_outliers(
         F.round(z, 4).alias("z_score"),
         F.coalesce(z < OUTLIER_Z, F.lit(False)).alias("is_outlier"),
     )
+
+
+# --- exact per-cluster medoids (grouped-map applyInPandas) -------------------
+
+MEDOID_CAP = 4096
+
+
+def cluster_medoids(
+    assigned: DataFrame, cap: int = MEDOID_CAP
+) -> DataFrame:
+    """(cluster_id, medoid_id, mean_dist, n_members): each cluster's exact
+    MEDOID — the member minimizing the summed cosine distance to every
+    other member. The medoid is a REAL corpus example (unlike the
+    centroid, a synthetic average), which is what curation review, few-
+    shot prompt seeding, and cluster labeling actually need.
+
+    This is the engine's grouped-map ``applyInPandas`` surface: the exact
+    medoid needs the full in-group pairwise distance matrix — a dense
+    O(m²·d) numpy kernel no composition of built-ins expresses. Groups
+    are CLUSTERS (bounded by design: a k-means cluster at 100 TB is
+    capped by k sizing; ``cap`` additionally subsamples pathological
+    groups by hashed order so one giant cluster can't OOM a task — the
+    documented approximation, deterministic). One shuffle on cluster_id;
+    each group computes independently.
+
+    Tie discipline: equal summed distance breaks on vec_id, and distances
+    round to 9 decimals first so float noise can't flip the argmin
+    between runs/partitionings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _medoid(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > cap:  # deterministic subsample: hashed-id order
+            key = (pdf["vec_id"] * 1103515245 + 12345) % 2147483648
+            pdf = pdf.assign(_k=key).sort_values("_k").head(cap)
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = m / norms[:, None]
+        dist = 1.0 - unit @ unit.T  # cosine distance matrix
+        mean_dist = np.round(dist.sum(axis=1) / max(len(m) - 1, 1), 9)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, mean_dist))  # min dist, tie → min vec_id
+        best = order[0]
+        return pd.DataFrame(
+            {
+                "cluster_id": [int(pdf["cluster_id"].iloc[0])],
+                "medoid_id": [int(ids[best])],
+                "mean_dist": [float(mean_dist[best])],
+                "n_members": [len(pdf)],
+            }
+        )
+
+    return assigned.select("cluster_id", "vec_id", "embedding").groupBy(
+        "cluster_id"
+    ).applyInPandas(
+        _medoid,
+        "cluster_id int, medoid_id long, mean_dist double, n_members long",
+    )
+
+
+def q_cluster_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form: cluster the corpus, then the exact medoid per
+    cluster (rows-only — centroid placement is engine-specific; medoid
+    exactness is pytest-pinned against a brute-force loop)."""
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    assigned, _ = cluster_assign(emb)
+    return cluster_medoids(assigned)

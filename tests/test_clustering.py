@@ -94,3 +94,65 @@ def test_outlier_detection_flags_planted_corruption(spark, tmp_path):
     z = {r["vec_id"]: r["z_score"] for r in out}
     assert z[999] < -5  # far outside its best cluster's cosine band
     assert z[999] == min(v for v in z.values() if v is not None)
+
+
+def test_cluster_medoids_match_bruteforce(spark, sf_dir):
+    """Exact medoid per cluster vs a driver-side brute-force loop over
+    the same assignment."""
+    import numpy as np
+
+    from graphdb_neo4j_spark.llmdata.clustering import (
+        cluster_assign,
+        cluster_medoids,
+    )
+    from graphdb_neo4j_spark.session import widen_scan
+
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    assigned, _ = cluster_assign(emb)
+    rows = assigned.select("cluster_id", "vec_id", "embedding").collect()
+    got = {
+        r["cluster_id"]: (r["medoid_id"], r["mean_dist"], r["n_members"])
+        for r in cluster_medoids(assigned).collect()
+    }
+
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(r["cluster_id"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    assert set(got) == set(groups)
+    for cid, members in groups.items():
+        ids = np.array([i for i, _ in members])
+        m = np.stack([v for _, v in members])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = m / norms[:, None]
+        dist = 1.0 - unit @ unit.T
+        mean_dist = np.round(dist.sum(axis=1) / max(len(m) - 1, 1), 9)
+        order = np.lexsort((ids, mean_dist))
+        want_id = int(ids[order[0]])
+        assert got[cid][0] == want_id, f"cluster {cid}"
+        assert got[cid][1] == float(mean_dist[order[0]])
+        assert got[cid][2] == len(members)
+
+
+def test_medoid_is_member_and_central(spark, sf_dir):
+    """The medoid belongs to its cluster and its mean distance is the
+    group minimum (spot invariant, independent of the parity loop)."""
+    from graphdb_neo4j_spark.llmdata.clustering import (
+        cluster_assign,
+        cluster_medoids,
+    )
+    from graphdb_neo4j_spark.session import widen_scan
+
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    assigned, _ = cluster_assign(emb)
+    members = {
+        (r["cluster_id"], r["vec_id"])
+        for r in assigned.select("cluster_id", "vec_id").collect()
+    }
+    meds = cluster_medoids(assigned).collect()
+    assert meds
+    for r in meds:
+        assert (r["cluster_id"], r["medoid_id"]) in members
+        assert r["mean_dist"] >= 0.0
