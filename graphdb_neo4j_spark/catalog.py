@@ -665,3 +665,8 @@ register(
     None,  # KMeans placement engine-specific; medoid exactness
     # brute-force-pinned in tests/test_clustering.py
 )
+register(
+    "stream_transitions",
+    events_stream.q_stream_transitions,
+    events.EVENT_TRANSITIONS_SQL,  # batch boundaries must be invisible
+)

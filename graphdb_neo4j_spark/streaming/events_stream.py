@@ -643,3 +643,82 @@ FROM p JOIN c
  AND c.c_ms > p.p_ms - 60 * 60 * 1000
  AND c.c_ms <= p.p_ms
 """
+
+
+# --- streaming Markov transitions (stateful lag across batches) --------------
+
+_TRANS_STATE_SCHEMA = "last_us bigint, last_eid bigint, last_type string"
+_TRANS_OUT_SCHEMA = "from_type string, to_type string"
+
+
+def _transitions_fn(
+    key: tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user consecutive-pair extraction with the LAG seeded from
+    state: the previous batch's final event is the first pair's
+    ``from`` side, so batch boundaries are invisible. Within a batch
+    rows sort by the batch operator's exact tie rule (ts, event_id);
+    ACROSS batches the operator assumes event-time-ordered arrival per
+    key (the stream_asof contract — a watermark-deep reorder buffer is
+    the documented extension)."""
+    last = state.get if state.exists else (None, None, None)
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        pdf = pdf.copy()
+        pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
+        pdf = pdf.sort_values(["us", "event_id"])
+        types = pdf["event_type"].tolist()
+        prev = [last[2]] + types[:-1]
+        out = pd.DataFrame({"from_type": prev, "to_type": types})
+        out = out[out["from_type"].notna()]
+        if len(pdf):
+            tail = pdf.iloc[-1]
+            last = (int(tail["us"]), int(tail["event_id"]), tail["event_type"])
+        if len(out):
+            yield out
+    state.update(last)
+
+
+def transitions_stream(events: DataFrame) -> DataFrame:
+    """Keyed-state streaming twin of the batch transition extraction:
+    state = one (ts, event_id, type) triple per user."""
+    return events.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drained pair stream rolled up to the (from, to, n, p(to|from))
+    report — same output contract and DuckDB oracle as the batch
+    ``event_transitions`` (nothing is out of order on the bounded
+    fixture, so the availableNow run must match exactly)."""
+    ev = stream_events(spark, sf_dir)
+    pairs = run_available_now(
+        spark,
+        transitions_stream(ev),
+        "stream_transitions_sink",
+        output_mode="append",
+    )
+    from pyspark.sql import Window as W
+
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n")
+    )
+    w_from = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_from), 6
+        ).alias("p_to_given_from"),
+    )

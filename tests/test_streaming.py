@@ -216,3 +216,56 @@ def test_stream_interval_join_matches_batch_pairs(spark, sf_dir):
     cols = ["event_id", "user_id", "ts_ms", "click_ms"]
     assert _rows(out, cols) == _rows(batch, cols)
     assert batch.count() > 0  # fixture must actually exercise the join
+
+
+def test_stream_transitions_state_bridges_batches(spark, sf_dir):
+    """The previous batch's final event must seed the next batch's first
+    pair (batch boundaries invisible), and the drained availableNow run
+    must equal the batch operator."""
+    import pandas as pd
+
+    from graphdb_neo4j_spark.operators.events import q_event_transitions
+    from graphdb_neo4j_spark.streaming.events_stream import (
+        _transitions_fn,
+        q_stream_transitions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    def run_batch(state, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [pd.Timestamp(r[1], unit="s") for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+        outs = list(_transitions_fn((1,), iter([pdf]), state))
+        return (
+            list(zip(outs[0]["from_type"], outs[0]["to_type"])) if outs else []
+        )
+
+    state = FakeState()
+    assert run_batch(state, [(1, 10, "view"), (2, 20, "click")]) == [
+        ("view", "click")
+    ]
+    # boundary pair: click (batch 1 tail) -> purchase (batch 2 head)
+    assert run_batch(state, [(3, 30, "purchase"), (4, 40, "view")]) == [
+        ("click", "purchase"),
+        ("purchase", "view"),
+    ]
+    # empty batch leaves state untouched
+    assert run_batch(state, []) == []
+    assert run_batch(state, [(5, 50, "error")]) == [("view", "error")]
+
+    cols = ["from_type", "to_type", "n", "p_to_given_from"]
+    out = q_stream_transitions(spark, sf_dir)
+    batch = q_event_transitions(spark, sf_dir)
+    assert _rows(out, cols) == _rows(batch, cols)
