@@ -16,17 +16,27 @@ then the heavyweight analytics greens. Rotated out: the simple
 lookup/edge/ingest family (all hash-green in r3).
 
 r5 rotation TODO: everything registered past the window this round has
-pytest-parity but no driver row yet — front-load (in rough value order)
-``stream_rollup``, ``stream_anomaly``, ``dedup_incremental``,
+pytest-parity (tests/test_oracle_parity.py sweeps all of it) but no
+driver row yet — front-load (in rough value order)
+``stream_rollup``, ``stream_anomaly``, ``stream_sessionize``,
+``stream_funnel``, ``stream_dedup``, ``stream_interval``,
+``stream_transitions``, ``dedup_incremental`` (+``_exact``,
+``_minhash``, ``dedup_components_incremental``),
 ``quality_classifier``/``_hashed``/``quality_gate``, ``bigram_logprob``,
-``corpus_drift``, ``events_anomaly``, the OLAP join family
+``corpus_drift``, ``events_anomaly``, the OLAP join/subquery families
 (``shipping_priority``, ``nation_revenue``, ``late_shipment_priority``,
-``promo_revenue_disjunctive``, ``top_return_customers``),
-``decontaminated``, ``domain_stats``, plus the r4-early additions
-(``funnel_counts`` … ``distinct_rollup``), the TPC-H subquery family
-(``order_priority_check`` … ``brand_supplier_counts``), and
-``node_similarity``/``stream_interval``; rotate the r4-window greens
-back.
+``promo_revenue_disjunctive``, ``top_return_customers``,
+``order_priority_check``, ``dormant_customers``, ``small_lot_revenue``,
+``big_orders``, ``brand_supplier_counts``, ``order_count_distribution``,
+``lone_late_supplier``, ``cheapest_supplier_per_part``,
+``revenue_rollup``, ``balance_ntiles``, ``cumulative_revenue``),
+``node_similarity``, ``graph_components``, ``dedup_representatives``,
+``events_pivot``/``events_unpivot``/``segment_overlap``/
+``event_transitions``/``session_paths``, ``embedding_pca``,
+``cluster_medoids``, ``bm25_search``/``hybrid_search``, ``gap_fill``,
+``scd2_customers``, ``weighted_sample``, ``decontaminated``,
+``domain_stats``, plus the r4-early additions (``funnel_counts`` …
+``distinct_rollup``); rotate the r4-window greens back.
 """
 
 from __future__ import annotations
