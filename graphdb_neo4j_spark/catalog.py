@@ -680,3 +680,9 @@ register(
     events_stream.q_stream_transitions,
     events.EVENT_TRANSITIONS_SQL,  # batch boundaries must be invisible
 )
+register("events_ohlc", events.q_events_ohlc, events.EVENTS_OHLC_SQL)
+register(
+    "table_profile",
+    textstats.q_table_profile,
+    textstats.table_profile_sql(),
+)

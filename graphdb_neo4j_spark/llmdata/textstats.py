@@ -1039,3 +1039,66 @@ UNION ALL
 SELECT '__overall__', NULL, NULL, NULL, NULL, unigram_kl, new_token_rate
 FROM overall
 """
+
+
+# --- ANALYZE-style column profiling ------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "source", "lang", "n_chars", "text")
+
+
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the documents table: null count, exact
+    distinct count, min and max (rendered to strings) — the ANALYZE /
+    data-quality report every warehouse keeps per table, and the input
+    to data-contract drift alerts (a ndv collapse or a min/max shift is
+    a broken upstream join or a new source).
+
+    Scale shape: ONE pass — all per-column aggregates fuse into a single
+    two-phase hash aggregate (count_distinct expands per column but
+    stays partial-combined); the long-form reshape afterwards is a
+    row-local stack of the 1-row wide result. At 100 TB swap the exact
+    count_distinct for approx_count_distinct — same single-pass plan
+    shape. min/max render via the same explicit formats in both engines
+    (timestamps as 'yyyy-MM-dd HH:mm:ss', numbers as plain decimal
+    strings), so the hash is representation-stable.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    def render(c: str) -> F.Column:
+        dt = dict(docs.dtypes)[c]
+        if dt.startswith("timestamp"):
+            return F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
+        return F.col(c).cast("string")
+
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(c).alias(f"{c}__ndv"),
+            F.min(render(c)).alias(f"{c}__min"),
+            F.max(render(c)).alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max"
+        for c in _PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        ).alias("column", "n_nulls", "n_distinct", "min_value", "max_value")
+    )
+
+
+def table_profile_sql() -> str:
+    per_col = []
+    for c in _PROFILE_COLS:
+        render = f"CAST({c} AS VARCHAR)"
+        per_col.append(
+            f"SELECT '{c}' AS column,"
+            f" SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" MIN({render}) AS min_value,"
+            f" MAX({render}) AS max_value FROM documents"
+        )
+    return "\nUNION ALL\n".join(per_col)

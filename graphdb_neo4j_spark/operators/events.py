@@ -1315,3 +1315,51 @@ GROUP BY path
 ORDER BY n_sessions DESC, path ASC
 LIMIT {k}
 """
+
+
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type over ``value`` — the financial
+    resample (open/high/low/close) that generalizes to any sensor/metric
+    stream; open/close are positional aggregates (earliest/latest row's
+    value), high/low are plain extremes.
+
+    Scale shape: ONE two-phase aggregation — ``min_by``/``max_by``
+    (positional argmin/argmax aggregates) partial-combine map-side like
+    any min/max, so open/close cost the same as high/low: no window, no
+    sort, no self-join back to find the boundary rows. The ordering key
+    packs (ts, event_id) into one BIGINT (micros ≪ 2^43, 20-bit id
+    space) so the argmin tie-break is total and engine-identical.
+    """
+    ev = load_events(spark, sf_dir)
+    okey = F.unix_millis("ts") * F.lit(1 << 22) + F.col("event_id")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.min_by(val, okey).cast("double").alias("open"),
+            F.max(val).cast("double").alias("high"),
+            F.min(val).cast("double").alias("low"),
+            F.max_by(val, okey).cast("double").alias("close"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+EVENTS_OHLC_SQL = """
+SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(arg_min(CAST(value AS DECIMAL(18,2)),
+                    epoch_ms(ts::TIMESTAMP) * 4194304 + event_id) AS DOUBLE) AS open,
+       CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
+       CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
+       CAST(arg_max(CAST(value AS DECIMAL(18,2)),
+                    epoch_ms(ts::TIMESTAMP) * 4194304 + event_id) AS DOUBLE) AS close,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1, 2
+"""

@@ -97,6 +97,10 @@ CONTRACTS = [
     # per-part min agg + distinct; the argmin join-back and all dims
     # broadcast — no window over the fact table
     ("cheapest_supplier_per_part", 2, True, True),
+    # min_by/max_by partial-combine like plain extremes: ONE aggregation
+    ("events_ohlc", 1, True, True),
+    # all per-column aggregates fuse into one pass; stack is row-local
+    ("table_profile", 1, True, True),
 ]
 
 
