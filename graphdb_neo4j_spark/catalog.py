@@ -686,3 +686,9 @@ register(
     textstats.q_table_profile,
     textstats.table_profile_sql(),
 )
+register(
+    "weighted_distances",
+    lambda spark, sf: paths.q_weighted_distances(spark, sf),
+    None,  # iterative min-plus fixpoint has no SQL mirror;
+    # Dijkstra parity pinned in tests/test_paths.py
+)

