@@ -260,5 +260,9 @@ class GraphService:
         from graphdb_neo4j_spark.nl.pipeline import NLEngine
 
         eng = NLEngine(self.spark, self.sf_dir, llm=llm)
+        # the codegen path targets the nodes/edges SQL views; without this
+        # any SELECT the LLM produces fails analysis (latent until the
+        # REPL test drove chat() through the query path)
+        eng.register_views()
         ans = eng.answer(question, explain=True)
         return ans.reply or ""
