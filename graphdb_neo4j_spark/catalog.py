@@ -692,3 +692,8 @@ register(
     None,  # iterative min-plus fixpoint has no SQL mirror;
     # Dijkstra parity pinned in tests/test_paths.py
 )
+register(
+    "k_anonymity",
+    lambda spark, sf: lookup.q_k_anonymity(spark, sf),
+    lookup.k_anonymity_sql(),
+)

@@ -210,3 +210,59 @@ SELECT n.id,
                  FROM cust_parts cp WHERE cp.id = n.id), '') AS tagged_interests
 FROM nodes n
 """
+
+
+# --- k-anonymity profile (privacy governance) --------------------------------
+
+KANON_K = 10
+KANON_QUASI = ("college", "board", "stream")
+
+
+def q_k_anonymity(
+    spark: SparkSession, sf_dir: str, k: int = KANON_K
+) -> DataFrame:
+    """k-anonymity audit over the node table's quasi-identifier
+    combination (college, board, stream): how re-identifiable is a
+    "de-identified" export? A record in an equivalence class of size < k
+    is at risk; the report gives per-class-size-band counts plus the
+    dataset's k (its smallest class) — the release gate a governance
+    pipeline runs before sharing derived data.
+
+    Scale shape: ONE aggregation to equivalence classes (≤ product of
+    quasi-identifier cardinalities, partial-combined map-side), then a
+    ≤|classes|-row rollup — the fact table is touched once. Generalizing
+    a column to pass the gate (e.g. dropping `stream`) is re-running
+    this with a shorter tuple; the plan shape is identical.
+    """
+    from graphdb_neo4j_spark.sources.tpch import customer_nodes
+
+    nodes = customer_nodes(spark, sf_dir)
+    classes = nodes.groupBy(*KANON_QUASI).agg(F.count("*").alias("class_size"))
+    band = (
+        F.when(F.col("class_size") < k, F.lit("at_risk"))
+        .otherwise(F.lit("anonymous"))
+    )
+    return (
+        classes.groupBy(band.alias("band"))
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.sum("class_size").alias("n_records"),
+            F.min("class_size").alias("min_class_size"),
+        )
+    )
+
+
+def k_anonymity_sql(k: int = KANON_K) -> str:
+    return f"""
+WITH {NODES_CTE.strip()},
+classes AS (
+    SELECT college, board, stream, COUNT(*) AS class_size
+    FROM nodes GROUP BY college, board, stream
+)
+SELECT CASE WHEN class_size < {k} THEN 'at_risk' ELSE 'anonymous' END AS band,
+       COUNT(*) AS n_classes,
+       SUM(class_size) AS n_records,
+       MIN(class_size) AS min_class_size
+FROM classes
+GROUP BY 1
+"""
