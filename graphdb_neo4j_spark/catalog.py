@@ -697,3 +697,4 @@ register(
     lambda spark, sf: lookup.q_k_anonymity(spark, sf),
     lookup.k_anonymity_sql(),
 )
+register("cdc_apply", scd.q_cdc_apply, scd.CDC_APPLY_SQL)

@@ -138,3 +138,84 @@ SELECT custkey, segment,
        valid_to IS NULL AS is_current
 FROM (SELECT * FROM carried UNION ALL SELECT * FROM inserted)
 """
+
+
+# --- CDC apply (last-writer-wins with deletes) -------------------------------
+#
+# The other half of dimension maintenance: SCD2 above keeps HISTORY for
+# in-place updates; CDC apply COLLAPSES a change feed (insert/update/delete
+# ops) to current state — the standard lakehouse "apply changes" operator
+# (Delta CDF consumers, Debezium sinks, Hudi/Iceberg upsert tails).
+
+
+def cdc_apply(changes: DataFrame, key: str, op_col: str, seq_col: str) -> DataFrame:
+    """Current state from a change feed: for each key, the op with the
+    highest ``seq_col`` wins; a winning ``delete`` removes the key, any
+    other op keeps the row's payload.
+
+    Scale shape: ONE aggregation — ``max_by(struct(payload...), seq)``
+    collapses each key map-side (partial-combined like any max), so the
+    shuffle carries one candidate row per key per partition, never the
+    feed; the delete filter is row-local afterwards. No window, no sort,
+    no join against the feed. ``seq_col`` must be a total order per key
+    (CDC sources provide an LSN/offset; ties here are pre-packed by the
+    caller).
+    """
+    payload = [c for c in changes.columns if c not in (key,)]
+    winner = F.max_by(F.struct(*payload), F.col(seq_col))
+    return (
+        changes.groupBy(key)
+        .agg(winner.alias("w"))
+        .select(key, "w.*")
+        .filter(F.col(op_col) != "delete")
+        .drop(seq_col)
+    )
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form over a deterministic change feed derived from the
+    events table: signup=insert, purchase/view/click=update (value is the
+    payload), error=delete — per user, the LAST op by (ts, event_id)
+    decides existence and final value. The feed derivation is shared
+    verbatim with the oracle, so the operator under test is the collapse
+    itself."""
+    from graphdb_neo4j_spark.operators.events import load_events
+
+    ev = load_events(spark, sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    seq = F.unix_millis("ts") * F.lit(1 << 22) + F.col("event_id")
+    changes = ev.select(
+        "user_id",
+        op.alias("op"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+        seq.alias("seq"),
+    )
+    out = cdc_apply(changes, key="user_id", op_col="op", seq_col="seq")
+    return out.select(
+        "user_id", "op", F.col("value").cast("double").alias("value")
+    )
+
+
+CDC_APPLY_SQL = """
+WITH changes AS (
+    SELECT user_id,
+           CASE WHEN event_type = 'signup' THEN 'insert'
+                WHEN event_type = 'error' THEN 'delete'
+                ELSE 'update' END AS op,
+           CAST(value AS DECIMAL(18,2)) AS value,
+           epoch_ms(ts::TIMESTAMP) * 4194304 + event_id AS seq
+    FROM events
+),
+collapsed AS (
+    SELECT user_id,
+           arg_max(op, seq) AS op,
+           arg_max(value, seq) AS value
+    FROM changes GROUP BY user_id
+)
+SELECT user_id, op, CAST(value AS DOUBLE) AS value
+FROM collapsed WHERE op <> 'delete'
+"""

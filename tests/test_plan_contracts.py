@@ -101,6 +101,10 @@ CONTRACTS = [
     ("events_ohlc", 1, True, True),
     # all per-column aggregates fuse into one pass; stack is row-local
     ("table_profile", 1, True, True),
+    # ONE max_by aggregation collapses the feed; delete filter row-local
+    ("cdc_apply", 1, True, True),
+    # equivalence-class agg + ≤|classes| band rollup; node dims broadcast
+    ("k_anonymity", 2, True, True),
 ]
 
 

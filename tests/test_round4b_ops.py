@@ -184,3 +184,32 @@ def test_pivot_unpivot_round_trip(spark, sf_dir):
     assert long_rows == {
         (h, t): direct.get((h, t), 0) for h in hours for t in PIVOT_TYPES
     }
+
+
+def test_cdc_apply_semantics(spark):
+    """Crafted feed: last-writer-wins, deletes remove, reinsert after
+    delete survives, singleton insert passes through."""
+    from graphdb_neo4j_spark.operators.scd import cdc_apply
+
+    changes = spark.createDataFrame(
+        [
+            (1, "insert", 10.0, 1),
+            (1, "update", 20.0, 2),   # u1 final value 20
+            (2, "insert", 5.0, 1),
+            (2, "delete", None, 3),   # u2 gone
+            (3, "insert", 7.0, 1),
+            (3, "delete", None, 2),
+            (3, "insert", 9.0, 5),    # u3 re-inserted after delete
+            (4, "insert", 1.0, 9),    # u4 singleton
+        ],
+        "user_id long, op string, value double, seq long",
+    )
+    out = {
+        r["user_id"]: (r["op"], r["value"])
+        for r in cdc_apply(changes, "user_id", "op", "seq").collect()
+    }
+    assert out == {
+        1: ("update", 20.0),
+        3: ("insert", 9.0),
+        4: ("insert", 1.0),
+    }
