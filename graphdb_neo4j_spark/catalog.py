@@ -698,3 +698,9 @@ register(
     lookup.k_anonymity_sql(),
 )
 register("cdc_apply", scd.q_cdc_apply, scd.CDC_APPLY_SQL)
+register(
+    "basket_affinity",
+    lambda spark, sf: olap.q_basket_affinity(spark, sf),
+    olap.basket_affinity_sql(),
+)
+register("pareto_revenue", olap.q_pareto_revenue, olap.PARETO_REVENUE_SQL)

@@ -1164,3 +1164,161 @@ FROM (SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice
 JOIN part ON p_partkey = l_partkey
 JOIN supplier ON s_suppkey = l_suppkey
 """
+
+
+BASKET_MIN_SUPPORT = 3  # pairs must co-occur in at least this many orders
+
+
+def q_basket_affinity(
+    spark: SparkSession, sf_dir: str, min_support: int = BASKET_MIN_SUPPORT, k: int = 25
+) -> DataFrame:
+    """Market-basket association rules at the pair level: for parts
+    co-purchased in the same order, support (co-orders), confidence
+    P(b|a), and lift P(a,b)/(P(a)P(b)) — the first Apriori level, which
+    in practice carries most of the recommendation/placement value.
+
+    Scale shape: baskets self-join on the ORDER key, so work is
+    Σ_order C(lines, 2) — bounded by basket size (≈ 4–7 lines in this
+    schema), never |parts|²; the min-support filter prunes before the
+    per-part marginals broadcast on. Pair and marginal counts are plain
+    partial-agged groupBys; confidence/lift divide exact integers (and
+    round to 6) so both engines produce identical doubles. Emitted
+    DIRECTED (a→b and b→a) because confidence is asymmetric; ranking
+    ties break on the pair.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # four consumers (two join sides, marginals, order count) — materialize
+    # the distinct baskets once instead of re-scanning the fact table
+    baskets = (
+        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    a = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    b = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    pair_counts = (
+        a.join(b, "o")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    marginals = baskets.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("n_orders_with")
+    )
+    return (
+        pair_counts.join(
+            F.broadcast(marginals.select(F.col("pk").alias("a"), F.col("n_orders_with").alias("na"))), "a"
+        )
+        .join(
+            F.broadcast(marginals.select(F.col("pk").alias("b"), F.col("n_orders_with").alias("nb"))), "b"
+        )
+        .select(
+            F.col("a").cast("long").alias("part_a"),
+            F.col("b").cast("long").alias("part_b"),
+            "support",
+            F.round(F.col("support").cast("double") / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("support").cast("double") * F.lit(float(n_orders))
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+        .limit(k)
+    )
+
+
+def basket_affinity_sql(
+    min_support: int = BASKET_MIN_SUPPORT, k: int = 25
+) -> str:
+    return f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+pairs AS (
+    SELECT x.l_partkey AS part_a, y.l_partkey AS part_b, COUNT(*) AS support
+    FROM baskets x JOIN baskets y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {min_support}
+),
+marg AS (SELECT l_partkey AS pk, COUNT(*) AS n_with FROM baskets GROUP BY 1)
+SELECT part_a, part_b, support,
+       ROUND(CAST(support AS DOUBLE) / ma.n_with, 6) AS confidence,
+       ROUND(CAST(support AS DOUBLE) * (SELECT n_orders FROM n)
+             / (CAST(ma.n_with AS DOUBLE) * mb.n_with), 6) AS lift
+FROM pairs
+JOIN marg ma ON ma.pk = part_a
+JOIN marg mb ON mb.pk = part_b
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT {k}
+"""
+
+
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (ABC/Pareto report): customers ranked by
+    lifetime revenue, bucketed into deciles of the CUSTOMER COUNT, with
+    each decile's share of total revenue and the running share — answers
+    "do 20% of customers carry 80% of revenue?" in one table.
+
+    Scale shape: revenue aggregates to ≤|customers| rows first; the
+    decile assignment is one ntile window over that aggregate (pinned
+    tie order), and the final rollup is 10 rows. The global total rides
+    along as a 1-row broadcast. Exact decimal until the final share
+    division. The unpartitioned ntile IS a single-task sort — acceptable
+    because it runs on the aggregate, not the fact table; at a scale
+    where even |customers| breaks one task, band by percent_rank
+    thresholds instead (composes from a distributed sort, same output
+    contract).
+    """
+    from pyspark.sql.window import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.sum(_dec("o_totalprice")).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    total = per_cust.agg(F.sum("rev").alias("total_rev"))
+    by_decile = (
+        deciled.groupBy("decile")
+        .agg(F.count("*").alias("n_customers"), F.sum("rev").alias("dec_rev"))
+        .join(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("dec_rev").cast("double") / F.col("total_rev"), 6).alias(
+                "rev_share"
+            ),
+        )
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return by_decile.withColumn(
+        "cum_share", F.round(F.sum("rev_share").over(w_cum), 6)
+    )
+
+
+PARETO_REVENUE_SQL = """
+WITH per_cust AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+    FROM orders GROUP BY o_custkey
+),
+deciled AS (
+    SELECT o_custkey, rev,
+           NTILE(10) OVER (ORDER BY rev DESC, o_custkey ASC) AS decile
+    FROM per_cust
+),
+by_decile AS (
+    SELECT decile, COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / (SELECT CAST(SUM(rev) AS DOUBLE) FROM per_cust), 6) AS rev_share
+    FROM deciled GROUP BY decile
+)
+SELECT decile, n_customers, rev_share,
+       ROUND(SUM(rev_share) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING), 6)
+           AS cum_share
+FROM by_decile
+"""

@@ -105,6 +105,12 @@ CONTRACTS = [
     ("cdc_apply", 1, True, True),
     # equivalence-class agg + ≤|classes| band rollup; node dims broadcast
     ("k_anonymity", 2, True, True),
+    # checkpointed baskets feed all 4 consumers: pair self-join on the
+    # ORDER key (Σ C(basket,2) work) + agg; marginals broadcast
+    ("basket_affinity", 3, True, True),
+    # agg first; global ntile is a single-task sort over the AGGREGATE
+    # (documented); 1-row total crossJoin is nested-loop by design
+    ("pareto_revenue", 2, True, False),
 ]
 
 
