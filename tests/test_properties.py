@@ -211,3 +211,44 @@ def test_lcg_bucket_is_engine_portable(spark, ids):
         ).fetchall()
     )
     assert got == want
+
+
+# --- CDC apply: random feeds vs a sequential fold -----------------------------
+
+_OPS = st.sampled_from(["insert", "update", "delete"])
+_FEED = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),    # key
+        _OPS,
+        st.floats(min_value=0, max_value=100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_FEED)
+def test_cdc_apply_equals_sequential_fold(spark, feed):
+    """cdc_apply over ANY feed (unique seq = arrival index) must equal
+    replaying the feed in order into a dict — the definition of
+    last-writer-wins with deletes."""
+    from graphdb_neo4j_spark.operators.scd import cdc_apply
+
+    rows = [
+        (k, op, round(v, 2), i) for i, (k, op, v) in enumerate(feed)
+    ]
+    changes = spark.createDataFrame(
+        rows, "user_id long, op string, value double, seq long"
+    )
+    got = {
+        r["user_id"]: (r["op"], r["value"])
+        for r in cdc_apply(changes, "user_id", "op", "seq").collect()
+    }
+    # spec: the key's LAST op wins; a winning delete removes the key
+    # (no tombstone — a later non-delete reinserts)
+    last: dict = {}
+    for k, op, v, _ in rows:
+        last[k] = (op, v)
+    want = {k: (op, v) for k, (op, v) in last.items() if op != "delete"}
+    assert got == want
