@@ -704,3 +704,8 @@ register(
     olap.basket_affinity_sql(),
 )
 register("pareto_revenue", olap.q_pareto_revenue, olap.PARETO_REVENUE_SQL)
+register(
+    "sequence_match",
+    lambda spark, sf: events.q_sequence_match(spark, sf),
+    events.sequence_match_sql(),
+)

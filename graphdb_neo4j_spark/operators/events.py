@@ -1363,3 +1363,62 @@ SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
 FROM events
 GROUP BY 1, 2
 """
+
+
+SEQ_PATTERN = "signup(>view)+>purchase"  # the strict onboarding path
+
+
+def q_sequence_match(
+    spark: SparkSession, sf_dir: str, pattern: str = SEQ_PATTERN
+) -> DataFrame:
+    """Behavioral pattern matching over each user's ORDERED event-type
+    sequence (the ClickHouse ``sequenceMatch`` shape): did the user's
+    timeline ever contain the pattern (default: the STRICT
+    signup→views→purchase onboarding path — views only, no detour)? Output: per-pattern-match
+    flag counts — the cohort split every activation analysis starts from.
+
+    Scale shape: each user's type string assembles IN-ROW from one
+    sort_array'd collect over the user shuffle (the session_paths
+    discipline — bounded by the user's event count, and a 100 TB
+    timeline would cap/segment the collect the same way state stores
+    cap sessions); the regex runs once per USER on that string, not per
+    event, and the final rollup is 2 rows. Tie order (ts, event_id)
+    pinned. The '.' in the pattern can never match a separator-spoofed
+    type because types come from a closed vocabulary — for open
+    vocabularies use a non-type separator char in both engines.
+    """
+    ev = load_events(spark, sf_dir)
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.col("event_type")
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("seq")
+        )
+    )
+    matched = seqs.select(
+        F.col("seq").rlike(pattern).alias("matched")
+    )
+    return matched.groupBy("matched").agg(F.count("*").alias("n_users"))
+
+
+def sequence_match_sql(pattern: str = SEQ_PATTERN) -> str:
+    return f"""
+WITH seqs AS (
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+)
+SELECT regexp_matches(seq, '{pattern}') AS matched, COUNT(*) AS n_users
+FROM seqs GROUP BY 1
+"""

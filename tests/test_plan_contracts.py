@@ -111,6 +111,8 @@ CONTRACTS = [
     # agg first; global ntile is a single-task sort over the AGGREGATE
     # (documented); 1-row total crossJoin is nested-loop by design
     ("pareto_revenue", 2, True, False),
+    # user shuffle → in-row sequence string → one regex per USER → 2-row agg
+    ("sequence_match", 2, True, True),
 ]
 
 
