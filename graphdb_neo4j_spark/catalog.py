@@ -709,3 +709,9 @@ register(
     lambda spark, sf: events.q_sequence_match(spark, sf),
     events.sequence_match_sql(),
 )
+register(
+    "stream_ohlc",
+    events_stream.q_stream_ohlc,
+    events.EVENTS_OHLC_SQL,  # availableNow must equal the batch bars
+)
+register("conversion_lag", events.q_conversion_lag, events.CONVERSION_LAG_SQL)

@@ -1422,3 +1422,56 @@ WITH seqs AS (
 SELECT regexp_matches(seq, '{pattern}') AS matched, COUNT(*) AS n_users
 FROM seqs GROUP BY 1
 """
+
+
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert KPI: per event type that FOLLOWS a user's first
+    signup, how many users ever did it and the p50/p90 lag from signup — the activation
+    dashboard's core rows (one per type).
+
+    Scale shape: the first-signup table is a ≤|users| aggregate joined
+    back (broadcast-or-shuffle under AQE); post-signup events reduce to
+    one (user, type, first-lag) row BEFORE percentiles, so the exact
+    percentile sorts ≤|users|·|types| rows per group, never events.
+    Integer millisecond lags → engine-identical quantile interpolation
+    (same contract as events_quantiles).
+    """
+    ev = load_events(spark, sf_dir)
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_millis("ts")).alias("signup_ms"))
+    )
+    post = (
+        ev.filter(F.col("event_type") != "signup")
+        .select("user_id", "event_type", F.unix_millis("ts").alias("ms"))
+        .join(signups, "user_id")
+        .filter(F.col("ms") >= F.col("signup_ms"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min(F.col("ms") - F.col("signup_ms")).alias("lag_ms"))
+    )
+    return post.groupBy("event_type").agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.expr("percentile(lag_ms, 0.5)"), 6).alias("p50_lag_ms"),
+        F.round(F.expr("percentile(lag_ms, 0.9)"), 6).alias("p90_lag_ms"),
+    )
+
+
+CONVERSION_LAG_SQL = """
+WITH signups AS (
+    SELECT user_id, MIN(epoch_ms(ts::TIMESTAMP)) AS signup_ms
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+post AS (
+    SELECT e.user_id, e.event_type,
+           MIN(epoch_ms(e.ts::TIMESTAMP) - s.signup_ms) AS lag_ms
+    FROM events e JOIN signups s ON e.user_id = s.user_id
+    WHERE e.event_type <> 'signup'
+      AND epoch_ms(e.ts::TIMESTAMP) >= s.signup_ms
+    GROUP BY e.user_id, e.event_type
+)
+SELECT event_type, COUNT(*) AS n_converted,
+       ROUND(quantile_cont(lag_ms, 0.5), 6) AS p50_lag_ms,
+       ROUND(quantile_cont(lag_ms, 0.9), 6) AS p90_lag_ms
+FROM post GROUP BY event_type
+"""

@@ -722,3 +722,38 @@ def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w_from), 6
         ).alias("p_to_given_from"),
     )
+
+
+def ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming hourly OHLC bars — min_by/max_by positional aggregates
+    inside a watermarked tumbling window (they merge like any min/max,
+    so the state per (window, type) is four scalars + counts)."""
+    okey = F.unix_millis("ts") * F.lit(1 << 22) + F.col("event_id")
+    val = F.col("value").cast("decimal(18,2)")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by(val, okey).cast("double").alias("open"),
+            F.max(val).cast("double").alias("high"),
+            F.min(val).cast("double").alias("low"),
+            F.max_by(val, okey).cast("double").alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of the streaming OHLC — must equal the batch
+    q_events_ohlc exactly on the bounded fixture (same oracle)."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(spark, ohlc_stream(ev), "stream_ohlc_sink")
