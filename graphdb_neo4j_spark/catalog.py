@@ -35,8 +35,9 @@ driver row yet — front-load (in rough value order)
 ``event_transitions``/``session_paths``, ``embedding_pca``,
 ``cluster_medoids``, ``bm25_search``/``hybrid_search``, ``gap_fill``,
 ``scd2_customers``, ``weighted_sample``, ``decontaminated``,
-``domain_stats``, plus the r4-early additions (``funnel_counts`` …
-``distinct_rollup``); rotate the r4-window greens back.
+``domain_stats``, ``pagerank_ppr``, plus the r4-early additions
+(``funnel_counts`` … ``distinct_rollup``); rotate the r4-window greens
+back.
 """
 
 from __future__ import annotations
@@ -679,6 +680,11 @@ register(
     "stream_transitions",
     events_stream.q_stream_transitions,
     events.EVENT_TRANSITIONS_SQL,  # batch boundaries must be invisible
+)
+register(
+    "pagerank_ppr",
+    graphalgo.q_pagerank_ppr,
+    graphalgo.pagerank_ppr_sql(),  # seeded unrolled-CTE twin of the global oracle
 )
 register("events_ohlc", events.q_events_ohlc, events.EVENTS_OHLC_SQL)
 register(

@@ -301,6 +301,133 @@ def q_pagerank_factored(
     ).select("id", F.round("rank", 6).alias("rank"))
 
 
+# --- personalized PageRank (seeded teleport) ----------------------------------
+
+
+def pagerank_personalized(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seed_ids: list[int],
+    iterations: int = 10,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """(id, rank) after ``iterations`` rounds of personalized PageRank on
+    an UNDIRECTED edge list: the teleport mass lands only on ``seed_ids``
+    (uniformly), so rank measures proximity to the seed set — the Neo4j
+    GDS ``pageRank`` with ``sourceNodes`` shape, and the random-walk
+    counterpart of the one-vs-all recommendation scorer
+    (operators/recommend.py).
+
+    Probability convention: Σrank = 1 at every round (r0 puts 1/|S| on
+    each seed; the update is r' = (1−d)·e + d·W·r). A node with no edges
+    holds rank only if it is a seed (its walk mass has nowhere to go and
+    teleports home each round — the deterministic dangling choice, same
+    answer the oracle computes). Loop shape is identical to
+    :func:`pagerank`: degree-annotated edges are loop-invariant and
+    checkpointed once, each iteration is ONE shuffle on the receiving id,
+    per-round ``localCheckpoint`` truncates lineage.
+    """
+    share = 1.0 / len(seed_ids)
+    both = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+    )
+    degrees = both.groupBy("u").agg(F.count("*").alias("deg"))
+    with_deg = both.join(degrees, "u").localCheckpoint(eager=False)
+    base = nodes.select(
+        "id",
+        F.when(F.col("id").isin(seed_ids), F.lit(share))
+        .otherwise(F.lit(0.0))
+        .alias("e"),
+    ).localCheckpoint(eager=False)
+    ranks = base.select("id", F.col("e").alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            with_deg.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        ranks = (
+            base.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("e")
+                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+PPR_SEED_ID = 1  # same anchor as the recommend_people flagship
+
+
+def q_pagerank_ppr(
+    spark: SparkSession, sf_dir: str, seed_id: int = PPR_SEED_ID, iterations: int = 5
+) -> DataFrame:
+    """Personalized PageRank from the flagship anchor over the same
+    SAME_COLLEGE ∪ SAME_BOARD graph as :func:`q_pagerank` — "who is close
+    to this person by random walk", the graph-native recommendation
+    ranking. Rounded to 9 decimals (values live in [0, 1], drift ≪ 1e-12)."""
+    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
+
+    nodes = customer_nodes(spark, sf_dir)
+    edges = derive_attribute_edges(nodes, "college", "SAME_COLLEGE").unionByName(
+        derive_attribute_edges(nodes, "board", "SAME_BOARD")
+    ).select("src", "dst")
+    return pagerank_personalized(
+        nodes, edges, [seed_id], iterations=iterations
+    ).select("id", F.round("rank", 9).alias("rank"))
+
+
+def pagerank_ppr_sql(
+    seed_id: int = PPR_SEED_ID, iterations: int = 5, damping: float = DAMPING
+) -> str:
+    """DuckDB mirror of :func:`q_pagerank_ppr`: same edge set, same seeded
+    update, unrolled to a fixed CTE chain (the :func:`pagerank_oracle_sql`
+    discipline — deterministic, no fixpoint test)."""
+    teleport = repr(1.0 - damping)
+    d = repr(damping)
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""r{i} AS (
+    SELECT n.id,
+           {teleport} * (CASE WHEN n.id = {seed_id} THEN 1.0 ELSE 0.0 END)
+           + {d} * COALESCE(s.contrib, 0.0) AS "rank"
+    FROM nodes n
+    LEFT JOIN (
+        SELECT e.v AS id, SUM(r."rank" / d.deg) AS contrib
+        FROM edges e
+        JOIN r{i - 1} r ON e.u = r.id
+        JOIN deg d ON e.u = d.u
+        GROUP BY e.v
+    ) s ON n.id = s.id
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH {NODES_CTE.strip()},
+edges AS (
+    SELECT a.id AS u, b.id AS v
+    FROM nodes a JOIN nodes b ON a.college = b.college
+    WHERE a.id <> b.id AND a.college IS NOT NULL AND a.college <> ''
+    UNION
+    SELECT a.id AS u, b.id AS v
+    FROM nodes a JOIN nodes b ON a.board = b.board
+    WHERE a.id <> b.id AND a.board IS NOT NULL AND a.board <> ''
+),
+deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+r0 AS (SELECT id, CASE WHEN id = {seed_id} THEN CAST(1.0 AS DOUBLE)
+                       ELSE CAST(0.0 AS DOUBLE) END AS "rank" FROM nodes),
+{chain}
+SELECT id, ROUND("rank", 9) AS "rank" FROM r{iterations}
+"""
+
+
 # --- triangle counting -------------------------------------------------------
 
 

@@ -206,3 +206,75 @@ def test_graph_components_matches_union_find(spark, sf_dir):
     }
     assert got == want
     assert len(got) == len(ids)
+
+
+# --- personalized PageRank -----------------------------------------------------
+
+
+def test_ppr_mass_conservation_and_localization(spark):
+    """On a path 0-1-2-3-4 seeded at 0: Σrank = 1 every round (no
+    isolated nodes ⇒ the damped walk conserves probability mass) and the
+    mass concentrates near the seed. NOTE: strict per-hop decay is NOT an
+    invariant — the path is bipartite (even/odd oscillation at finite
+    iteration counts) and node 1's degree-2 in-flow beats the seed's
+    degree-1 at the fixpoint — so the assertion is on neighborhood mass,
+    not per-node order."""
+    n = 5
+    ranks = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank_personalized(
+            _nodes(spark, n),
+            _edges(spark, [(i, i + 1) for i in range(n - 1)]),
+            seed_ids=[0],
+            iterations=6,
+        ).collect()
+    }
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+    near = ranks[0] + ranks[1] + ranks[2]
+    far = ranks[3] + ranks[4]
+    assert near > 5 * far
+    assert min(ranks[0], ranks[1]) > max(ranks[3], ranks[4])
+
+
+def test_ppr_matches_dense_reference(spark):
+    """Exact agreement with a dense numpy-free Python reference on a
+    small irregular graph (triangle + tail), any seed."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    n, d, iters, seeds = 5, graphalgo.DAMPING, 7, [2, 4]
+    adj = {i: [] for i in range(n)}
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    e = [1.0 / len(seeds) if i in seeds else 0.0 for i in range(n)]
+    r = e[:]
+    for _ in range(iters):
+        contrib = [0.0] * n
+        for u in range(n):
+            for v in adj[u]:
+                contrib[v] += r[u] / len(adj[u])
+        r = [(1 - d) * e[i] + d * contrib[i] for i in range(n)]
+    got = {
+        row["id"]: row["rank"]
+        for row in graphalgo.pagerank_personalized(
+            _nodes(spark, n), _edges(spark, edges), seed_ids=seeds, iterations=iters
+        ).collect()
+    }
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-12)
+
+
+def test_ppr_isolated_nonseed_is_zero(spark):
+    """A node with no edges and no seed mass can never acquire rank; an
+    isolated SEED retains exactly the teleport share each round."""
+    ranks = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank_personalized(
+            _nodes(spark, 4),
+            _edges(spark, [(0, 1)]),
+            seed_ids=[2],
+            iterations=5,
+        ).collect()
+    }
+    assert ranks[3] == 0.0
+    assert ranks[0] == 0.0 and ranks[1] == 0.0
+    assert ranks[2] == pytest.approx(1.0 - graphalgo.DAMPING, abs=1e-12)
