@@ -35,7 +35,8 @@ driver row yet — front-load (in rough value order)
 ``event_transitions``/``session_paths``, ``embedding_pca``,
 ``cluster_medoids``, ``bm25_search``/``hybrid_search``, ``gap_fill``,
 ``scd2_customers``, ``weighted_sample``, ``decontaminated``,
-``domain_stats``, ``pagerank_ppr``, plus the r4-early additions
+``domain_stats``, ``pagerank_ppr``, ``label_propagation``, plus the
+r4-early additions
 (``funnel_counts`` … ``distinct_rollup``); rotate the r4-window greens
 back.
 """
@@ -685,6 +686,11 @@ register(
     "pagerank_ppr",
     graphalgo.q_pagerank_ppr,
     graphalgo.pagerank_ppr_sql(),  # seeded unrolled-CTE twin of the global oracle
+)
+register(
+    "label_propagation",
+    graphalgo.q_label_propagation,
+    graphalgo.label_propagation_sql(),  # deterministic sync LPA, unrolled CTE
 )
 register("events_ohlc", events.q_events_ohlc, events.EVENTS_OHLC_SQL)
 register(

@@ -428,6 +428,126 @@ SELECT id, ROUND("rank", 9) AS "rank" FROM r{iterations}
 """
 
 
+# --- label propagation community detection ------------------------------------
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, iterations: int = 4
+) -> DataFrame:
+    """(id, label) after ``iterations`` rounds of SYNCHRONOUS label
+    propagation on an undirected edge list — the Neo4j GDS
+    ``labelPropagation`` shape, made fully deterministic: every node
+    simultaneously adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label, isolated nodes keep their own.
+
+    Determinism is the design choice that makes the operator
+    driver-checkable: the textbook async/random-order LPA is
+    run-dependent, while the synchronous + (count DESC, label ASC)
+    tie-break variant is a pure function of (graph, iterations) — the
+    same fixed-iteration discipline as :func:`pagerank_oracle_sql` (the
+    known cost is that sync LPA can oscillate on bipartite structures,
+    which a fixed iteration count simply truncates). Per round: ONE
+    shuffle for the (node, label) count aggregation, argmax via a
+    struct-max (no window, no second shuffle), per-round
+    ``localCheckpoint`` truncates lineage.
+    """
+    both = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=False
+    )
+    for _ in range(iterations):
+        cnt = (
+            both.join(labels.select(F.col("id").alias("u"), "label"), "u")
+            .groupBy(F.col("v").alias("id"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (cnt DESC, label ASC) as one struct-max: structs compare
+        # lexicographically, so max((cnt, -label)) is the deterministic winner
+        best = (
+            cnt.groupBy("id")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("id", (-F.col("m.nl")).alias("best"))
+        )
+        labels = (
+            labels.join(best, "id", "left")
+            .select("id", F.coalesce("best", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
+def q_label_propagation(
+    spark: SparkSession, sf_dir: str, iterations: int = 4
+) -> DataFrame:
+    """Community detection over the SAME_COLLEGE ∪ SAME_BOARD graph:
+    (id, community, community_size), community = the propagated label."""
+    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
+
+    nodes = customer_nodes(spark, sf_dir)
+    edges = derive_attribute_edges(nodes, "college", "SAME_COLLEGE").unionByName(
+        derive_attribute_edges(nodes, "board", "SAME_BOARD")
+    ).select("src", "dst")
+    labels = label_propagation(nodes, edges, iterations=iterations)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return labels.join(sizes, "label").select(
+        "id", F.col("label").alias("community"), "community_size"
+    )
+
+
+def label_propagation_sql(iterations: int = 4) -> str:
+    """DuckDB mirror of :func:`q_label_propagation`: same edge set, same
+    synchronous most-frequent-neighbor update with the same (count DESC,
+    label ASC) tie-break, unrolled to a fixed CTE chain."""
+    iters = []
+    for i in range(1, iterations + 1):
+        iters.append(
+            f"""l{i} AS (
+    SELECT p.id, COALESCE(b.best, p.label) AS label
+    FROM l{i - 1} p
+    LEFT JOIN (
+        SELECT v AS id, label AS best FROM (
+            SELECT e.v, r.label, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.v
+                       ORDER BY COUNT(*) DESC, r.label ASC
+                   ) AS rn
+            FROM edges e JOIN l{i - 1} r ON e.u = r.id
+            GROUP BY e.v, r.label
+        ) WHERE rn = 1
+    ) b ON b.id = p.id
+)"""
+        )
+    chain = ",\n".join(iters)
+    return f"""
+WITH {NODES_CTE.strip()},
+edges AS (
+    SELECT a.id AS u, b.id AS v
+    FROM nodes a JOIN nodes b ON a.college = b.college
+    WHERE a.id <> b.id AND a.college IS NOT NULL AND a.college <> ''
+    UNION
+    SELECT a.id AS u, b.id AS v
+    FROM nodes a JOIN nodes b ON a.board = b.board
+    WHERE a.id <> b.id AND a.board IS NOT NULL AND a.board <> ''
+),
+l0 AS (SELECT id, id AS label FROM nodes),
+{chain}
+SELECT l.id, l.label AS community, s.community_size
+FROM l{iterations} l
+JOIN (SELECT label, COUNT(*) AS community_size
+      FROM l{iterations} GROUP BY label) s
+  ON l.label = s.label
+"""
+
+
 # --- triangle counting -------------------------------------------------------
 
 

@@ -278,3 +278,78 @@ def test_ppr_isolated_nonseed_is_zero(spark):
     assert ranks[3] == 0.0
     assert ranks[0] == 0.0 and ranks[1] == 0.0
     assert ranks[2] == pytest.approx(1.0 - graphalgo.DAMPING, abs=1e-12)
+
+
+# --- label propagation -----------------------------------------------------------
+
+
+def _lpa_reference(n, edges, iterations):
+    """Pure-Python synchronous LPA with the same (count desc, label asc)
+    tie-break — the spec the Spark loop must match."""
+    adj = {i: [] for i in range(n)}
+    for u, v in edges:
+        adj[u].append(v)
+        adj[v].append(u)
+    labels = list(range(n))
+    for _ in range(iterations):
+        nxt = labels[:]
+        for i in range(n):
+            if not adj[i]:
+                continue
+            counts: dict = {}
+            for j in adj[i]:
+                counts[labels[j]] = counts.get(labels[j], 0) + 1
+            nxt[i] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two triangles {0,1,2} and {3,4,5} joined by one bridge edge 2-3:
+    after convergence each triangle is one community and the bridge does
+    not merge them. (Label VALUES are dynamics-dependent — the bridge
+    leaks label 2 rightward before the left triangle settles on 0 — so
+    the assertion is on the partition, not on which label won.)"""
+    edges = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    labels = {
+        r["id"]: r["label"]
+        for r in graphalgo.label_propagation(
+            _nodes(spark, 6), _edges(spark, edges), iterations=6
+        ).collect()
+    }
+    assert labels[0] == labels[1] == labels[2]
+    assert labels[3] == labels[4] == labels[5]
+    assert labels[0] != labels[3]
+
+
+def test_lpa_tiebreak_is_min_label(spark):
+    """A node whose neighbor labels split evenly adopts the SMALLEST —
+    star center with leaves 1..4 (all distinct labels, count 1 each)."""
+    edges = [(0, i) for i in range(1, 5)]
+    labels = {
+        r["id"]: r["label"]
+        for r in graphalgo.label_propagation(
+            _nodes(spark, 5), _edges(spark, edges), iterations=1
+        ).collect()
+    }
+    assert labels[0] == 1  # min over {1,2,3,4}
+    for i in range(1, 5):
+        assert labels[i] == 0  # every leaf's only neighbor is the center
+
+
+def test_lpa_matches_python_reference(spark):
+    """Exact agreement with the pure-Python synchronous spec on an
+    irregular graph (two uneven communities + an isolated node), at a
+    truncating iteration count (3 — mid-oscillation states must match
+    too, not just fixpoints)."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (6, 3)]
+    n, iters = 8, 3  # node 7 is isolated
+    want = _lpa_reference(n, edges, iters)
+    got = {
+        r["id"]: r["label"]
+        for r in graphalgo.label_propagation(
+            _nodes(spark, n), _edges(spark, edges), iterations=iters
+        ).collect()
+    }
+    assert got == {i: want[i] for i in range(n)}
+    assert got[7] == 7  # isolated keeps its own label
