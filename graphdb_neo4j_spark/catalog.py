@@ -35,8 +35,8 @@ driver row yet — front-load (in rough value order)
 ``event_transitions``/``session_paths``, ``embedding_pca``,
 ``cluster_medoids``, ``bm25_search``/``hybrid_search``, ``gap_fill``,
 ``scd2_customers``, ``weighted_sample``, ``decontaminated``,
-``domain_stats``, ``pagerank_ppr``, ``label_propagation``, plus the
-r4-early additions
+``domain_stats``, ``pagerank_ppr``, ``label_propagation``,
+``embedding_quantize``, plus the r4-early additions
 (``funnel_counts`` … ``distinct_rollup``); rotate the r4-window greens
 back.
 """
@@ -691,6 +691,11 @@ register(
     "label_propagation",
     graphalgo.q_label_propagation,
     graphalgo.label_propagation_sql(),  # deterministic sync LPA, unrolled CTE
+)
+register(
+    "embedding_quantize",
+    simsearch.q_embedding_quantize,
+    simsearch.EMBEDDING_QUANTIZE_SQL,  # int8 codes + reconstruction error
 )
 register("events_ohlc", events.q_events_ohlc, events.EVENTS_OHLC_SQL)
 register(

@@ -479,6 +479,113 @@ FROM embeddings
 """
 
 
+# --- int8 scalar quantization --------------------------------------------------
+
+
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization of an ``embedding``
+    array<float> column: scale = max|x| / 127, q_i = floor(x_i/scale + 0.5)
+    (explicit half-up — identical semantics in every engine, unlike
+    bankers-vs-away rounding builtins). Returns the input plus
+    ``scale`` double and ``q`` array<int> — the 4×-smaller form an
+    embedding store ships to serving. Pure JVM array expressions
+    (transform/aggregate), no UDF, no shuffle: quantization is
+    row-local and scales linearly.
+    """
+    absmax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    with_scale = emb.withColumn("scale", absmax / F.lit(127.0))
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform("embedding", lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    return with_scale.withColumn("q", q)
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization quality report per vector: the scale, an order-stable
+    checksum of the int8 codes (sum/min/max — scalars, so the row is
+    driver-canonicalizable), and the reconstruction error (max abs +
+    MSE). The errors are the accept gate a pipeline checks before
+    swapping float32 retrieval for int8; max_abs_err ≤ scale/2 by
+    construction (pytest-pinned)."""
+    emb = widen_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_bytes=_LINEAR_MIN_BYTES,
+    )
+    qd = quantize_embeddings(emb)
+    # err is materialized as a column BEFORE the aliasing select: Spark 4's
+    # lateral column aliases would otherwise resolve the `scale` reference
+    # inside the lambda to the ROUNDED output alias below, skewing every
+    # error by |q|·(rounding delta)
+    qd = qd.withColumn(
+        "err",
+        F.zip_with(
+            "embedding",
+            "q",
+            lambda x, qi: F.abs(
+                x.cast("double") - qi.cast("double") * F.col("scale")
+            ),
+        ),
+    )
+    sqerr_sum = F.aggregate("err", F.lit(0.0), lambda acc, e: acc + e * e)
+    return qd.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round("scale", 9).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.round(F.array_max("err"), 9).alias("max_abs_err"),
+        F.round(sqerr_sum / F.size("embedding"), 12).alias("mse"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH s AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0
+               AS scale
+    FROM embeddings
+),
+qv AS (
+    SELECT vec_id, embedding, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(
+                    embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+           END AS q
+    FROM s
+),
+e AS (
+    SELECT vec_id, scale, q,
+           CAST(len(embedding) AS INT) AS dim,
+           list_transform(
+               list_zip(embedding, q),
+               p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale)) AS err
+    FROM qv
+)
+SELECT vec_id, dim, ROUND(scale, 9) AS scale,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_min(q) AS INT) AS q_min,
+       CAST(list_max(q) AS INT) AS q_max,
+       ROUND(list_max(err), 9) AS max_abs_err,
+       ROUND(list_sum(list_transform(err, x -> x * x)) / dim, 12) AS mse
+FROM e
+"""
+
+
 # --- semantic dedup (SemDeDup-style) -----------------------------------------
 
 

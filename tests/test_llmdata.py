@@ -1,6 +1,8 @@
 """Extension-operator invariants beyond oracle parity: LSH vs exact ground
 truth, ANN recall, winnowing determinism."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.llmdata import dedup, simsearch, textstats
@@ -480,3 +482,45 @@ class TestDedupSNM:
             true_j = len(a & b) / len(a | b)
             assert abs(true_j - r["jaccard"]) < 1e-5
             assert true_j >= SNM_THRESHOLD - 1e-6
+
+
+def test_quantize_reconstruction_bounds(spark, sf_dir):
+    """int8 quantization laws on the real corpus: q codes live in
+    [-127, 127], max_abs_err ≤ scale/2 + ulp (half-up rounding cannot
+    miss by more than half a step), and a numpy replay of the exact
+    formula agrees row-for-row."""
+    from graphdb_neo4j_spark.llmdata.simsearch import q_embedding_quantize
+    import numpy as np
+
+    rows = q_embedding_quantize(spark, sf_dir).collect()
+    assert rows
+    src = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float32)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+        x = src[r["vec_id"]].astype(np.float64)
+        scale = np.abs(x).max() / 127.0
+        q = np.zeros_like(x) if scale == 0 else np.floor(x / scale + 0.5)
+        err = np.abs(x - q * scale)
+        assert r["dim"] == len(x)
+        assert r["q_sum"] == int(q.sum())
+        assert r["scale"] == pytest.approx(scale, abs=1e-9)
+        assert r["max_abs_err"] == pytest.approx(err.max(), abs=1e-9)
+        assert r["mse"] == pytest.approx((err * err).mean(), abs=1e-11)
+
+
+def test_quantize_zero_vector_is_exact(spark):
+    """The all-zero vector quantizes to scale 0, all-zero codes, zero
+    error — the degenerate branch must not divide by zero."""
+    from graphdb_neo4j_spark.llmdata.simsearch import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert got[1]["scale"] == 0.0 and got[1]["q"] == [0, 0, 0]
+    assert got[2]["q"] == [64, -127, 32]  # scale = 2/127; 0.5/scale = 31.75 → 32
