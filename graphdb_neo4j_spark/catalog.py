@@ -36,7 +36,7 @@ driver row yet — front-load (in rough value order)
 ``cluster_medoids``, ``bm25_search``/``hybrid_search``, ``gap_fill``,
 ``scd2_customers``, ``weighted_sample``, ``decontaminated``,
 ``domain_stats``, ``pagerank_ppr``, ``label_propagation``,
-``embedding_quantize``, plus the r4-early additions
+``embedding_quantize``, ``dsir_weights``, plus the r4-early additions
 (``funnel_counts`` … ``distinct_rollup``); rotate the r4-window greens
 back.
 """
@@ -696,6 +696,11 @@ register(
     "embedding_quantize",
     simsearch.q_embedding_quantize,
     simsearch.EMBEDDING_QUANTIZE_SQL,  # int8 codes + reconstruction error
+)
+register(
+    "dsir_weights",
+    classifier.q_dsir_weights,
+    classifier.dsir_weights_sql(),  # hashed-unigram importance model replayed
 )
 register("events_ohlc", events.q_events_ohlc, events.EVENTS_OHLC_SQL)
 register(

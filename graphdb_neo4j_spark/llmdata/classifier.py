@@ -372,3 +372,130 @@ SELECT source, n_docs,
            AS per_doc_rate
 FROM m
 """
+
+
+# --- DSIR importance weights (hashed-unigram domain selection) -----------------
+
+DSIR_TARGET_SOURCE = "src1"  # the domain exemplar set
+DSIR_BUCKETS = 256
+DSIR_LAMBDA = 0.5  # add-λ smoothing so unseen buckets stay finite
+
+
+def q_dsir_weights(
+    spark: SparkSession,
+    sf_dir: str,
+    target_source: str = DSIR_TARGET_SOURCE,
+    buckets: int = DSIR_BUCKETS,
+    lam: float = DSIR_LAMBDA,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    per-document log importance weight log p_target(x) − log p_raw(x)
+    under hashed-unigram bag models — the modern "make the web corpus
+    look like the target domain" selection signal; feed the weights to
+    ``weighted_sample`` (A-ES) for the resampling step.
+
+    Both models are add-λ-smoothed multinomials over ``buckets`` hashed
+    token slots: target = docs from ``target_source``, raw = the whole
+    corpus. The hash is the portable md5-prefix bucket (bit-identical in
+    Spark and DuckDB — the ``quality_classifier_hashed`` idiom), so the
+    oracle replays the exact model rather than approximating it.
+
+    Plan shape: one explode over the token stream, TWO tiny bucket-count
+    aggregations (≤``buckets`` rows each — the model fit), a ``buckets``-row
+    model table BROADCAST back onto the token stream, one partial-agged
+    groupBy(doc_id). The corpus is scanned once for the fit and once for
+    the scoring; nothing wider than (doc_id, bucket) shuffles, and the
+    models are constant-size regardless of corpus size — the 100 TB shape.
+    Zero-token documents have no tokens to score and are absent (same as
+    the oracle's inner join).
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_word_tokens(F.col("text"))).alias("token"),
+    ).select("doc_id", "source", bucket.alias("bucket"))
+    toks = toks.localCheckpoint(eager=False)  # fit + score share one tokenize
+
+    tgt = toks.filter(F.col("source") == target_source).groupBy("bucket").agg(
+        F.count("*").alias("c_t")
+    )
+    raw = toks.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    grid = spark.range(buckets).select(F.col("id").alias("bucket"))
+    model = (
+        grid.join(tgt, "bucket", "left")
+        .join(raw, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+            F.coalesce("c_r", F.lit(0)).alias("c_r"),
+        )
+    )
+    # scalar totals ride along via a 1-row cross join (stays lazy/distributed)
+    totals = model.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    log_ratio = F.log(
+        (F.col("c_t") + F.lit(lam)) / (F.col("n_t") + F.lit(lam * buckets))
+    ) - F.log(
+        (F.col("c_r") + F.lit(lam)) / (F.col("n_r") + F.lit(lam * buckets))
+    )
+    model = model.crossJoin(F.broadcast(totals)).select(
+        "bucket", log_ratio.alias("log_ratio")
+    )
+    return (
+        toks.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("log_ratio").alias("lw"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("lw", 6).alias("log_weight"),
+            F.round(F.col("lw") / F.col("n_tokens"), 9).alias("avg_log_ratio"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    target_source: str = DSIR_TARGET_SOURCE,
+    buckets: int = DSIR_BUCKETS,
+    lam: float = DSIR_LAMBDA,
+) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % {buckets}
+               AS bucket
+    FROM (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+', 0)) AS token
+        FROM documents
+    )
+),
+t AS (SELECT bucket, COUNT(*) AS c_t FROM toks
+      WHERE source = '{target_source}' GROUP BY 1),
+r AS (SELECT bucket, COUNT(*) AS c_r FROM toks GROUP BY 1),
+model AS (
+    SELECT g.range AS bucket,
+           ln((COALESCE(t.c_t, 0) + {lam})
+              / ((SELECT SUM(c_t) FROM t) + {lam * buckets}))
+           - ln((COALESCE(r.c_r, 0) + {lam})
+                / ((SELECT SUM(c_r) FROM r) + {lam * buckets})) AS log_ratio
+    FROM range({buckets}) g
+    LEFT JOIN t ON t.bucket = g.range
+    LEFT JOIN r ON r.bucket = g.range
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(log_ratio), 6) AS log_weight,
+       ROUND(SUM(log_ratio) / COUNT(*), 9) AS avg_log_ratio
+FROM toks JOIN model USING (bucket)
+GROUP BY doc_id
+"""
