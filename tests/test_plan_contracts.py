@@ -113,6 +113,11 @@ CONTRACTS = [
     ("pareto_revenue", 2, True, False),
     # user shuffle → in-row sequence string → one regex per USER → 2-row agg
     ("sequence_match", 2, True, True),
+    # row-local int8 quantization: one scan, zero exchanges of any kind
+    ("embedding_quantize", 0, True, True),
+    # 2 model-fit aggs + 1-row totals + per-doc agg over the checkpointed
+    # tokenize; model broadcasts back; totals crossJoin is 1-row NLJ by design
+    ("dsir_weights", 5, True, False),
 ]
 
 
