@@ -727,6 +727,11 @@ register(
 )
 register("pareto_revenue", olap.q_pareto_revenue, olap.PARETO_REVENUE_SQL)
 register(
+    "top_supplier",
+    lambda spark, sf: olap.q_top_supplier(spark, sf),
+    olap.top_supplier_sql(),
+)
+register(
     "sequence_match",
     lambda spark, sf: events.q_sequence_match(spark, sf),
     events.sequence_match_sql(),

@@ -1322,3 +1322,63 @@ SELECT decile, n_customers, rev_share,
            AS cum_share
 FROM by_decile
 """
+
+def q_top_supplier(
+    spark: SparkSession, sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) whose shipped
+    revenue over one quarter equals the maximum across all suppliers —
+    the revenue-view + argmax-join-back shape (ties all surface, no
+    arbitrary winner).
+
+    Scale shape: the quarter filter pushes to the scan; revenue
+    aggregates to ≤|suppliers| rows in one shuffle; the argmax is an
+    unpartitioned window max over that AGGREGATE (exact DECIMAL, so the
+    tie-equality is bit-stable) — a single-task pass over ≤|suppliers|
+    rows, the price of touching the fact table exactly once (a scalar
+    `rev.agg(max)` twin re-plans the aggregate and scans lineitem
+    TWICE — measured scans=3 vs 2 in the executed audit); supplier
+    names broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit(start)) & (F.col("l_shipdate") < F.lit(end)))
+        .groupBy("l_suppkey")
+        .agg(F.sum(revenue).alias("rev"))
+    )
+    return (
+        rev.withColumn("max_rev", F.max("rev").over(Window.partitionBy()))
+        .filter(F.col("rev") == F.col("max_rev"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def top_supplier_sql(start: str = "1996-01-01", end: str = "1996-04-01") -> str:
+    return f"""
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{start} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{end} 00:00:00'
+    GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS supplier_name,
+       CAST(rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT MAX(rev) FROM rev)
+ORDER BY suppkey
+"""

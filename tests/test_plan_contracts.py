@@ -118,6 +118,9 @@ CONTRACTS = [
     # 2 model-fit aggs + 1-row totals + per-doc agg over the checkpointed
     # tokenize; model broadcasts back; totals crossJoin is 1-row NLJ by design
     ("dsir_weights", 5, True, False),
+    # supplier-revenue agg (1 shuffle) + single-task window argmax over the
+    # aggregate + broadcast name join; lineitem scanned exactly once
+    ("top_supplier", 2, True, True),
 ]
 
 
