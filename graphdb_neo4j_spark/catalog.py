@@ -36,9 +36,9 @@ driver row yet — front-load (in rough value order)
 ``cluster_medoids``, ``bm25_search``/``hybrid_search``, ``gap_fill``,
 ``scd2_customers``, ``weighted_sample``, ``decontaminated``,
 ``domain_stats``, ``pagerank_ppr``, ``label_propagation``,
-``embedding_quantize``, ``dsir_weights``, plus the r4-early additions
-(``funnel_counts`` … ``distinct_rollup``); rotate the r4-window greens
-back.
+``embedding_quantize``, ``dsir_weights``, ``top_supplier``, plus the
+r4-early additions (``funnel_counts`` … ``distinct_rollup``); rotate
+the r4-window greens back.
 """
 
 from __future__ import annotations
