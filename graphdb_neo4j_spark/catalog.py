@@ -36,7 +36,8 @@ driver row yet — front-load (in rough value order)
 ``cluster_medoids``, ``bm25_search``/``hybrid_search``, ``gap_fill``,
 ``scd2_customers``, ``weighted_sample``, ``decontaminated``,
 ``domain_stats``, ``pagerank_ppr``, ``label_propagation``,
-``embedding_quantize``, ``dsir_weights``, ``top_supplier``, plus the
+``embedding_quantize``, ``dsir_weights``, ``top_supplier``,
+``ship_latency``, plus the
 r4-early additions (``funnel_counts`` … ``distinct_rollup``); rotate
 the r4-window greens back.
 """
@@ -731,6 +732,7 @@ register(
     lambda spark, sf: olap.q_top_supplier(spark, sf),
     olap.top_supplier_sql(),
 )
+register("ship_latency", olap.q_ship_latency, olap.SHIP_LATENCY_SQL)
 register(
     "sequence_match",
     lambda spark, sf: events.q_sequence_match(spark, sf),

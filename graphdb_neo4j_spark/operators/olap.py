@@ -1382,3 +1382,68 @@ FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev = (SELECT MAX(rev) FROM rev)
 ORDER BY suppkey
 """
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order month: line count,
+    mean, exact p50/p90/p99, and worst-case days between the order date
+    and each line's ship date — the fulfilment-SLA report.
+
+    Scale shape: this is the engine's canonical FACT-TO-FACT join —
+    orders⋈lineitem on orderkey, where NEITHER side broadcasts at real
+    scale. Only the two date columns (plus the key) survive column
+    pruning into the join, and the join key is the natural bucketing
+    column for both tables (co-located sort-merge join with zero
+    shuffle when both are bucketed on orderkey — the layout note in
+    sources/). The per-month aggregate is ≤ |months| rows after one
+    partial-agged shuffle. Exact percentile buffers per month
+    (≤ |months| low-cardinality groups — the `events_quantiles`
+    discipline; the unbounded-cardinality form is sketch_profile's GK).
+    Rounded to 6: interpolation arithmetic is float-order sensitive.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat"),
+        )
+    )
+    qs = F.expr("percentile(lat, array(0.5, 0.9, 0.99))")
+    return (
+        lat.groupBy("order_month")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("lat"), 6).alias("avg_days"),
+            qs.alias("qs"),
+            F.max("lat").alias("max_days"),
+        )
+        .select(
+            "order_month",
+            "n_lines",
+            "avg_days",
+            F.round(F.element_at("qs", 1), 6).alias("p50_days"),
+            F.round(F.element_at("qs", 2), 6).alias("p90_days"),
+            F.round(F.element_at("qs", 3), 6).alias("p99_days"),
+            "max_days",
+        )
+        .orderBy("order_month")
+    )
+
+
+SHIP_LATENCY_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*) AS n_lines,
+       ROUND(AVG(date_diff('day', o_orderdate, l_shipdate)), 6) AS avg_days,
+       ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5), 6) AS p50_days,
+       ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9), 6) AS p90_days,
+       ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.99), 6) AS p99_days,
+       MAX(date_diff('day', o_orderdate, l_shipdate)) AS max_days
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY order_month
+ORDER BY order_month
+"""

@@ -121,6 +121,9 @@ CONTRACTS = [
     # supplier-revenue agg (1 shuffle) + single-task window argmax over the
     # aggregate + broadcast name join; lineitem scanned exactly once
     ("top_supplier", 2, True, True),
+    # fact-to-fact orderkey join (broadcast at test sf, co-partitioned SMJ
+    # at scale — broadcast not required) + month agg + tiny month sort
+    ("ship_latency", 3, False, True),
 ]
 
 
