@@ -8,46 +8,64 @@ the back (their green rows are on record, and every oracle-backed pair
 is additionally hash-checked in-repo by ``tests/test_oracle_parity.py``
 regardless of window position).
 
-Window block (r4): events + streaming (never driver-checked in any
-round), NL / multimodal / ANN (green r2, rotated out by r3 insertions),
-``sketch_profile`` (errored in r3 — ARRAY column, now scalars),
-``pagerank``/``pagerank_factored`` (first round with a driver oracle),
-then the heavyweight analytics greens. Rotated out: the simple
-lookup/edge/ingest family (all hash-green in r3).
+Mechanics: ``register`` below COLLECTS entries in source order; the
+``R5_WINDOW`` list at the bottom of this file then flushes the named 50
+to the real registry first and everything else after, so rotating the
+window is a list edit, not a code move. Driver-row history:
 
-r5 rotation TODO: everything registered past the window this round has
-pytest-parity (tests/test_oracle_parity.py sweeps all of it) but no
-driver row yet — front-load (in rough value order)
-``stream_rollup``, ``stream_anomaly``, ``stream_sessionize``,
-``stream_funnel``, ``stream_dedup``, ``stream_interval``,
-``stream_transitions``, ``dedup_incremental`` (+``_exact``,
-``_minhash``, ``dedup_components_incremental``),
-``quality_classifier``/``_hashed``/``quality_gate``, ``bigram_logprob``,
-``corpus_drift``, ``events_anomaly``, the OLAP join/subquery families
-(``shipping_priority``, ``nation_revenue``, ``late_shipment_priority``,
-``promo_revenue_disjunctive``, ``top_return_customers``,
-``order_priority_check``, ``dormant_customers``, ``small_lot_revenue``,
-``big_orders``, ``brand_supplier_counts``, ``order_count_distribution``,
-``lone_late_supplier``, ``cheapest_supplier_per_part``,
-``revenue_rollup``, ``balance_ntiles``, ``cumulative_revenue``),
-``node_similarity``, ``graph_components``, ``dedup_representatives``,
-``events_pivot``/``events_unpivot``/``segment_overlap``/
-``event_transitions``/``session_paths``, ``embedding_pca``,
-``cluster_medoids``, ``bm25_search``/``hybrid_search``, ``gap_fill``,
-``scd2_customers``, ``weighted_sample``, ``decontaminated``,
-``domain_stats``, ``pagerank_ppr``, ``label_propagation``,
-``embedding_quantize``, ``dsir_weights``, ``top_supplier``,
-``ship_latency``, plus the
-r4-early additions (``funnel_counts`` … ``distinct_rollup``); rotate
-the r4-window greens back.
+- r1-r3 greens: the reference-surface families (lookup/edge/ingest/
+  fuzzy/relationship/recommend/paths) + the r2/r3 analytics batches.
+- r4 greens (rotated back this round): events + streaming availableNow,
+  NL, multimodal, ANN, sketch_profile, pagerank/pagerank_factored, and
+  the heavyweight dedup/textstats/scrub greens.
+- r5 window (THIS round, = the 50 names in ``R5_WINDOW``): the
+  streaming continuous-aggregate family, incremental dedup, the
+  classifier/gate family, the OLAP join/subquery families, graph
+  analytics (node_similarity/components), events shapes, embedding
+  analytics, BM25/hybrid retrieval, SCD2, hygiene.
+
+r6 window plan (the ~52 still without a driver row after r5 — rotate
+these in, r5 greens out): ``repetition_scores``, ``lsh_neardup``,
+``holdout_split``, ``unigram_logprob``, ``funnel_counts``,
+``retention_cohorts``, ``dedup_segments``, ``stratified_sample``,
+``semantic_dedup``, ``events_quantiles``, ``rolling_daily``,
+``top_parts_per_nation``, ``triangle_counts``, ``ppmi_topk``,
+``pq_search``, ``bpe_train``, ``temperature_sample``,
+``training_order``, ``interval_join``, ``cluster_profile``,
+``cluster_balanced_sample``, ``forecast_revenue``,
+``source_scorecard``, ``token_cms``, ``group_sample``,
+``integrity_check``, ``value_histogram``, ``asof_forward``,
+``user_profile``, ``mix_plan``, ``knn_join``, ``distinct_rollup``,
+``dedup_spans``, ``dedup_snm``, ``pagerank_ppr``,
+``label_propagation``, ``embedding_quantize``, ``dsir_weights``,
+``events_ohlc``, ``table_profile``, ``weighted_distances``,
+``k_anonymity``, ``cdc_apply``, ``basket_affinity``,
+``pareto_revenue``, ``top_supplier``, ``ship_latency``,
+``sequence_match``, ``stream_ohlc``, ``conversion_lag`` (= 50); the two
+overflow rows-only variants ``bpe_encode`` and ``cluster_outliers``
+(pytest-pinned twins of in-window ``bpe_train`` / ``cluster_profile``)
+ride the r7 window or a consolidated slot.
 """
 
 from __future__ import annotations
 
-from graphdb_neo4j_spark.registry import register
+from graphdb_neo4j_spark.registry import RegisteredQuery
+from graphdb_neo4j_spark.registry import register as _registry_register
+
+# Deferred registration: collect in source order, flush window-first at
+# the bottom of this file. Source order within/outside the window is
+# preserved (dict insertion order).
+_PENDING: dict[str, RegisteredQuery] = {}
+
+
+def register(name, fn, oracle, bench: bool = False) -> None:
+    if name in _PENDING:
+        raise ValueError(f"duplicate query registration: {name}")
+    _PENDING[name] = RegisteredQuery(fn=fn, oracle=oracle, bench=bench)
 
 # =============================================================================
-# WINDOW BLOCK — queries that need a driver row this round register FIRST
+# Definitions (source order is secondary — R5_WINDOW at the bottom decides
+# what the driver's 50-entry correctness window sees this round)
 # =============================================================================
 
 # --- extensions: event analytics (never driver-green in r1-r3) ---------------
@@ -239,9 +257,8 @@ register(
     textstats.tfidf_top_terms_sql(),
 )
 
-# ========================== end of the 50-entry window =======================
-# Everything below was hash-green in CORRECTNESS_r03 and is re-verified by
-# tests/test_oracle_parity.py each run; it rotates out of the driver window.
+# =============================================================================
+# (r3-green families below; window membership is decided by R5_WINDOW)
 # =============================================================================
 
 register(
@@ -744,3 +761,85 @@ register(
     events.EVENTS_OHLC_SQL,  # availableNow must equal the batch bars
 )
 register("conversion_lag", events.q_conversion_lag, events.CONVERSION_LAG_SQL)
+
+# =============================================================================
+# R5 WINDOW — the first 50 names the driver's correctness harness records.
+# Every name here had NO driver row across r1-r4 (in-repo pytest parity
+# only); r1-r4 greens flush after, in source order. Rotate by editing
+# this list (r6 plan in the module docstring).
+# =============================================================================
+
+R5_WINDOW = [
+    # Structured Streaming continuous aggregates (7)
+    "stream_rollup",
+    "stream_anomaly",
+    "stream_sessionize",
+    "stream_funnel",
+    "stream_dedup",
+    "stream_interval",
+    "stream_transitions",
+    # incremental dedup (4; _minhash is rows-only by design)
+    "dedup_incremental",
+    "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    "dedup_components_incremental",
+    # quality classifier / gate family (3)
+    "quality_classifier",
+    "quality_classifier_hashed",
+    "quality_gate",
+    # LM scoring ladder + drift gate (2)
+    "bigram_logprob",
+    "corpus_drift",
+    # events anomaly (1)
+    "events_anomaly",
+    # OLAP join/subquery families (16)
+    "shipping_priority",
+    "nation_revenue",
+    "late_shipment_priority",
+    "promo_revenue_disjunctive",
+    "top_return_customers",
+    "order_priority_check",
+    "dormant_customers",
+    "small_lot_revenue",
+    "big_orders",
+    "brand_supplier_counts",
+    "order_count_distribution",
+    "lone_late_supplier",
+    "cheapest_supplier_per_part",
+    "revenue_rollup",
+    "balance_ntiles",
+    "cumulative_revenue",
+    # graph analytics (3; graph_components is rows-only by design)
+    "node_similarity",
+    "graph_components",
+    "dedup_representatives",
+    # events shapes (5)
+    "events_pivot",
+    "events_unpivot",
+    "segment_overlap",
+    "event_transitions",
+    "session_paths",
+    # embedding analytics (2; both rows-only by design)
+    "embedding_pca",
+    "cluster_medoids",
+    # retrieval (2)
+    "bm25_search",
+    "hybrid_search",
+    # interval fill, SCD2, sampling, hygiene (5)
+    "gap_fill",
+    "scd2_customers",
+    "weighted_sample",
+    "decontaminated",
+    "domain_stats",
+]
+
+assert len(R5_WINDOW) == 50, len(R5_WINDOW)
+_missing = [n for n in R5_WINDOW if n not in _PENDING]
+assert not _missing, f"R5_WINDOW names not defined: {_missing}"
+
+for _name in R5_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()

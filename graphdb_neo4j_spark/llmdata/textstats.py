@@ -1064,19 +1064,22 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
-    def render(c: str) -> F.Column:
+    # Aggregate the RAW column, render the 1-row result afterwards:
+    # MIN over a string-rendered numeric is lexicographic (min{23,100} =
+    # '100'), so the profile would feed wrong extremes to drift alerts.
+    def render(col: F.Column, c: str) -> F.Column:
         dt = dict(docs.dtypes)[c]
         if dt.startswith("timestamp"):
-            return F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss")
-        return F.col(c).cast("string")
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return col.cast("string")
 
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.count_distinct(c).alias(f"{c}__ndv"),
-            F.min(render(c)).alias(f"{c}__min"),
-            F.max(render(c)).alias(f"{c}__max"),
+            render(F.min(F.col(c)), c).alias(f"{c}__min"),
+            render(F.max(F.col(c)), c).alias(f"{c}__max"),
         ]
     wide = docs.agg(*aggs)
     stack_args = ", ".join(
@@ -1093,12 +1096,11 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_profile_sql() -> str:
     per_col = []
     for c in _PROFILE_COLS:
-        render = f"CAST({c} AS VARCHAR)"
         per_col.append(
             f"SELECT '{c}' AS column,"
             f" SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,"
             f" COUNT(DISTINCT {c}) AS n_distinct,"
-            f" MIN({render}) AS min_value,"
-            f" MAX({render}) AS max_value FROM documents"
+            f" CAST(MIN({c}) AS VARCHAR) AS min_value,"
+            f" CAST(MAX({c}) AS VARCHAR) AS max_value FROM documents"
         )
     return "\nUNION ALL\n".join(per_col)

@@ -1327,11 +1327,13 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (positional argmin/argmax aggregates) partial-combine map-side like
     any min/max, so open/close cost the same as high/low: no window, no
     sort, no self-join back to find the boundary rows. The ordering key
-    packs (ts, event_id) into one BIGINT (micros ≪ 2^43, 20-bit id
-    space) so the argmin tie-break is total and engine-identical.
+    is the struct (ts, event_id) — min_by/max_by order structs
+    lexicographically, so the tie-break is total for ANY ts horizon and
+    id range (a packed ts*2^22+id BIGINT overflows past ~2039 and
+    corrupts ordering for event_id ≥ 2^22; the struct can't).
     """
     ev = load_events(spark, sf_dir)
-    okey = F.unix_millis("ts") * F.lit(1 << 22) + F.col("event_id")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
     val = F.col("value").cast("decimal(18,2)")
     return (
         ev.groupBy(
@@ -1353,12 +1355,12 @@ def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVENTS_OHLC_SQL = """
 SELECT strftime(date_trunc('hour', ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,
-       CAST(arg_min(CAST(value AS DECIMAL(18,2)),
-                    epoch_ms(ts::TIMESTAMP) * 4194304 + event_id) AS DOUBLE) AS open,
+       CAST(first(CAST(value AS DECIMAL(18,2))
+                  ORDER BY ts, event_id) AS DOUBLE) AS open,
        CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS high,
        CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS low,
-       CAST(arg_max(CAST(value AS DECIMAL(18,2)),
-                    epoch_ms(ts::TIMESTAMP) * 4194304 + event_id) AS DOUBLE) AS close,
+       CAST(last(CAST(value AS DECIMAL(18,2))
+                 ORDER BY ts, event_id) AS DOUBLE) AS close,
        COUNT(*) AS n
 FROM events
 GROUP BY 1, 2

@@ -634,16 +634,23 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    avg_bal = (
+    # "> average" via exact cross-multiplication (bal * n_pos > sum_pos):
+    # decimal division would be exact decimal in Spark but DOUBLE in
+    # DuckDB, so a balance landing exactly on the average could classify
+    # differently — the product form is the same exact arithmetic in both.
+    pos = (
         cust.filter(F.col("c_acctbal") > 0)
-        .agg((F.sum(_dec("c_acctbal")) / F.count("*")).alias("avg_bal"))
+        .agg(
+            F.sum(_dec("c_acctbal")).alias("sum_pos"),
+            F.count("*").alias("n_pos"),
+        )
     )
     recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
         F.col("o_custkey")
     )
     return (
-        cust.join(F.broadcast(avg_bal))
-        .filter(_dec("c_acctbal") > F.col("avg_bal"))
+        cust.join(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(
@@ -654,12 +661,15 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DORMANT_CUSTOMERS_SQL = """
+WITH pos AS (
+    SELECT SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS sum_pos,
+           COUNT(*) AS n_pos
+    FROM customer WHERE c_acctbal > 0
+)
 SELECT c_mktsegment, COUNT(*) AS n_dormant,
        CAST(SUM(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_bal
-FROM customer
-WHERE CAST(c_acctbal AS DECIMAL(15,2)) >
-      (SELECT SUM(CAST(c_acctbal AS DECIMAL(15,2))) / COUNT(*)
-       FROM customer WHERE c_acctbal > 0)
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(15,2)) * n_pos > sum_pos
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
@@ -1262,15 +1272,17 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     each decile's share of total revenue and the running share — answers
     "do 20% of customers carry 80% of revenue?" in one table.
 
-    Scale shape: revenue aggregates to ≤|customers| rows first; the
-    decile assignment is one ntile window over that aggregate (pinned
-    tie order), and the final rollup is 10 rows. The global total rides
-    along as a 1-row broadcast. Exact decimal until the final share
-    division. The unpartitioned ntile IS a single-task sort — acceptable
-    because it runs on the aggregate, not the fact table; at a scale
-    where even |customers| breaks one task, band by percent_rank
-    thresholds instead (composes from a distributed sort, same output
-    contract).
+    Scale shape: revenue aggregates to ≤|customers| rows first, is
+    range-partitioned by the (rev DESC, custkey) sort key and
+    localCheckpoint-ed (ONE orders scan for every consumer below). The
+    decile is exact NTILE(10) computed DISTRIBUTED: global rank = local
+    row_number per range + that range's broadcast row offset (the
+    ``sequence_pack`` prefix-sum discipline — no stage funnels the
+    aggregate through one task), then NTILE's closed form
+    (first n%k buckets get one extra row) applied row-locally. The only
+    unpartitioned windows run over the n_partitions-row per-range stats
+    frame. Exact decimal until the final share division; the rollup is
+    10 rows.
     """
     from pyspark.sql.window import Window
 
@@ -1278,20 +1290,53 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.sum(_dec("o_totalprice")).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    deciled = per_cust.withColumn("decile", F.ntile(10).over(w))
-    total = per_cust.agg(F.sum("rev").alias("total_rev"))
-    by_decile = (
-        deciled.groupBy("decile")
-        .agg(F.count("*").alias("n_customers"), F.sum("rev").alias("dec_rev"))
-        .join(F.broadcast(total))
+    n_parts = spark.sparkContext.defaultParallelism
+    parts = (
+        per_cust.repartitionByRange(n_parts, F.desc("rev"), F.asc("o_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # per-range stats: n_parts rows — the single-task windows below are
+    # over THIS frame, never the per-customer aggregate
+    w_prior = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        parts.groupBy("pid")
+        .agg(F.count("*").alias("cnt"), F.sum("rev").alias("part_rev"))
         .select(
-            "decile",
-            "n_customers",
-            F.round(F.col("dec_rev").cast("double") / F.col("total_rev"), 6).alias(
-                "rev_share"
-            ),
+            "pid",
+            F.coalesce(F.sum("cnt").over(w_prior), F.lit(0)).alias("off"),
+            F.sum("cnt").over(w_all).alias("n_total"),
+            F.sum("part_rev").over(w_all).alias("total_rev"),
         )
+    )
+    w_local = Window.partitionBy("pid").orderBy(F.desc("rev"), F.asc("o_custkey"))
+    r = (F.row_number().over(w_local) + F.col("off")).alias("r")
+    # exact NTILE(k): s = n div k rows per bucket, first m = n mod k
+    # buckets get s+1 (s guarded for the n < k corner)
+    k = F.lit(10)
+    s = (F.col("n_total") / k).cast("bigint")
+    m = F.col("n_total") % k
+    decile = F.when(
+        F.col("r") <= m * (s + 1),
+        ((F.col("r") - 1) / (s + 1)).cast("bigint") + 1,
+    ).otherwise(
+        m
+        + ((F.col("r") - 1 - m * (s + 1)) / F.greatest(s, F.lit(1))).cast("bigint")
+        + 1
+    )
+    deciled = (
+        parts.join(F.broadcast(offsets), "pid")
+        .select("rev", "total_rev", "n_total", r)
+        .withColumn("decile", decile.cast("int"))
+    )
+    by_decile = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(
+            F.sum("rev").cast("double") / F.first("total_rev").cast("double"), 6
+        ).alias("rev_share"),
     )
     w_cum = Window.orderBy("decile").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

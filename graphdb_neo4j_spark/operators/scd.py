@@ -158,8 +158,8 @@ def cdc_apply(changes: DataFrame, key: str, op_col: str, seq_col: str) -> DataFr
     shuffle carries one candidate row per key per partition, never the
     feed; the delete filter is row-local afterwards. No window, no sort,
     no join against the feed. ``seq_col`` must be a total order per key
-    (CDC sources provide an LSN/offset; ties here are pre-packed by the
-    caller).
+    (CDC sources provide an LSN/offset; a struct column such as
+    (ts, event_id) works — max_by orders structs lexicographically).
     """
     payload = [c for c in changes.columns if c not in (key,)]
     winner = F.max_by(F.struct(*payload), F.col(seq_col))
@@ -187,7 +187,7 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", "delete")
         .otherwise("update")
     )
-    seq = F.unix_millis("ts") * F.lit(1 << 22) + F.col("event_id")
+    seq = F.struct(F.col("ts"), F.col("event_id"))
     changes = ev.select(
         "user_id",
         op.alias("op"),
@@ -207,13 +207,16 @@ WITH changes AS (
                 WHEN event_type = 'error' THEN 'delete'
                 ELSE 'update' END AS op,
            CAST(value AS DECIMAL(18,2)) AS value,
-           epoch_ms(ts::TIMESTAMP) * 4194304 + event_id AS seq
+           ts::TIMESTAMP AS ts, event_id
     FROM events
 ),
+-- op and value MUST come from the same winning row (two independent
+-- arg_max calls skip NULL args, silently diverging from last-writer-wins
+-- when the winner carries a NULL payload); ordered last() keeps NULLs.
 collapsed AS (
     SELECT user_id,
-           arg_max(op, seq) AS op,
-           arg_max(value, seq) AS value
+           last(op ORDER BY ts, event_id) AS op,
+           last(value ORDER BY ts, event_id) AS value
     FROM changes GROUP BY user_id
 )
 SELECT user_id, op, CAST(value AS DOUBLE) AS value

@@ -727,8 +727,10 @@ def q_stream_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ohlc_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming hourly OHLC bars — min_by/max_by positional aggregates
     inside a watermarked tumbling window (they merge like any min/max,
-    so the state per (window, type) is four scalars + counts)."""
-    okey = F.unix_millis("ts") * F.lit(1 << 22) + F.col("event_id")
+    so the state per (window, type) is four scalars + counts). The
+    ordering key is the struct (ts, event_id) — total for any ts
+    horizon / id range, unlike a packed BIGINT."""
+    okey = F.struct(F.col("ts"), F.col("event_id"))
     val = F.col("value").cast("decimal(18,2)")
     return (
         events.withWatermark("ts", watermark)

@@ -108,9 +108,9 @@ CONTRACTS = [
     # checkpointed baskets feed all 4 consumers: pair self-join on the
     # ORDER key (Σ C(basket,2) work) + agg; marginals broadcast
     ("basket_affinity", 3, True, True),
-    # agg first; global ntile is a single-task sort over the AGGREGATE
-    # (documented); 1-row total crossJoin is nested-loop by design
-    ("pareto_revenue", 2, True, False),
+    # agg → range partition → checkpoint; pid window + per-range stats +
+    # final decile rollup (distributed exact NTILE, no global sort)
+    ("pareto_revenue", 3, True, True),
     # user shuffle → in-row sequence string → one regex per USER → 2-row agg
     ("sequence_match", 2, True, True),
     # row-local int8 quantization: one scan, zero exchanges of any kind
@@ -137,6 +137,24 @@ def test_shuffle_budget(name, max_shuf, bcast_only, no_cart, spark, sf_dir):
         assert_no_cartesian(df)
     if bcast_only:
         assert a.sort_merge_joins == 0, f"{name}: SMJ crept into the plan"
+
+
+def test_pareto_revenue_distributed_ntile(spark, sf_dir):
+    """The decile must NOT come from a single-task sort over the
+    per-customer aggregate: the serving plan reads the checkpointed
+    range-partitioned aggregate (zero FileScans here — orders was
+    scanned exactly once, at checkpoint time), the rank windows are
+    pid-partitioned, and the only SinglePartition exchanges feed the
+    n_partitions-row stats frame and the 10-row cumulative window."""
+    from graphdb_neo4j_spark.operators import olap
+
+    df = _run(olap.q_pareto_revenue(spark, sf_dir))
+    a = audit(df)
+    assert a.scans == 0, "fact table re-scanned in the serving plan"
+    assert a.single_partition_exchanges <= 2, (
+        f"a global single-task sort crept back in: "
+        f"{a.single_partition_exchanges} SinglePartition exchanges"
+    )
 
 
 def test_pushdown_reaches_every_olap_scan(spark, sf_dir):
