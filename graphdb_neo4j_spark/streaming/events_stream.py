@@ -194,15 +194,23 @@ def user_counts_tws_stream(events: DataFrame) -> DataFrame:
 # --- streaming as-of join (stateful twin of operators/events.asof_join) ------
 #
 # The batch as-of join is a union + ordered window scan; streams can't sort
-# globally, so the streaming twin keeps per-user state = (latest right-side
-# event ts, count of right-side events seen) and enriches each left-side
-# event as it arrives. Within a micro-batch rows are sorted by event time
-# with the batch operator's exact tie rule (right before left at equal ts);
-# ACROSS micro-batches the operator assumes event-time-ordered arrival per
-# key — the standard contract for streaming as-of (out-of-order lefts would
-# need a watermark-deep buffer in state; noted, not needed on the bounded
-# ordered fixture, where the availableNow run must equal the batch answer
-# exactly — pytest-checked).
+# globally, so the streaming twin keeps per-user state = a WATERMARK-DEEP
+# BUFFER of right-side event times (plus the latest evicted right and the
+# evicted count as two scalars) and enriches each left-side event as it
+# arrives: prior = latest buffered-or-evicted right at-or-before the left's
+# event time, n_prior = evicted count + buffered rights at-or-before. A
+# right-side event that arrives LATE (behind rights already seen, in a
+# later micro-batch) is merged into the buffer, so every SUBSEQUENT left
+# matches the batch operator exactly — the earlier scalar-state form
+# (latest right ts only) silently mis-joined those lefts to the late
+# right even when a later one applied. Buffered rights at-or-before the
+# watermark collapse to the two scalars (future lefts are younger than
+# the watermark by definition — Spark drops older rows before the
+# kernel), so state stays bounded by arrival rate × watermark depth,
+# never stream length. Residual (documented): left rows are enriched ON
+# ARRIVAL and appended; a late right cannot retro-correct lefts emitted
+# in EARLIER batches (that needs update-mode emission at watermark —
+# the batch operator is the replay/repair path).
 #
 # events_cube has NO streaming twin by design: CUBE is a multi-grouping-set
 # COMPLETE aggregation (every output row, including the grand total, keeps
@@ -212,7 +220,9 @@ def user_counts_tws_stream(events: DataFrame) -> DataFrame:
 # hourly_stream: emit finalized per-(window, type) cells under a watermark
 # and roll marginals up downstream/at read time.
 
-_ASOF_STATE_SCHEMA = "last_right_us bigint, n_prior bigint"
+_ASOF_STATE_SCHEMA = (
+    "rights_us array<bigint>, evicted_latest_us bigint, n_evicted bigint"
+)
 _ASOF_OUT_SCHEMA = (
     "event_id bigint, user_id bigint, ts_ms bigint, prior_ts_ms bigint,"
     " lag_ms bigint, n_prior bigint"
@@ -233,39 +243,64 @@ def _make_asof_fn(left_type: str):
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         """Per-user as-of state machine, vectorized per Arrow batch:
-        forward-fill the right-side timestamps over the time-sorted rows
-        (seeded from state), cumulative-count the right side, emit
-        enriched left rows."""
-        last_right_us, n_seen = state.get if state.exists else (None, 0)
+        merge the batch's right-side event times into the buffered
+        (sorted) right timeline, binary-search each left's at-or-before
+        position (``side='right'`` = the batch operator's right-wins-tie
+        rule), emit enriched left rows, then collapse rights at-or-before
+        the watermark into the (latest, count) scalars."""
+        import numpy as np
+
+        if state.exists:
+            rights_buf, evicted_latest, n_evicted = state.get
+            rights = np.asarray(rights_buf, dtype="int64")
+        else:
+            rights, evicted_latest, n_evicted = (
+                np.empty(0, dtype="int64"),
+                None,
+                0,
+            )
         for pdf in batches:
             pdf = pdf.copy()
-            pdf["is_l"] = (pdf["event_type"] == left_type).astype("int64")
+            is_r = pdf["event_type"] != left_type
             # datetime64[ns] and datetime64[us] inputs both land on epoch-us
-            pdf["us"] = pdf["ts"].astype("datetime64[us]").astype("int64")
-            pdf = pdf.sort_values(["us", "is_l", "event_id"])  # right wins ties
-            right_us = pdf["us"].where(pdf["is_l"] == 0).ffill()
-            if last_right_us is not None:
-                right_us = right_us.fillna(last_right_us)
-            n_prior = n_seen + (pdf["is_l"] == 0).cumsum()
-            left = pdf["is_l"] == 1
-            prior_ms = (right_us[left] // 1000).astype("Int64")  # NA: no right yet
-            ts_ms = pdf.loc[left, "us"] // 1000
-            out = pd.DataFrame(
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            batch_rights = np.sort(us[is_r].to_numpy(dtype="int64"))
+            if len(batch_rights):
+                rights = np.sort(np.concatenate([rights, batch_rights]))
+            left = ~is_r
+            left_us = us[left].to_numpy(dtype="int64")
+            # rights at-or-before each left (equal ts counts: '>=' match)
+            idx = np.searchsorted(rights, left_us, side="right")
+            prior_us = pd.array(
+                [
+                    int(rights[i - 1]) if i > 0 else evicted_latest
+                    for i in idx
+                ],
+                dtype="Int64",
+            )
+            prior_ms = prior_us // 1000  # NA propagates: no right yet
+            ts_ms = left_us // 1000
+            yield pd.DataFrame(
                 {
-                    "event_id": pdf.loc[left, "event_id"],
+                    "event_id": pdf.loc[left, "event_id"].to_numpy(),
                     "user_id": key[0],
                     "ts_ms": ts_ms,
                     "prior_ts_ms": prior_ms,
                     "lag_ms": ts_ms - prior_ms,
-                    "n_prior": n_prior[left],
+                    "n_prior": n_evicted + idx,
                 }
             )
-            batch_rights = pdf.loc[pdf["is_l"] == 0, "us"]
-            if len(batch_rights):
-                last_right_us = int(batch_rights.iloc[-1])
-            n_seen = int(n_prior.iloc[-1]) if len(pdf) else n_seen
-            yield out
-        state.update((last_right_us, n_seen))
+        # rights at-or-before the watermark can never change again for
+        # future lefts (Spark drops rows older than the watermark before
+        # the kernel): fold them into two scalars, keep the rest buffered
+        wm_us = 1000 * max(getattr(state, "getCurrentWatermarkMs", lambda: 0)(), 0)
+        if wm_us and len(rights):
+            cut = int(np.searchsorted(rights, wm_us, side="right"))
+            if cut:
+                evicted_latest = int(rights[cut - 1])
+                n_evicted += cut
+                rights = rights[cut:]
+        state.update(([int(v) for v in rights], evicted_latest, n_evicted))
 
     return _asof_fn
 
@@ -274,11 +309,16 @@ def asof_stream(
     events: DataFrame,
     left_type: str = _ASOF_LEFT_TYPE,
     right_type: str = _ASOF_RIGHT_TYPE,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming as-of: each ``left_type`` event is enriched with the
     latest at-or-before ``right_type`` event of the same user (state =
-    2 longs per user, emissions append-only)."""
-    filtered = events.filter(F.col("event_type").isin(left_type, right_type))
+    a watermark-deep buffer of right event times + 2 scalars per user;
+    emissions append-only; late rights within the watermark join
+    exactly — see the kernel comment block)."""
+    filtered = events.withWatermark("ts", watermark).filter(
+        F.col("event_type").isin(left_type, right_type)
+    )
     return filtered.groupBy("user_id").applyInPandasWithState(
         _make_asof_fn(left_type),
         outputStructType=_ASOF_OUT_SCHEMA,

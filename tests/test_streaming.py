@@ -137,6 +137,106 @@ def test_stream_dedup_is_exactly_once(spark, sf_dir):
     assert out.select("event_id").distinct().count() == batch.count()
 
 
+def test_asof_state_handles_late_right_across_batches(spark):
+    """A right-side event arriving in a later micro-batch BEHIND rights
+    already in state must merge into the buffered right timeline: every
+    left processed afterwards must equal the batch ``asof_join`` answer
+    (the old scalar latest-ts state mis-joined them to the late right).
+    Third batch: rights at-or-before the watermark fold into the
+    (latest, count) scalars and matching stays exact."""
+    import pandas as pd
+
+    from graphdb_neo4j_spark.streaming.events_stream import _make_asof_fn
+
+    class FakeState:
+        def __init__(self, wm_ms=0):
+            self.exists = False
+            self.get = None
+            self._wm = wm_ms
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+    fn = _make_asof_fn("click")
+    H = 3600 * 10**9  # ns
+
+    def run_batch(state, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": 1,
+                "ts": [pd.Timestamp(r[2] * H) for r in rows],
+                "event_type": [r[1] for r in rows],
+            }
+        )
+        outs = pd.concat(list(fn((1,), iter([pdf]), state)))
+        return {
+            int(r.event_id): (
+                None if pd.isna(r.prior_ts_ms) else int(r.prior_ts_ms),
+                int(r.n_prior),
+            )
+            for r in outs.itertuples()
+        }
+
+    ms = 3600 * 1000
+    state = FakeState()
+    # batch 1: purchase @10h, click @10.5h
+    out1 = run_batch(state, [(1, "purchase", 10), (2, "click", 10.5)])
+    assert out1 == {2: (10 * ms, 1)}
+    # batch 2: LATE purchase @9h (behind the buffered 10h), clicks @9.5h
+    # and @11h — the 11h click must still match the 10h right (scalar
+    # state would have ffilled the late 9h right onto it)
+    out2 = run_batch(
+        state, [(3, "purchase", 9), (4, "click", 9.5), (5, "click", 11)]
+    )
+    assert out2 == {4: (9 * ms, 1), 5: (10 * ms, 2)}
+    # batch 3 under an advanced watermark (10.5h): both rights fold into
+    # the evicted scalars, and a later click still matches exactly
+    state._wm = int(10.5 * ms)
+    out3 = run_batch(state, [(6, "click", 12)])
+    assert out3 == {6: (10 * ms, 2)}
+    rights_buf, evicted_latest, n_evicted = state.get
+    us = 3600 * 10**6
+    assert rights_buf == [] and evicted_latest == 10 * us and n_evicted == 2
+
+    # the whole scenario must equal the batch as-of oracle on the union
+    from graphdb_neo4j_spark.operators.events import asof_join_events
+
+    all_events = spark.createDataFrame(
+        [
+            (eid, 1, pd.Timestamp(h * H).to_pydatetime(), et)
+            for eid, et, h in [
+                (1, "purchase", 10),
+                (2, "click", 10.5),
+                (3, "purchase", 9),
+                (4, "click", 9.5),
+                (5, "click", 11),
+                (6, "click", 12),
+            ]
+        ],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    batch = {
+        int(r["event_id"]): (
+            None if r["prior_ts_ms"] is None else int(r["prior_ts_ms"]),
+            int(r["n_prior"]),
+        )
+        for r in asof_join_events(all_events).collect()
+    }
+    # every left processed AFTER the late right arrived matches the batch
+    # oracle exactly (the hardening under test)
+    streamed = {**out2, **out3}
+    assert streamed == {k: batch[k] for k in streamed}
+    # documented append-mode residual: a left emitted BEFORE the late
+    # right (click 2, batch 1) keeps its at-arrival enrichment — the
+    # batch oracle retro-counts the 9h purchase into its n_prior
+    assert out1[2] == (10 * ms, 1) and batch[2] == (10 * ms, 2)
+
+
 def test_stream_funnel_repairs_out_of_order_stage1(spark):
     """A late stage-1 event that moves the funnel window must both ENABLE
     stages it newly reaches and INVALIDATE stages it no longer covers —
