@@ -408,6 +408,7 @@ register(
     "bpe_train",
     lambda spark, sf: bpe.q_bpe_train(spark, sf),
     None,  # iterative argmax loop — pytest pins parity with a pure-Python trainer
+    bench=True,  # heavyweight: iterative merge-training loop
 )
 register("stream_funnel", events_stream.q_stream_funnel, events.FUNNEL_SQL)
 
@@ -488,6 +489,7 @@ register(
     "stream_rollup",
     rollup_maintain.q_stream_rollup,
     events.EVENTS_HOURLY_SQL,  # incremental maintenance must be invisible
+    bench=True,  # heavyweight: incremental rollup maintenance loop
 )
 register(
     "promo_revenue_disjunctive",
@@ -544,6 +546,7 @@ register(
     "stream_sessionize",
     rollup_maintain.q_stream_sessionize,
     events.SESSIONIZE_SQL,  # batch boundaries must be invisible
+    bench=True,  # heavyweight: stateful session maintenance
 )
 register(
     "mix_plan",
@@ -576,7 +579,7 @@ register("gap_fill", events.q_gap_fill, events.GAP_FILL_SQL)
 
 from graphdb_neo4j_spark.operators import scd
 
-register("scd2_customers", scd.q_scd2_customers, scd.SCD2_CUSTOMERS_SQL)
+register("scd2_customers", scd.q_scd2_customers, scd.SCD2_CUSTOMERS_SQL, bench=True)
 register(
     "weighted_sample",
     lambda spark, sf: mixing.q_weighted_sample(spark, sf),
@@ -649,6 +652,7 @@ register(
     lambda spark, sf: graphalgo.q_graph_components(spark, sf),
     None,  # transitive closure infeasible in SQL at this density;
     # union-find parity pinned in tests/test_graphalgo.py
+    bench=True,  # heavyweight: iterative min-label propagation
 )
 register(
     "order_count_distribution",
@@ -704,11 +708,13 @@ register(
     "pagerank_ppr",
     graphalgo.q_pagerank_ppr,
     graphalgo.pagerank_ppr_sql(),  # seeded unrolled-CTE twin of the global oracle
+    bench=True,  # heavyweight: seeded power iteration
 )
 register(
     "label_propagation",
     graphalgo.q_label_propagation,
     graphalgo.label_propagation_sql(),  # deterministic sync LPA, unrolled CTE
+    bench=True,  # heavyweight: iterative label frequency argmax
 )
 register(
     "embedding_quantize",

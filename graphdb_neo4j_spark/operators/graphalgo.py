@@ -362,6 +362,74 @@ def pagerank_personalized(
     return ranks
 
 
+def pagerank_ppr_clique_factored(
+    nodes: DataFrame,
+    seed_ids: list[int],
+    attrs: tuple[str, str] = ("college", "board"),
+    iterations: int = 10,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Personalized PageRank on the two-attribute clique-union graph
+    WITHOUT materializing an edge — :func:`pagerank_clique_factored`'s
+    inclusion–exclusion (recv = S_A + S_B − S_AB − own term, degree from
+    group sizes) with the teleport mass pinned to ``seed_ids``:
+    r' = (1−d)·e + d·recv, e = 1/|S| on seeds. Three tiny groupBy
+    aggregations per iteration — O(N) instead of the edge walk's O(E)
+    where E is Θ(N²/k); pytest pins exact agreement with
+    :func:`pagerank_personalized` on the same graph."""
+    a, b = attrs
+    share = 1.0 / len(seed_ids)
+    base = nodes.select(
+        "id",
+        a,
+        b,
+        F.when(F.col("id").isin(seed_ids), F.lit(share))
+        .otherwise(F.lit(0.0))
+        .alias("e"),
+    ).localCheckpoint(eager=False)
+    na = base.groupBy(a).agg(F.count("*").alias("n_a"))
+    nb = base.groupBy(b).agg(F.count("*").alias("n_b"))
+    nab = base.groupBy(a, b).agg(F.count("*").alias("n_ab"))
+    deg = (
+        base.join(na, a)
+        .join(nb, b)
+        .join(nab, [a, b])
+        .select(
+            "id", a, b, "e",
+            (F.col("n_a") + F.col("n_b") - F.col("n_ab") - 1).alias("deg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = deg.select("id", F.col("e").alias("rank"))
+    for _ in range(iterations):
+        contrib = deg.join(ranks, "id").withColumn(
+            # isolated nodes (deg 0) push nothing — the edge walk's
+            # dangling behavior; their teleport share still lands via e
+            "c",
+            F.when(F.col("deg") > 0, F.col("rank") / F.col("deg")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        sa = contrib.groupBy(a).agg(F.sum("c").alias("s_a"))
+        sb = contrib.groupBy(b).agg(F.sum("c").alias("s_b"))
+        sab = contrib.groupBy(a, b).agg(F.sum("c").alias("s_ab"))
+        ranks = (
+            contrib.join(sa, a)
+            .join(sb, b)
+            .join(sab, [a, b])
+            .select(
+                "id",
+                (
+                    F.lit(1.0 - damping) * F.col("e")
+                    + F.lit(damping)
+                    * (F.col("s_a") + F.col("s_b") - F.col("s_ab") - F.col("c"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 PPR_SEED_ID = 1  # same anchor as the recommend_people flagship
 
 
@@ -371,15 +439,12 @@ def q_pagerank_ppr(
     """Personalized PageRank from the flagship anchor over the same
     SAME_COLLEGE ∪ SAME_BOARD graph as :func:`q_pagerank` — "who is close
     to this person by random walk", the graph-native recommendation
-    ranking. Rounded to 9 decimals (values live in [0, 1], drift ≪ 1e-12)."""
-    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
-
-    nodes = customer_nodes(spark, sf_dir)
-    edges = derive_attribute_edges(nodes, "college", "SAME_COLLEGE").unionByName(
-        derive_attribute_edges(nodes, "board", "SAME_BOARD")
-    ).select("src", "dst")
-    return pagerank_personalized(
-        nodes, edges, [seed_id], iterations=iterations
+    ranking. Rounded to 9 decimals (values live in [0, 1], drift ≪ 1e-12).
+    Runs the clique-factored form (O(N)/iteration — the 100 TB path; the
+    edge-walk twin :func:`pagerank_personalized` is the pytest
+    cross-check, and the driver oracle walks the edges in DuckDB)."""
+    return pagerank_ppr_clique_factored(
+        customer_nodes(spark, sf_dir), [seed_id], iterations=iterations
     ).select("id", F.round("rank", 9).alias("rank"))
 
 
@@ -485,18 +550,106 @@ def label_propagation(
     return labels
 
 
+def label_propagation_clique_factored(
+    nodes: DataFrame,
+    attrs: tuple[str, str] = ("college", "board"),
+    iterations: int = 4,
+) -> DataFrame:
+    """Synchronous LPA on the two-attribute clique-union graph WITHOUT
+    materializing an edge — the :func:`pagerank_clique_factored`
+    discipline applied to label counting.
+
+    For node i with groups (a_i, b_i), the neighbor count of label ℓ is
+    pure group arithmetic by inclusion–exclusion:
+
+        cnt_i(ℓ) = C_A(a_i, ℓ) + C_B(b_i, ℓ) − C_AB(a_i, b_i, ℓ) − [ℓ = ℓ_i]
+
+    and crucially cnt_i(·) depends on i ONLY through (a_i, b_i, ℓ_i): the
+    whole argmax can be computed once per (A, B) PAIR, not per node. Each
+    iteration builds the three label-count tables (|A|·L, |B|·L,
+    |A×B|·L keys — L collapses toward the community count after round 1),
+    takes the per-pair TOP-2 labels by (cnt DESC, label ASC), and each
+    node picks top-1 unless its own label IS top-1 and loses after the
+    −1 self-correction, in which case top-2 (no deeper rank can win:
+    only the own label's count changes, by exactly 1). Work per round is
+    O(N + pairs·L) — at 100 TB the difference between a runnable query
+    and a Θ(N²/k)-edge walk; pytest pins exact agreement with
+    :func:`label_propagation`, and the DuckDB oracle still walks edges.
+    """
+    from pyspark.sql.window import Window
+
+    a, b = attrs
+    base = nodes.select("id", a, b).localCheckpoint(eager=False)
+    pairs = base.select(a, b).distinct().localCheckpoint(eager=False)
+    labels = base.withColumn("label", F.col("id"))
+    for _ in range(iterations):
+        ca = labels.groupBy(a, "label").agg(F.count("*").alias("c"))
+        cb = labels.groupBy(b, "label").agg(F.count("*").alias("c"))
+        cab = labels.groupBy(a, b, "label").agg((-F.count("*")).alias("c"))
+        cnt = (
+            pairs.join(ca, a)
+            .select(a, b, "label", "c")
+            .unionByName(pairs.join(cb, b).select(a, b, "label", "c"))
+            .unionByName(cab.select(a, b, "label", "c"))
+            .groupBy(a, b, "label")
+            .agg(F.sum("c").alias("cnt"))
+        )
+        w = Window.partitionBy(a, b).orderBy(F.desc("cnt"), F.asc("label"))
+        tops = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .groupBy(a, b)
+            .agg(
+                F.max(
+                    F.when(F.col("rn") == 1, F.struct("cnt", "label"))
+                ).alias("t1"),
+                F.max(
+                    F.when(F.col("rn") == 2, F.struct("cnt", "label"))
+                ).alias("t2"),
+            )
+        )
+        own_is_t1 = F.col("label") == F.col("t1.label")
+        adj1 = F.col("t1.cnt") - F.when(own_is_t1, 1).otherwise(0)
+        t2_wins = (
+            own_is_t1
+            & F.col("t2").isNotNull()
+            & (
+                (F.col("t2.cnt") > adj1)
+                | (
+                    (F.col("t2.cnt") == adj1)
+                    & (F.col("t2.label") < F.col("t1.label"))
+                )
+            )
+        )
+        new_label = (
+            F.when(t2_wins, F.col("t2.label"))
+            # own == t1 and it survives the self-correction (adj1 ≥ 1:
+            # other holders of the own label are real neighbors), or
+            # adj1 == 0 with no runner-up: isolated → keep own
+            .when(own_is_t1 & (adj1 == 0) & F.col("t2").isNull(), F.col("label"))
+            .otherwise(F.col("t1.label"))
+        )
+        labels = (
+            labels.join(F.broadcast(tops), [a, b], "left")
+            .select(
+                "id", a, b,
+                F.coalesce(new_label, F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select("id", "label")
+
+
 def q_label_propagation(
     spark: SparkSession, sf_dir: str, iterations: int = 4
 ) -> DataFrame:
     """Community detection over the SAME_COLLEGE ∪ SAME_BOARD graph:
-    (id, community, community_size), community = the propagated label."""
-    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
-
+    (id, community, community_size), community = the propagated label.
+    Runs the clique-factored form (O(N + pairs·labels)/iteration — the
+    100 TB path; the edge-walk :func:`label_propagation` is the pytest
+    cross-check, and the driver oracle walks the edges in DuckDB)."""
     nodes = customer_nodes(spark, sf_dir)
-    edges = derive_attribute_edges(nodes, "college", "SAME_COLLEGE").unionByName(
-        derive_attribute_edges(nodes, "board", "SAME_BOARD")
-    ).select("src", "dst")
-    labels = label_propagation(nodes, edges, iterations=iterations)
+    labels = label_propagation_clique_factored(nodes, iterations=iterations)
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
     return labels.join(sizes, "label").select(
         "id", F.col("label").alias("community"), "community_size"

@@ -93,6 +93,59 @@ def test_factored_pagerank_equals_edge_walk(spark, sf_dir):
         assert fac[i] == pytest.approx(gen[i], abs=2e-6), i
 
 
+def test_factored_ppr_equals_edge_walk(spark, sf_dir):
+    """The seeded inclusion–exclusion factoring must reproduce the
+    edge-materializing personalized PageRank EXACTLY on the same
+    SAME_COLLEGE ∪ SAME_BOARD graph."""
+    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
+    from graphdb_neo4j_spark.sources.tpch import customer_nodes
+
+    nodes = customer_nodes(spark, sf_dir)
+    edges = derive_attribute_edges(nodes, "college", "SAME_COLLEGE").unionByName(
+        derive_attribute_edges(nodes, "board", "SAME_BOARD")
+    ).select("src", "dst")
+    walk = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank_personalized(
+            nodes, edges, [graphalgo.PPR_SEED_ID], iterations=5
+        ).collect()
+    }
+    fac = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank_ppr_clique_factored(
+            nodes, [graphalgo.PPR_SEED_ID], iterations=5
+        ).collect()
+    }
+    assert set(walk) == set(fac)
+    for i in walk:
+        assert fac[i] == pytest.approx(walk[i], abs=1e-12), i
+
+
+def test_factored_lpa_equals_edge_walk(spark, sf_dir):
+    """The per-pair top-2 factored LPA must reproduce the
+    edge-materializing synchronous LPA EXACTLY — labels are discrete, so
+    agreement is equality, not approximation (any divergence means the
+    self-correction algebra or the tie-break is wrong)."""
+    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
+    from graphdb_neo4j_spark.sources.tpch import customer_nodes
+
+    nodes = customer_nodes(spark, sf_dir)
+    edges = derive_attribute_edges(nodes, "college", "SAME_COLLEGE").unionByName(
+        derive_attribute_edges(nodes, "board", "SAME_BOARD")
+    ).select("src", "dst")
+    walk = {
+        r["id"]: r["label"]
+        for r in graphalgo.label_propagation(nodes, edges, iterations=4).collect()
+    }
+    fac = {
+        r["id"]: r["label"]
+        for r in graphalgo.label_propagation_clique_factored(
+            nodes, iterations=4
+        ).collect()
+    }
+    assert walk == fac
+
+
 def test_degree_stats_against_materialized_edges(spark, sf_dir):
     """The no-pair-materialization degrees must equal degrees counted on
     the actually-materialized edge table."""
