@@ -8,13 +8,17 @@ modality assigned round-robin by doc_id, metadata from byte length) — the
 derivation is mirrored exactly in the DuckDB oracles, so every operator
 here is hash-checked, including the Pandas-UDF decode path.
 
-Decode stubs: real decoders (PIL / torchaudio / pyav) are not in this
-container. :func:`decode_image` raises NotImplementedError at the exact
-seam where they plug in; the registered queries use
-:func:`fake_decode_meta` — a deterministic arithmetic stand-in — so the
-Spark-side plumbing that actually matters at 100 TB (binary columns
-through Arrow batches, ``mapInPandas`` schema contract, per-modality
-partition pruning, metadata explode) is real and oracle-tested.
+Decode seams: :func:`decode_image` / :func:`resize_image` are
+PILLOW-GATED (the operators/merge_delta discipline) — real
+``PIL.Image`` decode/resize where pillow is importable, and
+NotImplementedError at the exact plug-in point where it isn't (this
+container ships no image/audio libs). The registered queries use
+:func:`fake_decode_meta` — a deterministic arithmetic stand-in the
+DuckDB oracle mirrors — so the Spark-side plumbing that actually matters
+at 100 TB (binary columns through Arrow batches, ``mapInPandas`` schema
+contract, per-modality partition pruning, metadata explode) is real and
+oracle-tested; :func:`image_meta_real` is the same plan over the real
+decoder, pinned by a pillow-gated pytest on a generated PNG.
 
 Scale notes: payloads never pass through a shuffle — every operator
 filters/projects first (modality predicate pushes down to the scan) and
@@ -102,17 +106,34 @@ GROUP BY modality
 # --- decode seam -------------------------------------------------------------
 
 
-def decode_image(payload: bytes) -> "object":
-    """THE decode seam: replace with PIL.Image.open(io.BytesIO(payload))
-    (or pyav / torchaudio per modality) where those libraries exist.
+def pillow_available() -> bool:
+    """True when the real pixel codec (pillow) is importable — the same
+    gating discipline as operators/merge_delta.delta_available: the real
+    twin activates where the library exists, tests skip where it doesn't."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    Not available in this environment by design (SURVEY-era container has
-    no image/audio libs); the Spark plumbing around it is exercised with
-    :func:`fake_decode_meta` instead."""
-    raise NotImplementedError(
-        "image decoding requires PIL/pillow — not available in this container; "
-        "plug the real decoder in here"
-    )
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(payload: bytes) -> "object":
+    """THE decode seam: PIL-backed where pillow is installed (returns a
+    ``PIL.Image.Image``), NotImplementedError otherwise (this container
+    ships no image/audio libs — the Spark plumbing is exercised with
+    :func:`fake_decode_meta`, the real kernel with the pillow-gated
+    pytest twin)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires PIL/pillow — not available in this "
+            "container; plug the real decoder in here"
+        ) from exc
+    return Image.open(io.BytesIO(payload))
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
@@ -244,12 +265,54 @@ RESIZE_BOX = 256
 
 
 def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
-    """THE pixel-resize seam (PIL's ``Image.resize`` where available) —
-    same contract as :func:`decode_image`: stubbed in this container,
-    plumbing exercised via the plan query below."""
-    raise NotImplementedError(
-        "pixel resize requires PIL/pillow — not available in this container; "
-        "plug the real resizer in here"
+    """THE pixel-resize seam: PIL-backed where pillow is installed
+    (decode → ``Image.resize`` → re-encode in the source format), same
+    gating contract as :func:`decode_image` otherwise. Pure
+    bytes → bytes, so it drops straight into a mapInPandas kernel over
+    (payload, target_w, target_h) — :func:`q_image_resize_plan` computes
+    those targets."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "pixel resize requires PIL/pillow — not available in this "
+            "container; plug the real resizer in here"
+        ) from exc
+    img = Image.open(io.BytesIO(payload))
+    fmt = img.format or "PNG"
+    buf = io.BytesIO()
+    img.resize((int(target_w), int(target_h))).save(buf, format=fmt)
+    return buf.getvalue()
+
+
+def real_decode_meta_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """The pillow-backed twin of :func:`decode_meta_batches` — identical
+    mapInPandas batch shape and DECODE_META_SCHEMA output contract, with
+    (width, height) read from the ACTUAL pixels instead of the
+    deterministic stand-in arithmetic."""
+    for pdf in batches:
+        dims = [decode_image(bytes(p)).size for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "asset_id": pdf["asset_id"],
+                "width": pd.Series([w for w, _ in dims], dtype="int32"),
+                "height": pd.Series([h for _, h in dims], dtype="int32"),
+                "n_bytes": pdf["n_bytes"].astype("int64"),
+            }
+        )
+
+
+def image_meta_real(images: DataFrame) -> DataFrame:
+    """:func:`q_image_meta`'s exact plan (modality-pruned scan →
+    mapInPandas → DECODE_META_SCHEMA) with the real decoder — use over a
+    table whose payloads are actual encoded images. Pillow-gated:
+    activates wherever :func:`pillow_available`."""
+    return images.select("asset_id", "payload", "n_bytes").mapInPandas(
+        real_decode_meta_batches, DECODE_META_SCHEMA
     )
 
 

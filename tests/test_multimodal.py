@@ -8,6 +8,9 @@ from pyspark.sql import functions as F
 from graphdb_neo4j_spark.llmdata import multimodal
 
 
+@pytest.mark.skipif(
+    multimodal.pillow_available(), reason="pillow installed: seam is live"
+)
 def test_decode_seam_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG...")
@@ -74,9 +77,53 @@ def test_asset_features_shape_and_determinism(spark, sf_dir):
     assert all(len(f) == multimodal.FEATURE_DIM for _, f in rows1)
 
 
+@pytest.mark.skipif(
+    multimodal.pillow_available(), reason="pillow installed: seam is live"
+)
 def test_resize_seam_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(b"\x89PNG...", 128, 96)
+
+
+@pytest.mark.skipif(
+    not multimodal.pillow_available(),
+    reason="pillow not installed in this container",
+)
+def test_real_decode_and_resize_match_contract(spark):
+    """Pillow-gated real-codec twin: generated PNGs through the SAME
+    mapInPandas plan as q_image_meta must yield q_image_meta's contract
+    columns with the ACTUAL pixel dimensions, and resize_image must
+    produce a decodable image of exactly the planned target size."""
+    import io
+
+    from PIL import Image
+
+    payloads = {}
+    for asset_id, (w, h) in [(1, (5, 3)), (2, (300, 120))]:
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (10 * asset_id, 0, 0)).save(buf, format="PNG")
+        payloads[asset_id] = buf.getvalue()
+    df = spark.createDataFrame(
+        [
+            (aid, "image", bytearray(p), len(p))
+            for aid, p in payloads.items()
+        ],
+        "asset_id long, modality string, payload binary, n_bytes long",
+    )
+    out = multimodal.image_meta_real(df)
+    # exact q_image_meta output contract
+    assert out.columns == ["asset_id", "width", "height", "n_bytes"]
+    got = {
+        r["asset_id"]: (r["width"], r["height"], r["n_bytes"])
+        for r in out.collect()
+    }
+    assert got == {
+        1: (5, 3, len(payloads[1])),
+        2: (300, 120, len(payloads[2])),
+    }
+    # pixel resize honors the aspect-fit plan targets (300×120 → 256×102)
+    resized = multimodal.resize_image(payloads[2], 256, 102)
+    assert Image.open(io.BytesIO(resized)).size == (256, 102)
 
 
 def test_resize_plan_invariants(spark, sf_dir):
