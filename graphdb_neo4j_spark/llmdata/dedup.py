@@ -865,7 +865,13 @@ def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    # (doc_id, md5) is ~50 B/row — checkpoint it so the four consumers
+    # (bloom build, probe, candidate join, verify join) share ONE
+    # normalize+hash pass instead of re-scanning the text four times
+    # (production persists exactly this table next to the MinHash store)
+    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint")).localCheckpoint(
+        eager=False
+    )
     hist = fp.filter(F.col("doc_id") % 2 == 0)
     batch = fp.filter(F.col("doc_id") % 2 == 1)
 

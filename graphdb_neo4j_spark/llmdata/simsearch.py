@@ -259,9 +259,12 @@ def lsh_neardup(
         min_bytes=_LINEAR_MIN_BYTES,
     )
     udf = _make_buckets_udf(n_tables, n_planes)
+    # narrow (vec_id, table, bucket) rows, consumed by BOTH sides of the
+    # candidate self-join: checkpoint so the Arrow matmul bucketing UDF
+    # runs once, not once per side
     index = emb.select(
         "vec_id", F.posexplode(udf(F.col("embedding"))).alias("table_idx", "bucket")
-    )
+    ).localCheckpoint(eager=False)
     a = index.select(F.col("vec_id").alias("a"), "table_idx", "bucket")
     b = index.select(F.col("vec_id").alias("b"), "table_idx", "bucket")
     cand = (

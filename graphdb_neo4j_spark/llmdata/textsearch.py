@@ -82,6 +82,9 @@ def q_bm25_search(
         .withColumn("tf", F.size(F.filter("arr", lambda x: x == F.col("term"))))
         .filter(F.col("tf") > 0)
         .drop("arr")
+        # query-pruned sliver consumed twice (df build + scoring):
+        # checkpoint so the corpus tokenize+match runs once, not twice
+        .localCheckpoint(eager=False)
     )
     dfreq = hits.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = (

@@ -178,7 +178,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
     )
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("tok_n"))
+    # |vocab|-sized, consumed twice (total + the scoring join) — the
+    # bigram_logprob discipline: checkpoint the SMALL shuffle output so
+    # neither consumer re-runs the tokenize + count shuffle
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("tok_n"))
+        .localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("tok_n").alias("total"))
     scored = (
         toks.join(vocab, "tok")
@@ -456,7 +463,16 @@ def q_tfidf_top_terms(
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # consumed twice (df build + scoring join): un-materialized, the df
+    # branch re-ran tokenize + the (doc, term) shuffle (scans=3,
+    # 1.5 s warm sf0.1; checkpointed: 1.1 s). tf is the per-doc DISTINCT
+    # term table — well below the raw token stream — so materializing it
+    # clears the small-result bar of the materialize-then-consume rule
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
     scored = (
@@ -704,6 +720,9 @@ def q_ppmi_topk(
         .filter(F.col("n_ab") >= min_pair_count)
     )
     toks = arr.select(F.explode("arr").alias("tok"))
+    # |vocab|-sized and consumed twice (n_a and n_b broadcasts); a
+    # checkpoint here measured SLOWER at sf0.1 (1.9 → 2.1 s A/B — the
+    # barrier beats the re-run), so the double subtree stays
     tok_counts = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
     total_pairs = pairs.count()
     total_toks = toks.count()
@@ -828,7 +847,20 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     toks = arrs.select("doc_id", F.explode("arr").alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    # |vocab|-sized and consumed THREE times (total, c1 join, c2 join):
+    # un-materialized, each consumer re-ran the tokenize + count shuffle
+    # (scans=5 of documents; checkpointed: scans=2). A/B at sf0.1 is a
+    # wash (~2 s either way — re-tokenize is cheap there) but the
+    # structural form is what survives 100×: three redundant corpus
+    # passes vs one vocab-sized materialization. Checkpointing the
+    # corpus-sized tokenize instead measured strictly worse — the rule
+    # is: materialize when the repeated subtree ends in a SHUFFLE and
+    # the result is SMALL
+    uni = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c_tok"))
+        .localCheckpoint(eager=False)
+    )
     total = uni.agg(F.sum("c_tok").cast("double").alias("total"))
     bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c1"))
@@ -947,6 +979,10 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.alias("half"),
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
     )
+    # |vocab|-sized and consumed twice (totals + the KL term stream); a
+    # checkpoint here measured SLOWER at sf0.1 (1.1 → 1.4 s A/B: the
+    # materialization barrier beats the re-run of a cheap tokenize), so
+    # the double subtree stays — revisit if the tokenize cost grows
     counts = (
         toks.groupBy("tok")
         .agg(
