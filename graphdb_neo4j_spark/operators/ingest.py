@@ -119,28 +119,37 @@ def derive_edges_for_batch(
         new_nodes.select("id", "name", "address", "college", "board", "stream")
     )
 
-    def attr_edges(attr: str, etype: str) -> DataFrame:
-        n = F.broadcast(
-            new_nodes.select(F.col("id").alias("n_id"), F.col(attr).alias("k")).filter(
-                F.col("k").isNotNull() & (F.col("k") != "")
-            )
-        )
-        p = probe.select(F.col("id").alias("p_id"), F.col(attr).alias("k")).filter(
-            F.col("k").isNotNull() & (F.col("k") != "")
+    # ONE pass over the node table for all four attribute edge types: each
+    # side explodes to (type, key) rows and the broadcast equi-join runs
+    # on that composite key (per-type joins scanned the node table once
+    # PER TYPE — audit: 15 scans for one ingest batch; at 100 TB that is
+    # four redundant passes over the graph per onboard).
+    def kv(df: DataFrame, id_alias: str) -> DataFrame:
+        cells = F.array(
+            *[
+                F.struct(F.lit(t).alias("type"), F.col(a).alias("k"))
+                for t, a in ATTRIBUTE_EDGE_TYPES.items()
+            ]
         )
         return (
-            p.join(n, "k")
-            .filter(F.col("p_id") != F.col("n_id"))
-            .select(
-                F.least("p_id", "n_id").alias("src"),
-                F.greatest("p_id", "n_id").alias("dst"),
-                F.lit(etype).alias("type"),
-                F.lit(None).cast("array<string>").alias("common"),
-            )
-            .dropDuplicates(["src", "dst"])  # new-new pairs arrive twice
+            df.select(F.col("id").alias(id_alias), F.explode(cells).alias("s"))
+            .select(id_alias, F.col("s.type").alias("type"), F.col("s.k").alias("k"))
+            .filter(F.col("k").isNotNull() & (F.col("k") != ""))
         )
 
-    attr = [attr_edges(a, t) for t, a in ATTRIBUTE_EDGE_TYPES.items()]
+    attr_all = (
+        kv(probe, "p_id")
+        .join(F.broadcast(kv(new_nodes, "n_id")), ["type", "k"])
+        .filter(F.col("p_id") != F.col("n_id"))
+        .select(
+            F.least("p_id", "n_id").alias("src"),
+            F.greatest("p_id", "n_id").alias("dst"),
+            "type",
+            F.lit(None).cast("array<string>").alias("common"),
+        )
+        .dropDuplicates(["src", "dst", "type"])  # new-new pairs arrive twice
+    )
+    attr = [attr_all]
 
     new_cp = new_nodes.select(
         "id", F.explode("interests").alias("interest")
@@ -180,7 +189,15 @@ def ingest_students(
     """S4 end-to-end: normalize → allocate ids → append → derive the new
     edges. Returns (nodes_after, new_edges)."""
     nodes = customer_nodes(spark, sf_dir)
-    batch = allocate_ids(nodes, normalize_batch(new_raw))
+    # The id-allocated batch is k rows but its lineage embeds the
+    # MAX(id) scan over the graph — with the several consumers below
+    # (probe union, broadcast side, interest explode), each
+    # un-materialized use re-ran that scan (audit: 6 node-table scans
+    # per onboard). The batch originated on the driver, so collapse it
+    # back to a k-row literal: ONE max-id job, zero lineage, no
+    # checkpoint barrier.
+    allocated = allocate_ids(nodes, normalize_batch(new_raw))
+    batch = spark.createDataFrame(allocated.collect(), allocated.schema)
     nodes_after = nodes.unionByName(batch.drop("interests"))
     new_edges = derive_edges_for_batch(
         nodes, customer_interest_pairs_raw(spark, sf_dir), batch

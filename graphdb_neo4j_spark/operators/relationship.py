@@ -69,7 +69,13 @@ def two_name_relationship(
             ]
         )
 
-    pair = side(name_a, "a").crossJoin(side(name_b, "b"))  # 1 × 1
+    # 1 × 1 row with FOUR consumers below (both_ids twice, the two
+    # interest probes, the final projection) — un-materialized, each
+    # consumer re-ran both name-lookup scans (audit: 14 customer scans);
+    # checkpointing one row makes it 2
+    pair = side(name_a, "a").crossJoin(side(name_b, "b")).localCheckpoint(
+        eager=False
+    )
 
     # Interest intersection of exactly this pair: the token lists come from
     # interest_pairs_for (fact tables scanned, never shuffled — the ids are
@@ -79,7 +85,11 @@ def two_name_relationship(
     both_ids = pair.select(F.col("a_id").alias("id")).unionByName(
         pair.select(F.col("b_id").alias("id"))
     )
-    pairs = interest_pairs_for(spark, sf_dir, both_ids)
+    # ≤|interests-of-two-nodes| rows, consumed by both probe sides:
+    # checkpoint so the fact tables are scanned once, not twice
+    pairs = interest_pairs_for(spark, sf_dir, both_ids).localCheckpoint(
+        eager=False
+    )
     pa = pairs.join(pair.select("a_id"), pairs.id == F.col("a_id")).select("interest")
     pb = pairs.join(pair.select("b_id"), pairs.id == F.col("b_id")).select("interest")
     common = pa.join(pb, "interest").groupBy().agg(
