@@ -44,7 +44,8 @@ these in, r5 greens out): ``repetition_scores``, ``lsh_neardup``,
 ``sequence_match``, ``stream_ohlc``, ``conversion_lag`` (= 50); the two
 overflow rows-only variants ``bpe_encode`` and ``cluster_outliers``
 (pytest-pinned twins of in-window ``bpe_train`` / ``cluster_profile``)
-ride the r7 window or a consolidated slot.
+ride the r7 window or a consolidated slot, along with the r5-late
+addition ``bfs_unbounded`` (oracle-backed, in-repo parity from day one).
 """
 
 from __future__ import annotations
@@ -767,6 +768,11 @@ register(
     events.EVENTS_OHLC_SQL,  # availableNow must equal the batch bars
 )
 register("conversion_lag", events.q_conversion_lag, events.CONVERSION_LAG_SQL)
+register(
+    "bfs_unbounded",
+    lambda spark, sf: paths.q_bfs_unbounded(spark, sf),
+    paths.bfs_unbounded_sql(),  # recursive-CTE fixpoint mirror
+)
 
 # =============================================================================
 # R5 WINDOW — the first 50 names the driver's correctness harness records.

@@ -11,8 +11,11 @@ joins (SURVEY.md §7.4-H3):
 
 Each iteration is ``localCheckpoint``-ed: the plan would otherwise double in
 depth every hop (lineage growth is the classic iterative-algorithm failure
-mode at scale). Depth is bounded (default 3) — a documented semantic
-restriction vs Cypher's unbounded ``[*]``.
+mode at scale). The loop breaks as soon as the frontier empties, so the
+depth parameter is a cap, not a forced count: :func:`q_bfs_distances`
+bounds it (the Cypher ``[*..n]`` form), :func:`q_bfs_unbounded` runs to
+fixpoint with depth as a pure safety ceiling (the unbounded ``[*]`` form,
+oracled by a DuckDB recursive CTE).
 """
 
 from __future__ import annotations
@@ -97,6 +100,56 @@ d2 AS (
 SELECT CAST({source_id} AS BIGINT) AS id, 0 AS dist
 UNION ALL SELECT id, 1 AS dist FROM d1
 UNION ALL SELECT id, 2 AS dist FROM d2
+"""
+
+
+def q_bfs_unbounded(
+    spark: SparkSession, sf_dir: str, source_id: int = 1
+) -> DataFrame:
+    """Cypher's unbounded ``-[r*]-`` (SURVEY §7.4-H3 closure): BFS run to
+    FIXPOINT — :func:`bfs_distances`'s loop already stops when the
+    frontier empties, so the unbounded form is the same loop with the
+    depth parameter as a pure SAFETY ceiling (64 ≫ any clique-union
+    graph's diameter), not a semantic bound. Each hop localCheckpoints,
+    so lineage stays flat however deep the graph runs. The DuckDB oracle
+    is a recursive CTE taking MIN(dist) per reached node — a genuinely
+    different computation of the same fixpoint."""
+    nodes = customer_nodes(spark, sf_dir)
+    college = derive_attribute_edges(nodes, "college", "SAME_COLLEGE")
+    nearby = derive_attribute_edges(nodes, "address", "NEARBY")
+    graph = PropertyGraph(nodes=nodes, edges=college.unionByName(nearby))
+    return bfs_distances(graph.edges_undirected(), source_id, max_depth=64)
+
+
+def bfs_unbounded_sql(source_id: int = 1, depth_cap: int = 32) -> str:
+    """Recursive-CTE mirror of the unbounded BFS: walk the undirected
+    edges accumulating (id, dist) pairs (UNION dedups exact pairs; the
+    ``dist < cap`` guard bounds the recursion far above the clique-union
+    graph's diameter), then MIN(dist) per node is the BFS distance."""
+    return f"""
+WITH RECURSIVE {NODES_CTE.strip()},
+base_edges AS (
+    SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b
+      ON a.college = b.college AND a.id < b.id
+      WHERE a.college IS NOT NULL AND a.college <> ''
+    UNION ALL
+    SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b
+      ON a.address = b.address AND a.id < b.id
+      WHERE a.address IS NOT NULL AND a.address <> ''
+),
+und AS (
+    SELECT src, dst FROM base_edges
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM base_edges
+),
+walk(id, dist) AS (
+    SELECT CAST({source_id} AS BIGINT), 0
+    UNION
+    SELECT e.dst, w.dist + 1
+    FROM und e JOIN walk w ON e.src = w.id
+    WHERE w.dist < {depth_cap}
+)
+SELECT id, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY id
 """
 
 
