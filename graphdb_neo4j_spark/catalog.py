@@ -45,7 +45,8 @@ these in, r5 greens out): ``repetition_scores``, ``lsh_neardup``,
 overflow rows-only variants ``bpe_encode`` and ``cluster_outliers``
 (pytest-pinned twins of in-window ``bpe_train`` / ``cluster_profile``)
 ride the r7 window or a consolidated slot, along with the r5-late
-addition ``bfs_unbounded`` (oracle-backed, in-repo parity from day one).
+additions ``bfs_unbounded``, ``events_hopping``, ``stream_hopping``
+(all oracle-backed, in-repo parity from day one).
 """
 
 from __future__ import annotations
@@ -772,6 +773,12 @@ register(
     "bfs_unbounded",
     lambda spark, sf: paths.q_bfs_unbounded(spark, sf),
     paths.bfs_unbounded_sql(),  # recursive-CTE fixpoint mirror
+)
+register("events_hopping", events.q_events_hopping, events.EVENTS_HOPPING_SQL)
+register(
+    "stream_hopping",
+    events_stream.q_stream_hopping,
+    events.EVENTS_HOPPING_SQL,  # availableNow must equal the batch windows
 )
 
 # =============================================================================

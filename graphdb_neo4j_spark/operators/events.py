@@ -88,6 +88,53 @@ GROUP BY 1, 2
 """
 
 
+def q_events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows — 1-hour length, 15-minute slide — ×
+    event_type: the smoothed rate/trend view tumbling buckets can't give
+    (every event lands in length/slide = 4 overlapping windows).
+
+    Scale shape: ``F.window(ts, length, slide)`` expands each row to its
+    4 window assignments INSIDE the aggregate's projection (a row-local
+    explode, not a join), then one two-phase hash aggregate on
+    (window, type) — map-side partials collapse the 4× row inflation
+    before the shuffle, so the exchange carries ≤ windows × types rows.
+    The DuckDB oracle derives the same 4 window starts arithmetically
+    (generate_series over 15-minute buckets).
+    """
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_HOPPING_SQL = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events,
+     LATERAL unnest(generate_series(
+         time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP) - INTERVAL '45 minutes',
+         time_bucket(INTERVAL '15 minutes', ts::TIMESTAMP),
+         INTERVAL '15 minutes')) AS t(ws)
+GROUP BY 1, 2
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction (props is a JSON string column): per
     event_type stats over props.k."""

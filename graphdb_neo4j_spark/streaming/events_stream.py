@@ -85,6 +85,38 @@ def hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def hopping_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming hopping windows (1-hour length, 15-minute slide) —
+    native ``F.window(ts, length, slide)`` under a watermark; state per
+    (window, type) is the usual count/sum pair, windows finalize as the
+    watermark passes their end (4 live windows per slide tier)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of the streaming hopping windows — must equal the
+    batch q_events_hopping exactly on the bounded fixture (same oracle)."""
+    ev = stream_events(spark, sf_dir)
+    return run_available_now(spark, hopping_stream(ev), "stream_hopping_sink")
+
+
 def session_window_stream(
     events: DataFrame, gap: str = SESSION_GAP, watermark: str = "2 hours"
 ) -> DataFrame:
