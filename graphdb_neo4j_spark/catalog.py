@@ -45,8 +45,8 @@ these in, r5 greens out): ``repetition_scores``, ``lsh_neardup``,
 overflow rows-only variants ``bpe_encode`` and ``cluster_outliers``
 (pytest-pinned twins of in-window ``bpe_train`` / ``cluster_profile``)
 ride the r7 window or a consolidated slot, along with the r5-late
-additions ``bfs_unbounded``, ``events_hopping``, ``stream_hopping``
-(all oracle-backed, in-repo parity from day one).
+additions ``bfs_unbounded``, ``events_hopping``, ``stream_hopping``,
+``temporal_join`` (all oracle-backed, in-repo parity from day one).
 """
 
 from __future__ import annotations
@@ -780,6 +780,7 @@ register(
     events_stream.q_stream_hopping,
     events.EVENTS_HOPPING_SQL,  # availableNow must equal the batch windows
 )
+register("temporal_join", scd.q_temporal_join, scd.TEMPORAL_JOIN_SQL)
 
 # =============================================================================
 # R5 WINDOW — the first 50 names the driver's correctness harness records.

@@ -222,3 +222,109 @@ collapsed AS (
 SELECT user_id, op, CAST(value AS DOUBLE) AS value
 FROM collapsed WHERE op <> 'delete'
 """
+
+
+# --- point-in-time (temporal validity) join ----------------------------------
+#
+# The CONSUMING half of SCD2: join each fact row to the dimension version
+# that was valid WHEN THE FACT HAPPENED (as_of ∈ [valid_from, valid_to)) —
+# the lookup every type-2 warehouse query runs, and the reason the history
+# is kept at all.
+
+
+def pointintime_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    as_of_col: str,
+) -> DataFrame:
+    """facts ⋈ dim on ``key`` picking the dimension version whose
+    [valid_from, valid_to) interval contains ``facts[as_of_col]``.
+
+    Scale shape: this is NOT a range join — the equality on ``key``
+    drives the join (hash/sort-merge on the key, co-partitionable with
+    the fact table), and the validity interval is a RESIDUAL predicate
+    evaluated on the ≤versions-per-key matches (SCD2 dimensions carry a
+    handful of versions per key). Every fact row matches at most one
+    version by construction (intervals partition the timeline), so no
+    dedup step follows."""
+    interval = (F.col(as_of_col) >= dim["valid_from"]) & (
+        dim["valid_to"].isNull() | (F.col(as_of_col) < dim["valid_to"])
+    )
+    return facts.join(dim, (facts[key] == dim[key]) & interval).drop(dim[key])
+
+
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered point-in-time scenario: orders join the post-batch SCD2
+    customer dimension (:func:`q_scd2_customers`'s exact build) as of the
+    order date shifted +27 years (orders run 1995-2001, the dimension era
+    starts 2020 — the shift spans both sides of the 2024 restatement, so
+    every version is exercised). Output: per segment-version, order count
+    and revenue — the "metrics by the attribute AS IT WAS" report."""
+    cust = widen_scan(spark.read.parquet(f"{sf_dir}/customer.parquet"))
+    dim = cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(DIM_START).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.concat(F.lit("SEG_"), F.col("c_nationkey")).alias("segment"),
+    )
+    scd = scd2_apply(dim, updates, "custkey", ["segment"], BATCH_TS)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    facts = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 27 YEARS")).alias("as_of"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("price"),
+    )
+    joined = pointintime_join(facts, scd, "custkey", "as_of")
+    return joined.groupBy("segment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price").cast("double").alias("revenue"),
+    )
+
+
+TEMPORAL_JOIN_SQL = rf"""
+WITH dim AS (
+  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+         TIMESTAMP '{DIM_START}' AS valid_from,
+         CAST(NULL AS TIMESTAMP) AS valid_to
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey AS custkey, 'SEG_' || c_nationkey AS segment
+  FROM customer WHERE c_custkey % 3 = 0
+),
+changed AS (
+  SELECT d.custkey FROM dim d JOIN upd u ON d.custkey = u.custkey
+  WHERE d.valid_to IS NULL AND d.segment <> u.segment
+),
+scd AS (
+  -- untouched versions pass through
+  SELECT d.custkey, d.segment, d.valid_from, d.valid_to
+  FROM dim d WHERE d.custkey NOT IN (SELECT custkey FROM changed)
+  UNION ALL
+  -- closed-out old versions
+  SELECT d.custkey, d.segment, d.valid_from,
+         TIMESTAMP '{BATCH_TS}' AS valid_to
+  FROM dim d WHERE d.custkey IN (SELECT custkey FROM changed)
+  UNION ALL
+  -- new current versions
+  SELECT u.custkey, u.segment, TIMESTAMP '{BATCH_TS}', CAST(NULL AS TIMESTAMP)
+  FROM upd u WHERE u.custkey IN (SELECT custkey FROM changed)
+),
+facts AS (
+  SELECT o_custkey AS custkey,
+         o_orderdate::TIMESTAMP + INTERVAL 27 YEAR AS as_of,
+         CAST(o_totalprice AS DECIMAL(15,2)) AS price
+  FROM orders
+)
+SELECT s.segment, COUNT(*) AS n_orders, CAST(SUM(f.price) AS DOUBLE) AS revenue
+FROM facts f JOIN scd s
+  ON f.custkey = s.custkey
+ AND f.as_of >= s.valid_from
+ AND (s.valid_to IS NULL OR f.as_of < s.valid_to)
+GROUP BY s.segment
+"""

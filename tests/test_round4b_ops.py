@@ -213,3 +213,50 @@ def test_cdc_apply_semantics(spark):
         3: ("insert", 9.0),
         4: ("insert", 1.0),
     }
+
+
+class TestPointInTimeJoin:
+    def _dim(self, spark):
+        # key 1: v1 [2020, 2024) -> v2 [2024, null); key 2: single version
+        return spark.createDataFrame(
+            [
+                (1, "A", "2020-01-01 00:00:00", "2024-01-01 00:00:00"),
+                (1, "B", "2024-01-01 00:00:00", None),
+                (2, "C", "2020-01-01 00:00:00", None),
+            ],
+            "k long, attr string, valid_from string, valid_to string",
+        ).select(
+            "k",
+            "attr",
+            F.col("valid_from").cast("timestamp").alias("valid_from"),
+            F.col("valid_to").cast("timestamp").alias("valid_to"),
+        )
+
+    def test_each_fact_gets_the_version_valid_at_its_time(self, spark):
+        from graphdb_neo4j_spark.operators.scd import pointintime_join
+
+        facts = spark.createDataFrame(
+            [
+                (1, 1, "2022-06-01 00:00:00"),  # inside v1
+                (2, 1, "2024-01-01 00:00:00"),  # boundary: valid_from inclusive
+                (3, 1, "2023-12-31 23:59:59"),  # last second of v1
+                (4, 2, "2030-01-01 00:00:00"),  # open-ended current
+                (5, 1, "2019-01-01 00:00:00"),  # before all validity: drops
+            ],
+            "fid long, k long, as_of string",
+        ).select("fid", "k", F.col("as_of").cast("timestamp").alias("as_of"))
+        out = {
+            r["fid"]: r["attr"]
+            for r in pointintime_join(facts, self._dim(spark), "k", "as_of").collect()
+        }
+        assert out == {1: "A", 2: "B", 3: "A", 4: "C"}
+
+    def test_at_most_one_version_matches(self, spark):
+        from graphdb_neo4j_spark.operators.scd import pointintime_join
+
+        facts = spark.createDataFrame(
+            [(i, 1, f"202{i % 5}-03-01 00:00:00") for i in range(10)],
+            "fid long, k long, as_of string",
+        ).select("fid", "k", F.col("as_of").cast("timestamp").alias("as_of"))
+        out = pointintime_join(facts, self._dim(spark), "k", "as_of")
+        assert out.groupBy("fid").count().filter(F.col("count") > 1).count() == 0
