@@ -124,6 +124,11 @@ CONTRACTS = [
     # fact-to-fact orderkey join (broadcast at test sf, co-partitioned SMJ
     # at scale — broadcast not required) + month agg + tiny month sort
     ("ship_latency", 3, False, True),
+    # SCD2 build (broadcast full-outer of the update batch) + key-driven
+    # validity join + one |segments|-row aggregate: ONE shuffle total
+    ("temporal_join", 1, True, True),
+    # row-local window assignment expand + one two-phase (window, type) agg
+    ("events_hopping", 1, True, True),
 ]
 
 
