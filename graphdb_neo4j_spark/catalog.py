@@ -46,7 +46,8 @@ overflow rows-only variants ``bpe_encode`` and ``cluster_outliers``
 (pytest-pinned twins of in-window ``bpe_train`` / ``cluster_profile``)
 ride the r7 window or a consolidated slot, along with the r5-late
 additions ``bfs_unbounded``, ``events_hopping``, ``stream_hopping``,
-``temporal_join`` (all oracle-backed, in-repo parity from day one).
+``temporal_join``, ``stream_enrich`` (all oracle-backed, in-repo parity
+from day one).
 """
 
 from __future__ import annotations
@@ -781,6 +782,11 @@ register(
     events.EVENTS_HOPPING_SQL,  # availableNow must equal the batch windows
 )
 register("temporal_join", scd.q_temporal_join, scd.TEMPORAL_JOIN_SQL)
+register(
+    "stream_enrich",
+    events_stream.q_stream_enrich,
+    events_stream.STREAM_ENRICH_SQL,  # stream-static join ≡ the batch join
+)
 
 # =============================================================================
 # R5 WINDOW — the first 50 names the driver's correctness harness records.

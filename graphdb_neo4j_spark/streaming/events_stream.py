@@ -85,6 +85,51 @@ def hourly_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """STREAM-STATIC dimension enrichment — the remaining join family
+    next to the stream-stream interval join: each micro-batch joins the
+    bounded dimension (broadcast — no stream-side state at all, unlike
+    stream-stream joins), then aggregates per (segment, event_type).
+    The planner re-resolves the static side per micro-batch, so a
+    dimension refresh between batches is picked up — the cheap path for
+    slowly-changing lookup data under streaming facts."""
+    d = F.broadcast(
+        dim.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return (
+        events.join(d, "user_id")
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """availableNow run of the stream-static enrichment — must equal the
+    plain batch join + aggregate (the DuckDB oracle)."""
+    ev = stream_events(spark, sf_dir)
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return run_available_now(
+        spark, enrich_stream(ev, dim), "stream_enrich_sink"
+    )
+
+
+STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
 def hopping_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming hopping windows (1-hour length, 15-minute slide) —
     native ``F.window(ts, length, slide)`` under a watermark; state per
