@@ -348,13 +348,15 @@ def _make_asof_fn(left_type: str):
             left_us = us[left].to_numpy(dtype="int64")
             # rights at-or-before each left (equal ts counts: '>=' match)
             idx = np.searchsorted(rights, left_us, side="right")
-            prior_us = pd.array(
-                [
-                    int(rights[i - 1]) if i > 0 else evicted_latest
-                    for i in idx
-                ],
-                dtype="Int64",
-            )
+            in_buf = idx > 0
+            vals = np.zeros(len(idx), dtype="int64")
+            vals[in_buf] = rights[idx[in_buf] - 1]
+            if evicted_latest is None:
+                prior_us = pd.array(vals, dtype="Int64")
+                prior_us[~in_buf] = pd.NA
+            else:
+                vals[~in_buf] = evicted_latest
+                prior_us = pd.array(vals, dtype="Int64")
             prior_ms = prior_us // 1000  # NA propagates: no right yet
             ts_ms = left_us // 1000
             yield pd.DataFrame(
