@@ -46,7 +46,8 @@ overflow rows-only variants ``bpe_encode`` and ``cluster_outliers``
 (pytest-pinned twins of in-window ``bpe_train`` / ``cluster_profile``)
 ride the r7 window or a consolidated slot, along with the r5-late
 additions ``bfs_unbounded``, ``events_hopping``, ``stream_hopping``,
-``temporal_join``, ``stream_enrich`` (all oracle-backed, in-repo parity
+``temporal_join``, ``stream_enrich``, ``volume_shipping``,
+``market_share``, ``product_profit`` (all oracle-backed, in-repo parity
 from day one).
 """
 
@@ -786,6 +787,21 @@ register(
     "stream_enrich",
     events_stream.q_stream_enrich,
     events_stream.STREAM_ENRICH_SQL,  # stream-static join ≡ the batch join
+)
+register(
+    "volume_shipping",
+    lambda spark, sf: olap.q_volume_shipping(spark, sf),
+    olap.volume_shipping_sql(),  # TPC-H Q7 shape
+)
+register(
+    "market_share",
+    lambda spark, sf: olap.q_market_share(spark, sf),
+    olap.market_share_sql(),  # TPC-H Q8 shape
+)
+register(
+    "product_profit",
+    lambda spark, sf: olap.q_product_profit(spark, sf),
+    olap.product_profit_sql(),  # TPC-H Q9 shape (p_retailprice as unit cost)
 )
 
 # =============================================================================

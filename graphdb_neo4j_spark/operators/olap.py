@@ -1492,3 +1492,252 @@ FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY order_month
 ORDER BY order_month
 """
+
+
+def q_volume_shipping(
+    spark: SparkSession,
+    sf_dir: str,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    named nations (supplier in one, customer in the other, BOTH
+    directions) per (supplier nation, customer nation, ship year) over a
+    two-year window.
+
+    Scale shape: the two-nation filter prunes nation FIRST and broadcasts
+    into supplier and customer, which broadcast into the facts — the only
+    shuffle is lineitem ⋈ orders on orderkey; the cross-pair condition
+    (``s_nation <> c_nation``) is a residual on the broadcast probe.
+    Output ≤ 2 pair-directions × years rows. Exact decimal until the
+    final double cast.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pair = F.broadcast(
+        nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01"))
+        )
+        .join(
+            F.broadcast(
+                supp.join(pair, F.col("s_nationkey") == F.col("n_nationkey"))
+                .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                cust.join(pair, F.col("c_nationkey") == F.col("n_nationkey"))
+                .select("c_custkey", F.col("n_name").alias("cust_nation"))
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def volume_shipping_sql(nation_a: str = "NATION_1", nation_b: str = "NATION_2") -> str:
+    return f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('{nation_a}', '{nation_b}')
+  AND cn.n_name IN ('{nation_a}', '{nation_b}')
+  AND sn.n_name <> cn.n_name
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+def q_market_share(
+    spark: SparkSession,
+    sf_dir: str,
+    region: str = "ASIA",
+    target_nation: str = "NATION_8",
+    ptype: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H Q8-shaped market share: within one region's customers buying
+    one part type, the share of revenue supplied by one target nation,
+    per order year — the conditional-aggregate-ratio shape
+    (SUM(CASE WHEN supplier is target) / SUM(all)).
+
+    Scale shape: part type + region prune their dimensions before
+    touching facts; one orderkey shuffle joins the two facts; supplier
+    nationality rides in as a broadcast flag column — the ratio is two
+    fused aggregates over one pass, never two scans. Sums stay exact
+    decimal; the share divides as double (identical IEEE inputs in both
+    engines), rounded 6.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    region_nations = F.broadcast(
+        nation.join(
+            F.broadcast(reg.filter(F.col("r_name") == region)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("rn_key"))
+    )
+    supp_flag = F.broadcast(
+        supp.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select(
+            "s_suppkey",
+            (F.col("n_name") == target_nation).alias("is_target"),
+        )
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    )
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == ptype).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(supp_flag, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01"))
+                & (F.col("o_orderdate") < F.lit("1999-01-01"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(region_nations, F.col("c_nationkey") == F.col("rn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("is_target"), revenue).otherwise(F.lit(0).cast("decimal(15,2)"))).alias("_t"),
+            F.sum(revenue).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_t").cast("double") / F.col("_all").cast("double"), 6).alias(
+                "mkt_share"
+            ),
+            F.col("_all").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def market_share_sql(
+    region: str = "ASIA", target_nation: str = "NATION_8", ptype: str = "STANDARD"
+) -> str:
+    return f"""
+SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+       ROUND(CAST(SUM(CASE WHEN sn.n_name = '{target_nation}'
+                      THEN CAST(l_extendedprice AS DECIMAL(15,2))
+                           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                      ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE),
+             6) AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS total_revenue
+FROM lineitem
+JOIN part p ON l_partkey = p.p_partkey
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN orders o ON l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey
+WHERE p.p_type = '{ptype}'
+  AND r.r_name = '{region}'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+def q_product_profit(
+    spark: SparkSession, sf_dir: str, name_word: str = "widget"
+) -> DataFrame:
+    """TPC-H Q9-shaped product profit: for parts whose name contains one
+    word, profit = revenue − retail cost of the shipped quantity, per
+    (supplier nation, ship year). The fixture has no partsupp table, so
+    unit cost is ``p_retailprice`` — the join graph and aggregation shape
+    are Q9's (documented substitution).
+
+    Scale shape: the LIKE filter prunes part before any fact contact;
+    part and the supplier→nation cascade broadcast into ONE lineitem
+    pass — no orders join is needed (ship year comes from l_shipdate),
+    so the plan has zero fact-fact shuffles; the aggregate is
+    ≤ nations × years rows. Exact decimal throughout.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    profit = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 4, 2)
+    ) - _dec("p_retailprice", 12, 2) * _dec("l_quantity", 12, 2)
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains(name_word)).select(
+                    "p_partkey", "p_retailprice"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(
+                supp.join(
+                    F.broadcast(nation.select("n_nationkey", "n_name")),
+                    F.col("s_nationkey") == F.col("n_nationkey"),
+                ).select("s_suppkey", F.col("n_name").alias("nation"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+    )
+
+
+def product_profit_sql(name_word: str = "widget") -> str:
+    return f"""
+SELECT n.n_name AS nation,
+       EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                - CAST(p_retailprice AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part p ON l_partkey = p.p_partkey
+JOIN supplier s ON l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%{name_word}%'
+GROUP BY 1, 2
+"""

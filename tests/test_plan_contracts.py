@@ -129,6 +129,15 @@ CONTRACTS = [
     ("temporal_join", 1, True, True),
     # row-local window assignment expand + one two-phase (window, type) agg
     ("events_hopping", 1, True, True),
+    # Q7: pair-pruned nation dims broadcast into both facts; ONE orderkey
+    # shuffle; cross-pair condition is a broadcast-probe residual
+    ("volume_shipping", 1, True, True),
+    # Q8: type/region-pruned dims broadcast; one orderkey shuffle; the
+    # share is two fused conditional aggregates over one pass
+    ("market_share", 1, True, True),
+    # Q9: LIKE-pruned part + supplier→nation cascade broadcast into ONE
+    # lineitem pass — ship year avoids the orders join entirely
+    ("product_profit", 1, True, True),
 ]
 
 
