@@ -47,8 +47,8 @@ overflow rows-only variants ``bpe_encode`` and ``cluster_outliers``
 ride the r7 window or a consolidated slot, along with the r5-late
 additions ``bfs_unbounded``, ``events_hopping``, ``stream_hopping``,
 ``temporal_join``, ``stream_enrich``, ``volume_shipping``,
-``market_share``, ``product_profit`` (all oracle-backed, in-repo parity
-from day one).
+``market_share``, ``product_profit``, ``user_erasure`` (all
+oracle-backed, in-repo parity from day one).
 """
 
 from __future__ import annotations
@@ -802,6 +802,11 @@ register(
     "product_profit",
     lambda spark, sf: olap.q_product_profit(spark, sf),
     olap.product_profit_sql(),  # TPC-H Q9 shape (p_retailprice as unit cost)
+)
+register(
+    "user_erasure",
+    lambda spark, sf: olap.q_user_erasure(spark, sf),
+    olap.user_erasure_sql(),  # GDPR deletion inventory
 )
 
 # =============================================================================

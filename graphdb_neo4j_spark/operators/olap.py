@@ -1741,3 +1741,58 @@ JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE p.p_name LIKE '%{name_word}%'
 GROUP BY 1, 2
 """
+
+
+def q_user_erasure(spark: SparkSession, sf_dir: str, user_id: int = 42) -> DataFrame:
+    """Right-to-be-forgotten audit for one subject: every table holding
+    rows keyed (directly or transitively) to the user, with the row count
+    an erasure job would delete — customer (the subject row), orders
+    (direct custkey), lineitem (via the user's orders), events (direct
+    user_id). The inventory a GDPR/CCPA deletion workflow materializes
+    BEFORE mutating anything, and re-runs after to prove zeros.
+
+    Scale shape: the subject key is a literal, so customer/orders/events
+    prune at the scan (PushedFilters); the only non-pushable step is
+    lineitem-via-orders, which semi-joins the user's ≤|orders| broadcast
+    order keys — no shuffle anywhere, output is exactly 4 rows.
+    """
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    user_orders = orders.filter(F.col("o_custkey") == user_id).select("o_orderkey")
+
+    def cnt(name: str, df) -> DataFrame:
+        return df.groupBy().agg(F.count("*").alias("n_rows")).select(
+            F.lit(name).alias("table_name"), "n_rows"
+        )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        cnt("customer", cust.filter(F.col("c_custkey") == user_id))
+        .unionByName(cnt("orders", user_orders))
+        .unionByName(
+            cnt(
+                "lineitem",
+                li.join(
+                    F.broadcast(user_orders),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                    "left_semi",
+                ),
+            )
+        )
+        .unionByName(cnt("events", ev.filter(F.col("user_id") == user_id)))
+    )
+
+
+def user_erasure_sql(user_id: int = 42) -> str:
+    return f"""
+SELECT 'customer' AS table_name, COUNT(*) AS n_rows
+FROM customer WHERE c_custkey = {user_id}
+UNION ALL
+SELECT 'orders', COUNT(*) FROM orders WHERE o_custkey = {user_id}
+UNION ALL
+SELECT 'lineitem', COUNT(*) FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = {user_id})
+UNION ALL
+SELECT 'events', COUNT(*) FROM events WHERE user_id = {user_id}
+"""
