@@ -890,3 +890,69 @@ for _name in R5_WINDOW:
 for _name, _rq in _PENDING.items():
     _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
 _PENDING.clear()
+
+# =============================================================================
+# R6 WINDOW PLAN — staged now so next round's rotation is a two-line swap
+# (set the flush loop to use R6_WINDOW_PLAN). The 50 names below are every
+# oracle-backed query still without a driver row after r5, in family
+# order; the r7 tail is the 10 rows-only variants (lsh_neardup, bpe_train,
+# bpe_encode, cluster_profile, cluster_balanced_sample, cluster_outliers,
+# token_cms, distinct_rollup, weighted_distances, pq_search) plus
+# user_erasure.
+# =============================================================================
+
+R6_WINDOW_PLAN = [
+    "repetition_scores",
+    "holdout_split",
+    "unigram_logprob",
+    "funnel_counts",
+    "retention_cohorts",
+    "dedup_segments",
+    "stratified_sample",
+    "semantic_dedup",
+    "events_quantiles",
+    "rolling_daily",
+    "top_parts_per_nation",
+    "triangle_counts",
+    "ppmi_topk",
+    "temperature_sample",
+    "training_order",
+    "interval_join",
+    "forecast_revenue",
+    "source_scorecard",
+    "group_sample",
+    "integrity_check",
+    "value_histogram",
+    "asof_forward",
+    "user_profile",
+    "mix_plan",
+    "knn_join",
+    "dedup_spans",
+    "dedup_snm",
+    "pagerank_ppr",
+    "label_propagation",
+    "embedding_quantize",
+    "dsir_weights",
+    "events_ohlc",
+    "table_profile",
+    "k_anonymity",
+    "cdc_apply",
+    "basket_affinity",
+    "pareto_revenue",
+    "top_supplier",
+    "ship_latency",
+    "sequence_match",
+    "stream_ohlc",
+    "conversion_lag",
+    "bfs_unbounded",
+    "events_hopping",
+    "stream_hopping",
+    "temporal_join",
+    "stream_enrich",
+    "volume_shipping",
+    "market_share",
+    "product_profit",
+]
+
+assert len(R6_WINDOW_PLAN) == 50, len(R6_WINDOW_PLAN)
+assert not set(R6_WINDOW_PLAN) & set(R5_WINDOW), "r6 plan overlaps r5 window"
