@@ -269,9 +269,15 @@ def q_edges_with_common(
     intersection list (the reference's ``SET r.common``,
     create_relationships.py:86), via the count-first-then-replay plan of
     ``derive_shared_interest_edges(with_common=True)``. The array is
-    emitted as a sorted comma-join for hash stability."""
+    emitted as a sorted comma-join for hash stability.
+
+    The distinct (id, interest) table is consumed four times downstream
+    (both sides of the token self-join × the count and replay branches);
+    un-materialized, each consumer re-ran the orders⋈lineitem build and
+    its distinct shuffle (audit: 4 fact scans) — checkpointing the small
+    post-distinct table runs that pipeline once."""
     edges = derive_shared_interest_edges(
-        customer_interest_pairs(spark, sf_dir),
+        customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False),
         min_common=min_common,
         with_common=True,
     )
