@@ -6,6 +6,20 @@
 
 Each query is executed to completion with a count() action (forces the full
 plan without driver-side result transfer dominating the timing).
+
+Load-contamination guard (round-6): BENCH_r05 was recorded on a host
+running concurrent heavy processes and read 1.77x BENCH_r04 with zero code
+changes to the regressed queries. Two self-identification channels now ship
+with every run so a contaminated recording is visible IN the artifact:
+
+- a pinned CANARY (fixed JVM-only aggregate over range(), code-stable
+  across rounds) runs first and again after every 8 queries; the JSON
+  reports each canary timing and ``canary_drift`` = max/min. Drift > ~1.2
+  means the host slowed down mid-run and the late queries' numbers are
+  suspect; compare canary slots to see WHICH stretch.
+- ``os.getloadavg()`` (1-min) is sampled at each query's start; the JSON
+  reports min/mean/max. On this 32-core box a loadavg far above the
+  bench's own footprint (~32) flags external load.
 """
 
 from __future__ import annotations
@@ -37,13 +51,26 @@ def main() -> None:
         lambda batches: batches, "id long"
     ).collect()
 
+    def canary() -> float:
+        # Fixed CPU-bound JVM-only work: one wide codegen'd aggregate over
+        # a range scan, no shuffle, no Python. NEVER change this expression
+        # — cross-round comparability is the point.
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2 + 1) as s", "avg(id % 97) as a"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
     # best-of-2 per query: a single pass is hostage to transient host load
     # (observed 1.6× total swing between back-to-back runs with identical
     # code); the min of two passes is the standard steady-state timing and
     # still charges every per-query plan+execute cost.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in sorted(bench_queries().items()):
+    canaries: list[float] = [canary()]
+    loadavgs: list[float] = []
+    for qi, (name, fn) in enumerate(sorted(bench_queries().items())):
+        loadavgs.append(round(os.getloadavg()[0], 2))
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -67,6 +94,9 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
         spark.sparkContext._jvm.System.gc()
+        if (qi + 1) % 8 == 0:
+            canaries.append(canary())
+    canaries.append(canary())
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -75,6 +105,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "canary": canaries,
+        "canary_drift": round(max(canaries) / max(min(canaries), 1e-9), 3),
+        "loadavg": {
+            "min": min(loadavgs),
+            "mean": round(sum(loadavgs) / len(loadavgs), 2),
+            "max": max(loadavgs),
+        },
     }
     if errors:
         out["errors"] = errors

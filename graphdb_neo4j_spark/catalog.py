@@ -9,50 +9,39 @@ is additionally hash-checked in-repo by ``tests/test_oracle_parity.py``
 regardless of window position).
 
 Mechanics: ``register`` below COLLECTS entries in source order; the
-``R5_WINDOW`` list at the bottom of this file then flushes the named 50
+``R6_WINDOW`` list at the bottom of this file then flushes the named 50
 to the real registry first and everything else after, so rotating the
-window is a list edit, not a code move. Driver-row history:
+window is a list edit, not a code move. Driver-row history — this is
+the COMPLETE 183-query schedule; the rotation program ends at r7:
 
 - r1-r3 greens: the reference-surface families (lookup/edge/ingest/
   fuzzy/relationship/recommend/paths) + the r2/r3 analytics batches.
-- r4 greens (rotated back this round): events + streaming availableNow,
-  NL, multimodal, ANN, sketch_profile, pagerank/pagerank_factored, and
-  the heavyweight dedup/textstats/scrub greens.
-- r5 window (THIS round, = the 50 names in ``R5_WINDOW``): the
+- r4 greens: events + streaming availableNow, NL, multimodal, ANN,
+  sketch_profile, pagerank/pagerank_factored, and the heavyweight
+  dedup/textstats/scrub greens.
+- r5 greens (= ``R5_WINDOW``, kept below as the overlap guard): the
   streaming continuous-aggregate family, incremental dedup, the
   classifier/gate family, the OLAP join/subquery families, graph
   analytics (node_similarity/components), events shapes, embedding
-  analytics, BM25/hybrid retrieval, SCD2, hygiene.
-
-r6 window plan (the ~52 still without a driver row after r5 — rotate
-these in, r5 greens out): ``repetition_scores``, ``lsh_neardup``,
-``holdout_split``, ``unigram_logprob``, ``funnel_counts``,
-``retention_cohorts``, ``dedup_segments``, ``stratified_sample``,
-``semantic_dedup``, ``events_quantiles``, ``rolling_daily``,
-``top_parts_per_nation``, ``triangle_counts``, ``ppmi_topk``,
-``pq_search``, ``bpe_train``, ``temperature_sample``,
-``training_order``, ``interval_join``, ``cluster_profile``,
-``cluster_balanced_sample``, ``forecast_revenue``,
-``source_scorecard``, ``token_cms``, ``group_sample``,
-``integrity_check``, ``value_histogram``, ``asof_forward``,
-``user_profile``, ``mix_plan``, ``knn_join``, ``distinct_rollup``,
-``dedup_spans``, ``dedup_snm``, ``pagerank_ppr``,
-``label_propagation``, ``embedding_quantize``, ``dsir_weights``,
-``events_ohlc``, ``table_profile``, ``weighted_distances``,
-``k_anonymity``, ``cdc_apply``, ``basket_affinity``,
-``pareto_revenue``, ``top_supplier``, ``ship_latency``,
-``sequence_match``, ``stream_ohlc``, ``conversion_lag`` (= 50); the two
-overflow rows-only variants ``bpe_encode`` and ``cluster_outliers``
-(pytest-pinned twins of in-window ``bpe_train`` / ``cluster_profile``)
-ride the r7 window or a consolidated slot, along with the r5-late
-additions ``bfs_unbounded``, ``events_hopping``, ``stream_hopping``,
-``temporal_join``, ``stream_enrich``, ``volume_shipping``,
-``market_share``, ``product_profit``, ``user_erasure`` (all
-oracle-backed, in-repo parity from day one).
+  analytics, BM25/hybrid retrieval, SCD2, hygiene. 46/50 hash-green,
+  4 rows-only by documented design.
+- r6 window (THIS round, = the 50 names in ``R6_WINDOW``): every
+  oracle-backed query still without a driver row after r5 —
+  textstats/sampling/OLAP-window tails, graph (ppr/lpa/triangles/
+  bfs_unbounded), the r5-late additions (hopping, temporal_join,
+  stream_enrich, TPC-H Q7/Q8/Q9), CDC, profiling.
+- r7 window (= ``R7_WINDOW_PLAN``, 11 names): the 10 rows-only
+  registrations (RNG bucketing / engine hashing / KMeans placement /
+  float partial sums — each pytest-pinned against an independent
+  implementation) + ``user_erasure``. After r7 every registered query
+  has a driver row and the window becomes a steady-state regression
+  sweep (re-run the 50 most recently CHANGED queries; absent changes,
+  oldest-green-first).
 """
 
 from __future__ import annotations
 
+from graphdb_neo4j_spark.registry import _REGISTRY as _registry_dict
 from graphdb_neo4j_spark.registry import RegisteredQuery
 from graphdb_neo4j_spark.registry import register as _registry_register
 
@@ -810,10 +799,9 @@ register(
 )
 
 # =============================================================================
-# R5 WINDOW — the first 50 names the driver's correctness harness records.
-# Every name here had NO driver row across r1-r4 (in-repo pytest parity
-# only); r1-r4 greens flush after, in source order. Rotate by editing
-# this list (r6 plan in the module docstring).
+# R5 WINDOW — HISTORY (r5's driver window, all 50 recorded in
+# CORRECTNESS_r05: 46 hash-green, 4 rows-only by design). Kept as the
+# no-overlap guard for the r6 window below; not used for flushing.
 # =============================================================================
 
 R5_WINDOW = [
@@ -880,28 +868,18 @@ R5_WINDOW = [
     "domain_stats",
 ]
 
-assert len(R5_WINDOW) == 50, len(R5_WINDOW)
-_missing = [n for n in R5_WINDOW if n not in _PENDING]
-assert not _missing, f"R5_WINDOW names not defined: {_missing}"
-
-for _name in R5_WINDOW:
-    _rq = _PENDING.pop(_name)
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-for _name, _rq in _PENDING.items():
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-_PENDING.clear()
-
 # =============================================================================
-# R6 WINDOW PLAN — staged now so next round's rotation is a two-line swap
-# (set the flush loop to use R6_WINDOW_PLAN). The 50 names below are every
-# oracle-backed query still without a driver row after r5, in family
-# order; the r7 tail is the 10 rows-only variants (lsh_neardup, bpe_train,
-# bpe_encode, cluster_profile, cluster_balanced_sample, cluster_outliers,
-# token_cms, distinct_rollup, weighted_distances, pq_search) plus
-# user_erasure.
+# R6 WINDOW — the first 50 names the driver's correctness harness records
+# THIS round. Every name here had no driver row across r1-r5 (in-repo
+# pytest parity only); prior greens flush after, in source order.
+#
+# The window-contract checks below raise explicitly (not `assert`): they
+# guard a registration-order contract with the driver, and asserts are
+# stripped under `python -O`, which would silently shift the 50-query
+# correctness window.
 # =============================================================================
 
-R6_WINDOW_PLAN = [
+R6_WINDOW = [
     "repetition_scores",
     "holdout_split",
     "unigram_logprob",
@@ -954,5 +932,50 @@ R6_WINDOW_PLAN = [
     "product_profit",
 ]
 
-assert len(R6_WINDOW_PLAN) == 50, len(R6_WINDOW_PLAN)
-assert not set(R6_WINDOW_PLAN) & set(R5_WINDOW), "r6 plan overlaps r5 window"
+if len(R6_WINDOW) != 50:
+    raise RuntimeError(f"R6_WINDOW must name exactly 50 queries, got {len(R6_WINDOW)}")
+if set(R6_WINDOW) & set(R5_WINDOW):
+    raise RuntimeError(f"r6 window overlaps r5: {sorted(set(R6_WINDOW) & set(R5_WINDOW))}")
+_missing = [n for n in R6_WINDOW if n not in _PENDING]
+if _missing:
+    raise RuntimeError(f"R6_WINDOW names not defined: {_missing}")
+
+for _name in R6_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()
+
+# =============================================================================
+# R7 WINDOW PLAN — staged now so next round's rotation is a one-line swap
+# (flush on R7_WINDOW_PLAN; drop the ==50 check, the rotation program
+# ends here). The 11 names below are everything still without a driver
+# row after r6: the 10 rows-only registrations (no SQL oracle by design
+# — RNG bucketing, engine hashing, KMeans placement, float partial sums;
+# each pinned in pytest against an independent implementation, so the
+# driver records a rows-only row) plus user_erasure (oracle-backed).
+# After r7, every one of the 183 registered queries has a driver row.
+# =============================================================================
+
+R7_WINDOW_PLAN = [
+    "lsh_neardup",
+    "pq_search",
+    "bpe_train",
+    "bpe_encode",
+    "cluster_profile",
+    "cluster_balanced_sample",
+    "cluster_outliers",
+    "token_cms",
+    "distinct_rollup",
+    "weighted_distances",
+    "user_erasure",
+]
+
+if len(R7_WINDOW_PLAN) != 11:
+    raise RuntimeError(f"R7_WINDOW_PLAN must name 11 queries, got {len(R7_WINDOW_PLAN)}")
+if set(R7_WINDOW_PLAN) & (set(R6_WINDOW) | set(R5_WINDOW)):
+    raise RuntimeError("r7 plan overlaps an earlier window")
+_undefined = [n for n in R7_WINDOW_PLAN if n not in _registry_dict]
+if _undefined:
+    raise RuntimeError(f"R7_WINDOW_PLAN names not registered: {_undefined}")

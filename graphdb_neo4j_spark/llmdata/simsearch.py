@@ -152,48 +152,154 @@ def ann_bucket_index(emb: DataFrame) -> DataFrame:
     )
 
 
+def _probe_buckets(anchor_emb: "np.ndarray", multiprobe_bits: int) -> list[tuple[int, int]]:
+    """Driver-side probe-key set for one anchor: its bucket in each of the
+    L tables plus all buckets within ``multiprobe_bits`` sign flips.
+    |probes| = L·(1 + b + C(b,2)·[m≥2]) — a few dozen (table, bucket)
+    keys, computed with the same hyperplane draw as :func:`_buckets_udf`."""
+    planes = _hyperplanes()
+    bits = (anchor_emb @ planes.T > 0).reshape(N_TABLES, N_PLANES)
+    base = bits @ (1 << np.arange(N_PLANES))
+    flips = [0]
+    if multiprobe_bits >= 1:
+        flips += [1 << i for i in range(N_PLANES)]
+    if multiprobe_bits >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(N_PLANES)
+            for j in range(i + 1, N_PLANES)
+        ]
+    return [(t, int(base[t]) ^ fl) for t in range(N_TABLES) for fl in flips]
+
+
+# Route to the exact scan when the probe buckets are estimated to hold
+# more than this fraction of the corpus: bucketing the corpus costs about
+# one brute-force pass by itself (both are one matmul-shaped sweep), so
+# the bucketed plan only wins when it prunes hard.
+ANN_FALLBACK_FRACTION = 0.15
+_EST_MODULUS = 53  # deterministic ~2% corpus sample for the estimate
+
+
 def ann_search(
     spark: SparkSession,
     sf_dir: str,
     anchor_id: int = 0,
     k: int = 10,
     multiprobe_bits: int = 1,
+    fallback_fraction: float = ANN_FALLBACK_FRACTION,
 ) -> DataFrame:
-    """ANN top-k: probe the anchor's bucket in EVERY table (plus all
-    buckets within ``multiprobe_bits`` sign flips per table), union the
-    candidates, exact re-rank. The probe set is L·(1 + b + C(b,2)·[m≥2])
-    (table, bucket) keys — a broadcast equi-join against the index, never
-    a full scan. ``multiprobe_bits``: 0 = exact bucket only, 1 = +single
-    sign flips (recall ≈0.9 here), 2 = +pair flips (recall ≈1.0 on this
-    near-orthogonal corpus at ~2× candidates — the knob to turn when a
-    query needs guarantees)."""
-    index = ann_bucket_index(widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), min_bytes=_LINEAR_MIN_BYTES))
-    anchor = index.filter(F.col("vec_id") == anchor_id).select(
-        F.col("embedding").alias("anchor_emb"), "table_idx", "bucket"
+    """ANN top-k with an adaptive exact-scan guard.
+
+    Plan (r6 rewrite — the r5 form carried the d=64 embedding through an
+    8-way posexplode and a probe join, an 8× inflation, and had no guard
+    against the hostile-corpus regime where LSH cannot prune):
+
+    1. Point-lookup the anchor embedding (PushedFilters, 1 row) and
+       compute its L probe buckets DRIVER-SIDE with the same seeded
+       hyperplane draw — the probe set becomes literal (table, bucket)
+       keys, so the index side is FILTERED, not joined. On a persisted
+       index partitioned by (table_idx, bucket) these literals are
+       partition-pruning predicates — zero-scan probes at rest.
+    2. Estimate the candidate fraction on a deterministic ~2% sample
+       (``vec_id % 53``): bucket the sample, count collisions with the
+       probe set. One narrow aggregate over N/53 rows.
+    3. Route: estimated fraction ≥ ``fallback_fraction`` → exact
+       brute-force top-k (the LSH sweep would cost a full matmul pass
+       AND still re-rank most of the corpus — strictly worse). Below it →
+       bucketed probe over a NARROW (vec_id, table, bucket) index,
+       distinct candidate ids, then one embedding fetch + exact re-rank.
+
+    This fixture's top-10 neighbours sit at θ ≈ 55–70° (near-random — the
+    provably hard regime for hyperplane LSH), so the estimate reads ~60%
+    and the guard routes to the exact scan; a clustered corpus estimates
+    <5% and takes the bucketed path. Recall floor (≥0.9) is pytest-pinned
+    for BOTH routes; the routing itself is pinned by
+    ``tests/test_simsearch.py``.
+
+    ``multiprobe_bits``: 0 = exact bucket only, 1 = +single sign flips
+    (recall ≈0.9 here), 2 = +pair flips (recall ≈1.0 on this corpus at
+    ~2× candidates)."""
+    emb = widen_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        min_bytes=_LINEAR_MIN_BYTES,
     )
-    flips = []
-    if multiprobe_bits >= 1:
-        flips += [F.lit(1 << i) for i in range(N_PLANES)]
-    if multiprobe_bits >= 2:
-        flips += [
-            F.lit((1 << i) | (1 << j))
-            for i in range(N_PLANES)
-            for j in range(i + 1, N_PLANES)
-        ]
-    probe_buckets = F.array(
-        F.col("bucket"), *(F.col("bucket").bitwiseXOR(fl) for fl in flips)
+    anchor_rows = (
+        emb.filter(F.col("vec_id") == anchor_id).select("embedding").collect()
     )
-    probes = anchor.select(
-        "anchor_emb", "table_idx", F.explode(probe_buckets).alias("bucket")
+    anchor_np = np.asarray(anchor_rows[0][0], dtype="float64")
+    probes = _probe_buckets(anchor_np, multiprobe_bits)
+
+    rest = emb.filter(F.col("vec_id") != anchor_id)
+    exact = rest.select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("embedding"), F.array(*[F.lit(float(v)) for v in anchor_np])),
+            4,
+        ).alias("cosine"),
+    ).orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+    # literal probe predicate over the exploded (table_idx, bucket) index:
+    # per-table IN-lists, OR'd — partition-pruning predicates on an index
+    # stored partitioned by (table_idx, bucket)
+    by_table: dict[int, list[int]] = {}
+    for t, b in probes:
+        by_table.setdefault(t, []).append(b)
+
+    def probe_pred(table_col: F.Column, bucket_col: F.Column) -> F.Column:
+        pred = F.lit(False)
+        for t, bs in by_table.items():
+            pred = pred | ((table_col == t) & bucket_col.isin(sorted(set(bs))))
+        return pred
+
+    # ---- candidate-fraction estimate ----
+    # BOUNDED sample to the driver (deterministic modulus filter + limit →
+    # CollectLimit early-stops the scan; ≤2000 rows regardless of N), then
+    # the collision fraction is one numpy matmul driver-side — the same
+    # hyperplane draw the UDF uses. This is planner work, not data
+    # movement: the decision needs ~1k Bernoulli samples, not the corpus.
+    sample_rows = (
+        rest.filter(F.col("vec_id") % _EST_MODULUS == 0)
+        .select("embedding")
+        .limit(2000)
+        .collect()
     )
+    if sample_rows:
+        mat = np.asarray([r[0] for r in sample_rows], dtype="float64")
+        bits = (mat @ _hyperplanes().T > 0).reshape(len(mat), N_TABLES, N_PLANES)
+        vals = bits @ (1 << np.arange(N_PLANES))  # (n, L)
+        probe_sets = [set(by_table.get(t, ())) for t in range(N_TABLES)]
+        hits = sum(
+            1
+            for row in vals
+            if any(int(row[t]) in probe_sets[t] for t in range(N_TABLES))
+        )
+        frac = hits / len(mat)
+    else:
+        frac = 1.0  # empty sample: be conservative, take the exact scan
+    if frac >= fallback_fraction:
+        return exact
+
+    # ---- bucketed path: narrow index, literal probe filter ----
+    index = rest.select(
+        "vec_id",
+        F.posexplode(_buckets_udf(F.col("embedding"))).alias("table_idx", "bucket"),
+    )
+    cand = index.filter(
+        probe_pred(F.col("table_idx"), F.col("bucket"))
+    ).select("vec_id").distinct()
     return (
-        index.filter(F.col("vec_id") != anchor_id)
-        .join(F.broadcast(probes), ["table_idx", "bucket"])
-        .dropDuplicates(["vec_id"])  # a candidate may collide in >1 table
+        rest.join(cand, "vec_id")
         .select(
             "vec_id",
             "label",
-            F.round(_dot(F.col("embedding"), F.col("anchor_emb")), 4).alias("cosine"),
+            F.round(
+                _dot(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v)) for v in anchor_np]),
+                ),
+                4,
+            ).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(k)

@@ -167,6 +167,29 @@ def pagerank(
     return ranks
 
 
+def _clique_attrs_nullsafe(nodes: DataFrame, attrs: tuple[str, str]) -> DataFrame:
+    """NULL/'' attribute values form NO clique edges — the contract of
+    ``derive_attribute_edges`` and every DuckDB oracle here
+    (``IS NOT NULL AND <> ''``). The factored forms compute over group
+    equi-joins, where a NULL key silently DROPS the node and '' is a
+    real group; map both to a per-node unique sentinel so the node
+    survives as a singleton clique: n_attr = 1 → zero degree
+    contribution, zero received mass from that attribute — exactly the
+    edge-walk semantics for any node source (the shipped fixture has no
+    NULL/'' attrs; this guards the general API)."""
+    out = nodes
+    for attr in attrs:
+        col = F.col(attr)
+        out = out.withColumn(
+            attr,
+            F.when(
+                col.isNull() | (col == ""),
+                F.concat(F.lit("\x00singleton:"), F.col("id").cast("string")),
+            ).otherwise(col),
+        )
+    return out
+
+
 def pagerank_clique_factored(
     nodes: DataFrame,
     attrs: tuple[str, str] = ("college", "board"),
@@ -192,7 +215,11 @@ def pagerank_clique_factored(
     exact agreement with the edge-materializing :func:`pagerank`.
     """
     a, b = attrs
-    base = nodes.select("id", a, b).localCheckpoint(eager=False)
+    base = (
+        _clique_attrs_nullsafe(nodes, attrs)
+        .select("id", a, b)
+        .localCheckpoint(eager=False)
+    )
     na = base.groupBy(a).agg(F.count("*").alias("n_a"))
     nb = base.groupBy(b).agg(F.count("*").alias("n_b"))
     nab = base.groupBy(a, b).agg(F.count("*").alias("n_ab"))
@@ -209,7 +236,12 @@ def pagerank_clique_factored(
     ranks = deg.select("id", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
         contrib = deg.join(ranks, "id").withColumn(
-            "c", F.col("rank") / F.col("deg")
+            # deg 0 = isolated node (singleton in BOTH groups): pushes
+            # nothing — and guards the ANSI divide-by-zero
+            "c",
+            F.when(F.col("deg") > 0, F.col("rank") / F.col("deg")).otherwise(
+                F.lit(0.0)
+            ),
         )
         sa = contrib.groupBy(a).agg(F.sum("c").alias("s_a"))
         sb = contrib.groupBy(b).agg(F.sum("c").alias("s_b"))
@@ -379,14 +411,18 @@ def pagerank_ppr_clique_factored(
     :func:`pagerank_personalized` on the same graph."""
     a, b = attrs
     share = 1.0 / len(seed_ids)
-    base = nodes.select(
-        "id",
-        a,
-        b,
-        F.when(F.col("id").isin(seed_ids), F.lit(share))
-        .otherwise(F.lit(0.0))
-        .alias("e"),
-    ).localCheckpoint(eager=False)
+    base = (
+        _clique_attrs_nullsafe(nodes, attrs)
+        .select(
+            "id",
+            a,
+            b,
+            F.when(F.col("id").isin(seed_ids), F.lit(share))
+            .otherwise(F.lit(0.0))
+            .alias("e"),
+        )
+        .localCheckpoint(eager=False)
+    )
     na = base.groupBy(a).agg(F.count("*").alias("n_a"))
     nb = base.groupBy(b).agg(F.count("*").alias("n_b"))
     nab = base.groupBy(a, b).agg(F.count("*").alias("n_ab"))
@@ -579,7 +615,11 @@ def label_propagation_clique_factored(
     from pyspark.sql.window import Window
 
     a, b = attrs
-    base = nodes.select("id", a, b).localCheckpoint(eager=False)
+    base = (
+        _clique_attrs_nullsafe(nodes, attrs)
+        .select("id", a, b)
+        .localCheckpoint(eager=False)
+    )
     pairs = base.select(a, b).distinct().localCheckpoint(eager=False)
     labels = base.withColumn("label", F.col("id"))
     for _ in range(iterations):

@@ -197,7 +197,16 @@ def ingest_students(
     # back to a k-row literal: ONE max-id job, zero lineage, no
     # checkpoint barrier.
     allocated = allocate_ids(nodes, normalize_batch(new_raw))
-    batch = spark.createDataFrame(allocated.collect(), allocated.schema)
+    # Driver round-trip is bounded: onboarding batches are interactive
+    # k-row inserts (the reference's POST /students shape). Above the
+    # ceiling, keep the rows on the executors — localCheckpoint gives the
+    # same lineage cut without pulling the batch through the driver.
+    _ROUNDTRIP_CEILING = 100_000
+    head = allocated.limit(_ROUNDTRIP_CEILING + 1).collect()
+    if len(head) <= _ROUNDTRIP_CEILING:
+        batch = spark.createDataFrame(head, allocated.schema)
+    else:
+        batch = allocated.localCheckpoint(eager=True)
     nodes_after = nodes.unionByName(batch.drop("interests"))
     new_edges = derive_edges_for_batch(
         nodes, customer_interest_pairs_raw(spark, sf_dir), batch

@@ -284,10 +284,13 @@ def user_counts_tws_stream(events: DataFrame) -> DataFrame:
 # watermark collapse to the two scalars (future lefts are younger than
 # the watermark by definition — Spark drops older rows before the
 # kernel), so state stays bounded by arrival rate × watermark depth,
-# never stream length. Residual (documented): left rows are enriched ON
-# ARRIVAL and appended; a late right cannot retro-correct lefts emitted
-# in EARLIER batches (that needs update-mode emission at watermark —
-# the batch operator is the replay/repair path).
+# never stream length. Within a micro-batch the kernel drains all Arrow
+# chunks of the group BEFORE enriching (group rows arrive across chunks
+# in no time order — r6 fix; per-chunk enrichment missed rights in later
+# chunks of the same batch). Residual (documented): left rows are
+# enriched AT BATCH END and appended; a late right cannot retro-correct
+# lefts emitted in EARLIER batches (that needs update-mode emission at
+# watermark — the batch operator is the replay/repair path).
 #
 # events_cube has NO streaming twin by design: CUBE is a multi-grouping-set
 # COMPLETE aggregation (every output row, including the grand total, keeps
@@ -319,12 +322,18 @@ def _make_asof_fn(left_type: str):
         batches: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        """Per-user as-of state machine, vectorized per Arrow batch:
-        merge the batch's right-side event times into the buffered
-        (sorted) right timeline, binary-search each left's at-or-before
-        position (``side='right'`` = the batch operator's right-wins-tie
-        rule), emit enriched left rows, then collapse rights at-or-before
-        the watermark into the (latest, count) scalars."""
+        """Per-user as-of state machine: drain EVERY Arrow chunk of the
+        group first (a micro-batch's group rows are split across chunks
+        in no time order, so a right in a later chunk must be visible to
+        lefts in an earlier one — enriching chunk-by-chunk broke
+        batch-equivalence exactly at the chunk boundary), merging right
+        event times into the buffered (sorted) timeline and buffering
+        the lefts; then binary-search each left's at-or-before position
+        (``side='right'`` = the batch operator's right-wins-tie rule) in
+        ONE vectorized pass and emit, then collapse rights at-or-before
+        the watermark into the (latest, count) scalars. Buffered lefts
+        are this group's rows for this micro-batch — bounded by the
+        batch, not the stream."""
         import numpy as np
 
         if state.exists:
@@ -336,39 +345,50 @@ def _make_asof_fn(left_type: str):
                 None,
                 0,
             )
+        left_ids: list[np.ndarray] = []
+        left_uss: list[np.ndarray] = []
+        new_rights: list[np.ndarray] = []
         for pdf in batches:
-            pdf = pdf.copy()
             is_r = pdf["event_type"] != left_type
             # datetime64[ns] and datetime64[us] inputs both land on epoch-us
             us = pdf["ts"].astype("datetime64[us]").astype("int64")
-            batch_rights = np.sort(us[is_r].to_numpy(dtype="int64"))
+            batch_rights = us[is_r].to_numpy(dtype="int64")
             if len(batch_rights):
-                rights = np.sort(np.concatenate([rights, batch_rights]))
+                new_rights.append(batch_rights)
             left = ~is_r
-            left_us = us[left].to_numpy(dtype="int64")
-            # rights at-or-before each left (equal ts counts: '>=' match)
-            idx = np.searchsorted(rights, left_us, side="right")
-            in_buf = idx > 0
-            vals = np.zeros(len(idx), dtype="int64")
-            vals[in_buf] = rights[idx[in_buf] - 1]
-            if evicted_latest is None:
-                prior_us = pd.array(vals, dtype="Int64")
-                prior_us[~in_buf] = pd.NA
-            else:
-                vals[~in_buf] = evicted_latest
-                prior_us = pd.array(vals, dtype="Int64")
-            prior_ms = prior_us // 1000  # NA propagates: no right yet
-            ts_ms = left_us // 1000
-            yield pd.DataFrame(
-                {
-                    "event_id": pdf.loc[left, "event_id"].to_numpy(),
-                    "user_id": key[0],
-                    "ts_ms": ts_ms,
-                    "prior_ts_ms": prior_ms,
-                    "lag_ms": ts_ms - prior_ms,
-                    "n_prior": n_evicted + idx,
-                }
-            )
+            left_ids.append(pdf.loc[left, "event_id"].to_numpy())
+            left_uss.append(us[left].to_numpy(dtype="int64"))
+        if new_rights:
+            rights = np.sort(np.concatenate([rights, *new_rights]))
+        left_id = (
+            np.concatenate(left_ids) if left_ids else np.empty(0, dtype="int64")
+        )
+        left_us = (
+            np.concatenate(left_uss) if left_uss else np.empty(0, dtype="int64")
+        )
+        # rights at-or-before each left (equal ts counts: '>=' match)
+        idx = np.searchsorted(rights, left_us, side="right")
+        in_buf = idx > 0
+        vals = np.zeros(len(idx), dtype="int64")
+        vals[in_buf] = rights[idx[in_buf] - 1]
+        if evicted_latest is None:
+            prior_us = pd.array(vals, dtype="Int64")
+            prior_us[~in_buf] = pd.NA
+        else:
+            vals[~in_buf] = evicted_latest
+            prior_us = pd.array(vals, dtype="Int64")
+        prior_ms = prior_us // 1000  # NA propagates: no right yet
+        ts_ms = left_us // 1000
+        yield pd.DataFrame(
+            {
+                "event_id": left_id,
+                "user_id": key[0],
+                "ts_ms": ts_ms,
+                "prior_ts_ms": prior_ms,
+                "lag_ms": ts_ms - prior_ms,
+                "n_prior": n_evicted + idx,
+            }
+        )
         # rights at-or-before the watermark can never change again for
         # future lefts (Spark drops rows older than the watermark before
         # the kernel): fold them into two scalars, keep the rest buffered

@@ -406,3 +406,67 @@ def test_lpa_matches_python_reference(spark):
     }
     assert got == {i: want[i] for i in range(n)}
     assert got[7] == 7  # isolated keeps its own label
+
+
+def test_factored_forms_handle_null_and_empty_attrs(spark):
+    """NULL/'' attributes form no clique edges (derive_attribute_edges and
+    every oracle filter them out). The factored forms must agree with the
+    edge walk on a node set containing NULL colleges, '' boards, and one
+    node that is NULL/'' in BOTH (fully isolated) — previously the group
+    equi-joins dropped NULL-attr nodes and treated '' as a real clique."""
+    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
+
+    rows = [
+        (1, "mit", "cbse"),
+        (2, "mit", None),
+        (3, None, "cbse"),
+        (4, "", "icse"),
+        (5, "mit", "icse"),
+        (6, None, ""),  # isolated: no edges at all
+        (7, "", ""),  # isolated: '' is not a clique
+    ]
+    nodes = spark.createDataFrame(rows, "id long, college string, board string")
+    edges = derive_attribute_edges(nodes, "college", "SAME_COLLEGE").unionByName(
+        derive_attribute_edges(nodes, "board", "SAME_BOARD")
+    ).select("src", "dst")
+
+    walk_pr = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank(nodes, edges, iterations=5).collect()
+    }
+    fac_pr = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank_clique_factored(nodes, iterations=5).collect()
+    }
+    assert set(walk_pr) == set(fac_pr)
+    for i in walk_pr:
+        assert fac_pr[i] == pytest.approx(walk_pr[i], abs=1e-12), i
+
+    walk_ppr = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank_personalized(
+            nodes, edges, [1], iterations=5
+        ).collect()
+    }
+    fac_ppr = {
+        r["id"]: r["rank"]
+        for r in graphalgo.pagerank_ppr_clique_factored(
+            nodes, [1], iterations=5
+        ).collect()
+    }
+    assert set(walk_ppr) == set(fac_ppr)
+    for i in walk_ppr:
+        assert fac_ppr[i] == pytest.approx(walk_ppr[i], abs=1e-12), i
+
+    walk_lpa = {
+        r["id"]: r["label"]
+        for r in graphalgo.label_propagation(nodes, edges, iterations=4).collect()
+    }
+    fac_lpa = {
+        r["id"]: r["label"]
+        for r in graphalgo.label_propagation_clique_factored(
+            nodes, iterations=4
+        ).collect()
+    }
+    assert walk_lpa == fac_lpa
+    assert fac_lpa[6] == 6 and fac_lpa[7] == 7  # isolated keep their own label

@@ -76,21 +76,51 @@ def test_dedup_exact_flags_duplicates(spark):
 
 
 def test_ann_recall_vs_bruteforce(spark, sf_dir):
-    # documented parameters (b=6, L=8, 1-bit multiprobe): recall >= 0.9
+    # adaptive default: recall >= 0.9 regardless of which route fires
+    # (this near-orthogonal fixture routes to the exact scan → 1.0)
     exact = [r.vec_id for r in simsearch.q_knn_anchor(spark, sf_dir, 0, 10).collect()]
     approx = [r.vec_id for r in simsearch.ann_search(spark, sf_dir, 0, 10).collect()]
     recall = len(set(exact) & set(approx)) / len(exact)
     assert recall >= 0.9, f"ANN recall {recall} below 0.9"
 
 
+def test_ann_bucketed_route_recall(spark, sf_dir):
+    # the LSH route's own contract (b=6, L=8, 1-bit multiprobe): recall
+    # >= 0.9 even when forced on the hostile fixture (fallback disabled)
+    exact = [r.vec_id for r in simsearch.q_knn_anchor(spark, sf_dir, 0, 10).collect()]
+    approx = [
+        r.vec_id
+        for r in simsearch.ann_search(
+            spark, sf_dir, 0, 10, fallback_fraction=2.0
+        ).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.9, f"ANN bucketed-route recall {recall} below 0.9"
+
+
+def test_ann_adaptive_routing(spark, sf_dir):
+    """The routing pin: on this fixture (θ≈55-70° neighbours, LSH touches
+    ~60% of the corpus) the estimate must exceed the fallback threshold
+    and the adaptive plan must be the exact single-scan form — no
+    bucketing UDF (ArrowEvalPython) and no join in the plan. Forcing the
+    bucketed route must show the Arrow bucketing stage."""
+    adaptive = simsearch.ann_search(spark, sf_dir, 0, 10)
+    p = adaptive._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in p, "adaptive route unexpectedly bucketed"
+    forced = simsearch.ann_search(spark, sf_dir, 0, 10, fallback_fraction=2.0)
+    pf = forced._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in pf, "forced bucketed route missing bucketing stage"
+
+
 def test_ann_two_bit_multiprobe_rescues_hard_anchor(spark, sf_dir):
     # anchor 42 is the measured worst case at 1-bit multiprobe (0.7);
-    # pair-flip probing must bring it to >= 0.9 (measured 1.0)
+    # pair-flip probing must bring it to >= 0.9 (measured 1.0).
+    # fallback disabled: this pins the BUCKETED route's multiprobe knob.
     exact = [r.vec_id for r in simsearch.q_knn_anchor(spark, sf_dir, 42, 10).collect()]
     approx = [
         r.vec_id
         for r in simsearch.ann_search(
-            spark, sf_dir, 42, 10, multiprobe_bits=2
+            spark, sf_dir, 42, 10, multiprobe_bits=2, fallback_fraction=2.0
         ).collect()
     ]
     recall = len(set(exact) & set(approx)) / len(exact)
@@ -133,7 +163,9 @@ def test_persisted_ann_index_prunes_partitions(spark, sf_dir, tmp_path):
     simsearch.write_ann_index(emb, path)
     anchor = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     probed = simsearch.probe_ann_index(spark, path, list(anchor), anchor_id=0)
-    in_mem = simsearch.ann_search(spark, sf_dir, 0, 10)
+    # compare against the bucketed route (fallback disabled): the at-rest
+    # probe IS the bucketed plan, just against parquet partitions
+    in_mem = simsearch.ann_search(spark, sf_dir, 0, 10, fallback_fraction=2.0)
     assert (
         [(r.vec_id, r.cosine) for r in probed.collect()]
         == [(r.vec_id, r.cosine) for r in in_mem.collect()]

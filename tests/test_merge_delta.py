@@ -1,7 +1,13 @@
 """Gated twin for the Delta MERGE INTO upgrade (SURVEY.md §7.4-H1):
-skips when delta-spark is absent (this container), runs the full
-transactional-idempotency contract where it is installed — the same
-discipline as the protobuf-gated transformWithState twin."""
+skips when delta-spark is absent, runs the full transactional-idempotency
+contract where it is installed — the same discipline as the
+protobuf-gated transformWithState twin.
+
+Skip status: PERMANENT in this container (r6 check: ``import delta``
+fails, package installation is out of scope for the sandbox). The
+left-anti+union MERGE in operators/edges.py is the oracle-checked
+primary path; this twin exists for Delta-equipped deployments and its
+logic is exercised only there."""
 
 import pytest
 

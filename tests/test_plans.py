@@ -51,11 +51,13 @@ def test_edge_derivation_has_no_cartesian_product(plan):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
-def test_ann_probe_is_equi_join_not_full_scan(plan):
+def test_ann_adaptive_plan_has_no_cartesian(plan):
+    # adaptive ann_search: on this fixture the guard routes to the exact
+    # single-scan top-k — anchor inlined as literals, so there is no join
+    # of any kind; top-k plans as TakeOrderedAndProject
     p = plan("ann_search")
     assert "CartesianProduct" not in p
-    # candidate retrieval joins on (table_idx, bucket) with broadcast probes
-    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
 
 
 def test_contamination_broadcasts_benchmark(plan):

@@ -237,6 +237,57 @@ def test_asof_state_handles_late_right_across_batches(spark):
     assert out1[2] == (10 * ms, 1) and batch[2] == (10 * ms, 2)
 
 
+def test_asof_kernel_sees_rights_in_later_arrow_chunks():
+    """Group rows arrive across Arrow CHUNKS of one micro-batch in no
+    time order: a right in a LATER chunk must be visible to lefts in an
+    EARLIER chunk (r6 fix — per-chunk enrichment missed it, so
+    batch-equivalence held only while a group fit one Arrow batch)."""
+    import pandas as pd
+
+    from graphdb_neo4j_spark.streaming.events_stream import _make_asof_fn
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+    fn = _make_asof_fn("click")
+    H = 3600 * 10**9  # ns
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": 1,
+                "ts": [pd.Timestamp(r[2] * H) for r in rows],
+                "event_type": [r[1] for r in rows],
+            }
+        )
+
+    # chunk 1 carries the lefts, chunk 2 the earlier-in-time right
+    chunks = [
+        chunk([(1, "click", 10.5), (2, "click", 11)]),
+        chunk([(3, "purchase", 10)]),
+    ]
+    state = FakeState()
+    out = pd.concat(list(fn((1,), iter(chunks), state)))
+    got = {
+        int(r.event_id): (
+            None if pd.isna(r.prior_ts_ms) else int(r.prior_ts_ms),
+            int(r.n_prior),
+        )
+        for r in out.itertuples()
+    }
+    ms = 3600 * 1000
+    assert got == {1: (10 * ms, 1), 2: (10 * ms, 1)}
+
+
 def test_stream_funnel_repairs_out_of_order_stage1(spark):
     """A late stage-1 event that moves the funnel window must both ENABLE
     stages it newly reaches and INVALIDATE stages it no longer covers —
