@@ -764,6 +764,7 @@ register(
     "bfs_unbounded",
     lambda spark, sf: paths.q_bfs_unbounded(spark, sf),
     paths.bfs_unbounded_sql(),  # recursive-CTE fixpoint mirror
+    bench=True,  # r6: clique-factored walk — the iterative-graph bench point
 )
 register("events_hopping", events.q_events_hopping, events.EVENTS_HOPPING_SQL)
 register(
@@ -771,26 +772,32 @@ register(
     events_stream.q_stream_hopping,
     events.EVENTS_HOPPING_SQL,  # availableNow must equal the batch windows
 )
-register("temporal_join", scd.q_temporal_join, scd.TEMPORAL_JOIN_SQL)
+register(
+    "temporal_join", scd.q_temporal_join, scd.TEMPORAL_JOIN_SQL, bench=True
+)  # r6: SCD2 window-build bench point
 register(
     "stream_enrich",
     events_stream.q_stream_enrich,
     events_stream.STREAM_ENRICH_SQL,  # stream-static join ≡ the batch join
+    bench=True,  # r6: the stream-static join bench point
 )
 register(
     "volume_shipping",
     lambda spark, sf: olap.q_volume_shipping(spark, sf),
     olap.volume_shipping_sql(),  # TPC-H Q7 shape
+    bench=True,  # r6: the TPC-H join-cascade bench points
 )
 register(
     "market_share",
     lambda spark, sf: olap.q_market_share(spark, sf),
     olap.market_share_sql(),  # TPC-H Q8 shape
+    bench=True,
 )
 register(
     "product_profit",
     lambda spark, sf: olap.q_product_profit(spark, sf),
     olap.product_profit_sql(),  # TPC-H Q9 shape (p_retailprice as unit cost)
+    bench=True,
 )
 register(
     "user_erasure",

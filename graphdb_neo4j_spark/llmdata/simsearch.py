@@ -152,24 +152,31 @@ def ann_bucket_index(emb: DataFrame) -> DataFrame:
     )
 
 
-def _probe_buckets(anchor_emb: "np.ndarray", multiprobe_bits: int) -> list[tuple[int, int]]:
+def _probe_buckets(
+    anchor_emb: "np.ndarray",
+    multiprobe_bits: int,
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
+) -> list[tuple[int, int]]:
     """Driver-side probe-key set for one anchor: its bucket in each of the
     L tables plus all buckets within ``multiprobe_bits`` sign flips.
     |probes| = L·(1 + b + C(b,2)·[m≥2]) — a few dozen (table, bucket)
-    keys, computed with the same hyperplane draw as :func:`_buckets_udf`."""
-    planes = _hyperplanes()
-    bits = (anchor_emb @ planes.T > 0).reshape(N_TABLES, N_PLANES)
-    base = bits @ (1 << np.arange(N_PLANES))
+    keys, computed with the same hyperplane draw as the bucketing UDF."""
+    planes = np.random.default_rng(_SEED).standard_normal(
+        (n_tables * n_planes, DIM)
+    )
+    bits = (anchor_emb @ planes.T > 0).reshape(n_tables, n_planes)
+    base = bits @ (1 << np.arange(n_planes))
     flips = [0]
     if multiprobe_bits >= 1:
-        flips += [1 << i for i in range(N_PLANES)]
+        flips += [1 << i for i in range(n_planes)]
     if multiprobe_bits >= 2:
         flips += [
             (1 << i) | (1 << j)
-            for i in range(N_PLANES)
-            for j in range(i + 1, N_PLANES)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
         ]
-    return [(t, int(base[t]) ^ fl) for t in range(N_TABLES) for fl in flips]
+    return [(t, int(base[t]) ^ fl) for t in range(n_tables) for fl in flips]
 
 
 # Route to the exact scan when the probe buckets are estimated to hold
@@ -177,7 +184,14 @@ def _probe_buckets(anchor_emb: "np.ndarray", multiprobe_bits: int) -> list[tuple
 # one brute-force pass by itself (both are one matmul-shaped sweep), so
 # the bucketed plan only wins when it prunes hard.
 ANN_FALLBACK_FRACTION = 0.15
+ANN_RECALL_TARGET = 0.9
 _EST_MODULUS = 53  # deterministic ~2% corpus sample for the estimate
+# (planes, tables) ladder the planner chooses from: more planes = sharper
+# AND-amplification. b=6 keeps recall on near-orthogonal neighbours but
+# its random collision rate under 1-bit multiprobe is already ~60%
+# across 8 tables (7/64 per table) — it can never prune; b=14 prunes to
+# ~0.1% random collisions but only holds recall on clustered corpora.
+ANN_CONFIG_LADDER: tuple[tuple[int, int], ...] = ((6, 8), (10, 8), (14, 8))
 
 
 def ann_search(
@@ -187,38 +201,51 @@ def ann_search(
     k: int = 10,
     multiprobe_bits: int = 1,
     fallback_fraction: float = ANN_FALLBACK_FRACTION,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
 ) -> DataFrame:
-    """ANN top-k with an adaptive exact-scan guard.
-
-    Plan (r6 rewrite — the r5 form carried the d=64 embedding through an
-    8-way posexplode and a probe join, an 8× inflation, and had no guard
-    against the hostile-corpus regime where LSH cannot prune):
+    """ANN top-k with an adaptive planner (r6 rewrite — the r5 form
+    carried the d=64 embedding through an 8-way posexplode and a probe
+    join, an 8× inflation, and had no guard against the regime where LSH
+    cannot prune).
 
     1. Point-lookup the anchor embedding (PushedFilters, 1 row) and
-       compute its L probe buckets DRIVER-SIDE with the same seeded
+       compute its probe buckets DRIVER-SIDE with the same seeded
        hyperplane draw — the probe set becomes literal (table, bucket)
        keys, so the index side is FILTERED, not joined. On a persisted
        index partitioned by (table_idx, bucket) these literals are
        partition-pruning predicates — zero-scan probes at rest.
-    2. Estimate the candidate fraction on a deterministic ~2% sample
-       (``vec_id % 53``): bucket the sample, count collisions with the
-       probe set. One narrow aggregate over N/53 rows.
-    3. Route: estimated fraction ≥ ``fallback_fraction`` → exact
-       brute-force top-k (the LSH sweep would cost a full matmul pass
-       AND still re-rank most of the corpus — strictly worse). Below it →
+    2. PLAN from a bounded sample (deterministic ``vec_id % 53`` +
+       ``limit`` → CollectLimit early-stops the scan; ≤2000 rows to the
+       driver regardless of N — planner work, not data movement). For
+       each (planes, tables) point on ``ANN_CONFIG_LADDER``, one numpy
+       matmul estimates BOTH the candidate fraction (sample collision
+       rate with the anchor's probes) and the recall (collision rate of
+       the sample's own top-k by cosine — the neighbours we can see).
+       Choose the cheapest config whose estimated recall ≥ 0.9 (else the
+       max-recall config).
+    3. ROUTE: chosen fraction ≥ ``fallback_fraction`` → exact
+       brute-force top-k (bucketing costs a full matmul pass and would
+       still re-rank most of the corpus — strictly worse). Below it →
        bucketed probe over a NARROW (vec_id, table, bucket) index,
        distinct candidate ids, then one embedding fetch + exact re-rank.
 
-    This fixture's top-10 neighbours sit at θ ≈ 55–70° (near-random — the
-    provably hard regime for hyperplane LSH), so the estimate reads ~60%
-    and the guard routes to the exact scan; a clustered corpus estimates
-    <5% and takes the bucketed path. Recall floor (≥0.9) is pytest-pinned
-    for BOTH routes; the routing itself is pinned by
-    ``tests/test_simsearch.py``.
+    Why a ladder and not one config: at b=6 planes the RANDOM collision
+    rate under 1-bit multiprobe is 7/64 per table — ~60% of ANY corpus
+    across 8 tables, so that config can never prune (it exists because
+    near-orthogonal neighbours, θ ≈ 55–70° as in this fixture, lose
+    recall at highr b). A clustered corpus keeps recall at b=14 where
+    random collisions are ~0.1% — the planner measures both effects on
+    the sample instead of assuming either corpus. This fixture →
+    every config fails recall except (6,8) → fraction ~60% → exact
+    route (0.53 s vs the drifting 1.9–2.7 s r5 readings); a 20-cluster
+    synthetic corpus → (14,8) at ~5% → bucketed route (pytest-pinned
+    both ways, plus recall floors ≥ 0.9 on each route).
 
-    ``multiprobe_bits``: 0 = exact bucket only, 1 = +single sign flips
-    (recall ≈0.9 here), 2 = +pair flips (recall ≈1.0 on this corpus at
-    ~2× candidates)."""
+    ``multiprobe_bits``: 0 = exact bucket only, 1 = +single sign flips,
+    2 = +pair flips (the recall knob when a query needs guarantees).
+    ``n_planes``/``n_tables``: pin the config explicitly (skips the
+    ladder; used by the persisted-index twin, which stores b=6/L=8)."""
     emb = widen_scan(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         min_bytes=_LINEAR_MIN_BYTES,
@@ -227,7 +254,6 @@ def ann_search(
         emb.filter(F.col("vec_id") == anchor_id).select("embedding").collect()
     )
     anchor_np = np.asarray(anchor_rows[0][0], dtype="float64")
-    probes = _probe_buckets(anchor_np, multiprobe_bits)
 
     rest = emb.filter(F.col("vec_id") != anchor_id)
     exact = rest.select(
@@ -239,55 +265,75 @@ def ann_search(
         ).alias("cosine"),
     ).orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
-    # literal probe predicate over the exploded (table_idx, bucket) index:
-    # per-table IN-lists, OR'd — partition-pruning predicates on an index
-    # stored partitioned by (table_idx, bucket)
-    by_table: dict[int, list[int]] = {}
-    for t, b in probes:
-        by_table.setdefault(t, []).append(b)
-
-    def probe_pred(table_col: F.Column, bucket_col: F.Column) -> F.Column:
-        pred = F.lit(False)
-        for t, bs in by_table.items():
-            pred = pred | ((table_col == t) & bucket_col.isin(sorted(set(bs))))
-        return pred
-
-    # ---- candidate-fraction estimate ----
-    # BOUNDED sample to the driver (deterministic modulus filter + limit →
-    # CollectLimit early-stops the scan; ≤2000 rows regardless of N), then
-    # the collision fraction is one numpy matmul driver-side — the same
-    # hyperplane draw the UDF uses. This is planner work, not data
-    # movement: the decision needs ~1k Bernoulli samples, not the corpus.
+    # ---- plan from a bounded sample ----
     sample_rows = (
         rest.filter(F.col("vec_id") % _EST_MODULUS == 0)
         .select("embedding")
         .limit(2000)
         .collect()
     )
-    if sample_rows:
-        mat = np.asarray([r[0] for r in sample_rows], dtype="float64")
-        bits = (mat @ _hyperplanes().T > 0).reshape(len(mat), N_TABLES, N_PLANES)
-        vals = bits @ (1 << np.arange(N_PLANES))  # (n, L)
-        probe_sets = [set(by_table.get(t, ())) for t in range(N_TABLES)]
-        hits = sum(
-            1
-            for row in vals
-            if any(int(row[t]) in probe_sets[t] for t in range(N_TABLES))
-        )
-        frac = hits / len(mat)
+    if not sample_rows:
+        return exact  # empty sample: be conservative, take the exact scan
+    mat = np.asarray([r[0] for r in sample_rows], dtype="float64")
+    # Analytic hit model per sampled vector: for hyperplane LSH at angle
+    # θ to the anchor, per-plane agreement p = 1 − θ/π, per-table hit
+    # q(b) = p^b (+ multiprobe terms), any-table hit = 1 − (1−q)^L — the
+    # formula in the module header, evaluated on MEASURED angles instead
+    # of an assumed corpus. Smooth in p, so it works even when the
+    # sample holds few true neighbours.
+    cosines = np.clip(mat @ anchor_np, -1.0, 1.0)
+    p = 1.0 - np.arccos(cosines) / np.pi
+
+    # true-rank scaling: the corpus top-k correspond to the sample's top
+    # round(k / modulus) rows (the modulus IS the sampling fraction; when
+    # the 2000-row limit truncated, N ≥ 2000·53 and the scaled rank
+    # floors to 1 for any practical k — no count job needed)
+    m = max(1, round(k / _EST_MODULUS))
+    top_idx = np.argsort(-cosines)[: min(m, len(mat))]
+
+    def estimate(b: int, L: int) -> tuple[float, float]:
+        q = p**b
+        if multiprobe_bits >= 1:
+            q = q + b * p ** (b - 1) * (1 - p)
+        if multiprobe_bits >= 2:
+            q = q + (b * (b - 1) / 2) * p ** (b - 2) * (1 - p) ** 2
+        hit = 1.0 - (1.0 - q) ** L
+        return float(hit.mean()), float(hit[top_idx].mean())
+
+    if n_planes is not None:
+        configs = [(n_planes, n_tables or N_TABLES)]
     else:
-        frac = 1.0  # empty sample: be conservative, take the exact scan
+        configs = list(ANN_CONFIG_LADDER)
+    scored_cfgs = [(b, L, *estimate(b, L)) for b, L in configs]
+    ok = [c for c in scored_cfgs if c[3] >= ANN_RECALL_TARGET]
+    pool = ok if ok else [max(scored_cfgs, key=lambda c: c[3])]
+    b, L, frac, _recall = min(pool, key=lambda c: c[2])
+    probes = _probe_buckets(anchor_np, multiprobe_bits, L, b)
+
     if frac >= fallback_fraction:
         return exact
 
     # ---- bucketed path: narrow index, literal probe filter ----
+    # per-table IN-lists, OR'd — partition-pruning predicates on an index
+    # stored partitioned by (table_idx, bucket)
+    by_table: dict[int, list[int]] = {}
+    for t, bk in probes:
+        by_table.setdefault(t, []).append(bk)
+    probe_pred = F.lit(False)
+    for t, bs in by_table.items():
+        probe_pred = probe_pred | (
+            (F.col("table_idx") == t) & F.col("bucket").isin(sorted(set(bs)))
+        )
+    buckets_udf = (
+        _buckets_udf
+        if (b, L) == (N_PLANES, N_TABLES)
+        else _make_buckets_udf(L, b)
+    )
     index = rest.select(
         "vec_id",
-        F.posexplode(_buckets_udf(F.col("embedding"))).alias("table_idx", "bucket"),
+        F.posexplode(buckets_udf(F.col("embedding"))).alias("table_idx", "bucket"),
     )
-    cand = index.filter(
-        probe_pred(F.col("table_idx"), F.col("bucket"))
-    ).select("vec_id").distinct()
+    cand = index.filter(probe_pred).select("vec_id").distinct()
     return (
         rest.join(cand, "vec_id")
         .select(

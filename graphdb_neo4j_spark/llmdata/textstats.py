@@ -677,6 +677,7 @@ def q_ppmi_topk(
     window: int = COOC_WINDOW,
     top_k: int = PPMI_TOP_K,
     min_pair_count: int = 5,
+    vocab_checkpoint: bool = False,
 ) -> DataFrame:
     """Distributional association mining: for every term, its ``top_k``
     most-associated co-occurring terms by positive pointwise mutual
@@ -722,8 +723,12 @@ def q_ppmi_topk(
     toks = arr.select(F.explode("arr").alias("tok"))
     # |vocab|-sized and consumed twice (n_a and n_b broadcasts); a
     # checkpoint here measured SLOWER at sf0.1 (1.9 → 2.1 s A/B — the
-    # barrier beats the re-run), so the double subtree stays
+    # barrier beats the re-run) AND at the 10× stand-in (r6: 2.4 s
+    # either way, within noise — the pair explode dominates, not the
+    # vocab re-run), so the double subtree stays the default
     tok_counts = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    if vocab_checkpoint:
+        tok_counts = tok_counts.localCheckpoint(eager=False)
     total_pairs = pairs.count()
     total_toks = toks.count()
     scored = (
@@ -812,7 +817,9 @@ QUALIFY rk <= {top_k}
 BIGRAM_LAMBDA = 0.75  # weight on the bigram MLE; remainder backs off to unigram
 
 
-def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bigram_logprob(
+    spark: SparkSession, sf_dir: str, vocab_checkpoint: bool = False
+) -> DataFrame:
     """Interpolated-bigram log-probability per document — the next model
     up from :func:`q_unigram_logprob` on the CCNet-style quality ladder:
     p(w2|w1) = λ·c(w1,w2)/c(w1) + (1−λ)·c(w2)/N. Word salad that sails
@@ -847,20 +854,19 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     toks = arrs.select("doc_id", F.explode("arr").alias("tok"))
-    # |vocab|-sized and consumed THREE times (total, c1 join, c2 join):
-    # un-materialized, each consumer re-ran the tokenize + count shuffle
-    # (scans=5 of documents; checkpointed: scans=2). A/B at sf0.1 is a
-    # wash (~2 s either way — re-tokenize is cheap there) but the
-    # structural form is what survives 100×: three redundant corpus
-    # passes vs one vocab-sized materialization. Checkpointing the
-    # corpus-sized tokenize instead measured strictly worse — the rule
-    # is: materialize when the repeated subtree ends in a SHUFFLE and
-    # the result is SMALL
-    uni = (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("c_tok"))
-        .localCheckpoint(eager=False)
-    )
+    # |vocab|-sized and consumed THREE times (total, c1 join, c2 join).
+    # The r6 bench-harness A/B (5 alternating reps, clearCache+gc between,
+    # sf0.1): checkpoint median 2.50 s / min 2.02 vs NO-checkpoint median
+    # 2.10 s / min 1.97 — the barrier (extra job + materialize) costs more
+    # than the 3 redundant tokenize+count passes while the corpus is
+    # small (plan audit: 2 FileScans checkpointed vs 5 un-checkpointed).
+    # Default = the measured-faster form at bench scale; flip
+    # ``vocab_checkpoint`` when the corpus passes dominate (the r5 form —
+    # at 100 TB you'd go further and persist the vocab table once, the
+    # run_corpus_pipeline discipline).
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    if vocab_checkpoint:
+        uni = uni.localCheckpoint(eager=False)
     total = uni.agg(F.sum("c_tok").cast("double").alias("total"))
     bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c1"))
@@ -931,7 +937,9 @@ FROM per_doc
 DRIFT_TOP_TERMS = 15
 
 
-def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_corpus_drift(
+    spark: SparkSession, sf_dir: str, vocab_checkpoint: bool = False
+) -> DataFrame:
     """Distribution shift between the history half (even doc_id) and the
     incoming batch (odd doc_id — the dedup_incremental split contract):
     per-language doc share in each half, plus smoothed KL(batch‖history)
@@ -981,8 +989,10 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # |vocab|-sized and consumed twice (totals + the KL term stream); a
     # checkpoint here measured SLOWER at sf0.1 (1.1 → 1.4 s A/B: the
-    # materialization barrier beats the re-run of a cheap tokenize), so
-    # the double subtree stays — revisit if the tokenize cost grows
+    # materialization barrier beats the re-run of a cheap tokenize) and
+    # a wash at the 10× stand-in (r6 A/B below) — the double subtree
+    # stays the default; ``vocab_checkpoint`` is the flip for corpora
+    # where tokenize dominates
     counts = (
         toks.groupBy("tok")
         .agg(
@@ -990,6 +1000,8 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("half") == "batch").cast("long")).alias("cb"),
         )
     )
+    if vocab_checkpoint:
+        counts = counts.localCheckpoint(eager=False)
     vocab_tot = counts.groupBy().agg(
         F.sum("ch").alias("nh"),
         F.sum("cb").alias("nb"),

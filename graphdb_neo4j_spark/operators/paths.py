@@ -103,22 +103,81 @@ UNION ALL SELECT id, 2 AS dist FROM d2
 """
 
 
+def bfs_clique_factored(
+    nodes: DataFrame,
+    source_id: int,
+    attrs: tuple[str, ...] = ("college", "address"),
+    max_depth: int = 64,
+) -> DataFrame:
+    """(id, dist) BFS on the attribute-clique-union graph WITHOUT
+    materializing an edge — the :func:`~graphdb_neo4j_spark.operators.
+    graphalgo.pagerank_clique_factored` discipline applied to
+    reachability. Two nodes are adjacent iff they share any non-NULL/''
+    attribute, so one hop factors through the node↔group bipartite
+    graph: frontier nodes → their groups (minus groups already
+    expanded) → those groups' members (minus nodes already visited).
+    Each hop is two equi-joins on (attr, value) keys over MEMBERSHIP
+    rows (N·|attrs| of them) instead of a join against Θ(N²/k) clique
+    edges — at the 10× stand-in this is the difference between 0.6 s
+    and an edge build that inflates 100× (r6 scale check, PLANS.md).
+    A group, once expanded, never yields new nodes (all its members are
+    visited), so the per-attr visited-group sets also bound total work
+    by |groups| across ALL hops, not per hop."""
+    spark = nodes.sparkSession
+    member = None
+    for attr in attrs:
+        m = nodes.filter(
+            F.col(attr).isNotNull() & (F.col(attr) != "")
+        ).select(
+            "id", F.lit(attr).alias("g_attr"), F.col(attr).alias("g_val")
+        )
+        member = m if member is None else member.unionByName(m)
+    member = member.localCheckpoint(eager=False)
+    visited = spark.createDataFrame([(source_id, 0)], "id long, dist int")
+    frontier = visited.select("id")
+    seen_groups = spark.createDataFrame([], "g_attr string, g_val string")
+    for depth in range(1, max_depth + 1):
+        fr_groups = (
+            member.join(frontier, "id")
+            .select("g_attr", "g_val")
+            .distinct()
+            .join(seen_groups, ["g_attr", "g_val"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not fr_groups.take(1):
+            break
+        next_frontier = (
+            member.join(fr_groups, ["g_attr", "g_val"])
+            .select("id")
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        seen_groups = seen_groups.unionByName(fr_groups)
+        if not next_frontier.take(1):
+            break
+        visited = visited.unionByName(
+            next_frontier.withColumn("dist", F.lit(depth))
+        )
+        frontier = next_frontier
+    return visited
+
+
 def q_bfs_unbounded(
     spark: SparkSession, sf_dir: str, source_id: int = 1
 ) -> DataFrame:
     """Cypher's unbounded ``-[r*]-`` (SURVEY §7.4-H3 closure): BFS run to
-    FIXPOINT — :func:`bfs_distances`'s loop already stops when the
-    frontier empties, so the unbounded form is the same loop with the
-    depth parameter as a pure SAFETY ceiling (64 ≫ any clique-union
-    graph's diameter), not a semantic bound. Each hop localCheckpoints,
-    so lineage stays flat however deep the graph runs. The DuckDB oracle
-    is a recursive CTE taking MIN(dist) per reached node — a genuinely
-    different computation of the same fixpoint."""
-    nodes = customer_nodes(spark, sf_dir)
-    college = derive_attribute_edges(nodes, "college", "SAME_COLLEGE")
-    nearby = derive_attribute_edges(nodes, "address", "NEARBY")
-    graph = PropertyGraph(nodes=nodes, edges=college.unionByName(nearby))
-    return bfs_distances(graph.edges_undirected(), source_id, max_depth=64)
+    FIXPOINT with the depth parameter as a pure SAFETY ceiling (64 ≫ any
+    clique-union graph's diameter), not a semantic bound. r6: runs the
+    clique-FACTORED walk (group-membership joins, no edge
+    materialization — the 100 TB path; the edge-walk
+    :func:`bfs_distances` is the pytest cross-check). The DuckDB oracle
+    is a recursive CTE over materialized edges taking MIN(dist) per
+    reached node — a genuinely different computation of the same
+    fixpoint."""
+    return bfs_clique_factored(
+        customer_nodes(spark, sf_dir), source_id, ("college", "address")
+    )
 
 
 def bfs_unbounded_sql(source_id: int = 1, depth_cap: int = 32) -> str:

@@ -112,6 +112,39 @@ def test_ann_adaptive_routing(spark, sf_dir):
     assert "ArrowEvalPython" in pf, "forced bucketed route missing bucketing stage"
 
 
+def test_ann_planner_routes_clustered_corpus_to_buckets(spark, tmp_path):
+    """The other side of the adaptive routing pin: on a corpus where LSH
+    CAN prune (20 tight clusters — per-plane agreement ~0.97 inside a
+    cluster), the analytic planner must choose a high-plane config whose
+    candidate fraction clears the threshold, fire the BUCKETED route,
+    and keep recall — the crossover the near-orthogonal fixture can
+    never demonstrate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(4000):
+        v = centers[i % 20] + 0.08 * rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        rows.append(
+            {"vec_id": i, "label": int(i % 20), "embedding": [float(x) for x in v]}
+        )
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pandas(pd.DataFrame(rows)), f"{d}/embeddings.parquet")
+    res = simsearch.ann_search(spark, d, 0, 10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan, "clustered corpus should take the bucketed route"
+    exact = [r.vec_id for r in simsearch.q_knn_anchor(spark, d, 0, 10).collect()]
+    approx = [r.vec_id for r in res.collect()]
+    recall = len(set(exact) & set(approx)) / len(exact)
+    assert recall >= 0.9, f"clustered-route recall {recall} below 0.9"
+
+
 def test_ann_two_bit_multiprobe_rescues_hard_anchor(spark, sf_dir):
     # anchor 42 is the measured worst case at 1-bit multiprobe (0.7);
     # pair-flip probing must bring it to >= 0.9 (measured 1.0).
@@ -163,9 +196,18 @@ def test_persisted_ann_index_prunes_partitions(spark, sf_dir, tmp_path):
     simsearch.write_ann_index(emb, path)
     anchor = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
     probed = simsearch.probe_ann_index(spark, path, list(anchor), anchor_id=0)
-    # compare against the bucketed route (fallback disabled): the at-rest
-    # probe IS the bucketed plan, just against parquet partitions
-    in_mem = simsearch.ann_search(spark, sf_dir, 0, 10, fallback_fraction=2.0)
+    # compare against the bucketed route (fallback disabled, config pinned
+    # to the b=6/L=8 the index stores): the at-rest probe IS the bucketed
+    # plan, just against parquet partitions
+    in_mem = simsearch.ann_search(
+        spark,
+        sf_dir,
+        0,
+        10,
+        fallback_fraction=2.0,
+        n_planes=simsearch.N_PLANES,
+        n_tables=simsearch.N_TABLES,
+    )
     assert (
         [(r.vec_id, r.cosine) for r in probed.collect()]
         == [(r.vec_id, r.cosine) for r in in_mem.collect()]

@@ -113,3 +113,52 @@ def test_weighted_distance_never_below_hop_floor(spark, sf_dir):
     by_id = {r["id"]: r["dist"] for r in rows}
     assert by_id[1] == 0.0
     assert all(d > 0.0 for i, d in by_id.items() if i != 1)
+
+
+def test_factored_bfs_equals_edge_walk(spark, sf_dir):
+    """The group-membership factored BFS must reproduce the
+    edge-materializing fixpoint BFS exactly on the fixture graph."""
+    from graphdb_neo4j_spark.graph import PropertyGraph
+    from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
+    from graphdb_neo4j_spark.operators.paths import (
+        bfs_clique_factored,
+        bfs_distances,
+    )
+    from graphdb_neo4j_spark.sources.tpch import customer_nodes
+
+    nodes = customer_nodes(spark, sf_dir)
+    college = derive_attribute_edges(nodes, "college", "SAME_COLLEGE")
+    nearby = derive_attribute_edges(nodes, "address", "NEARBY")
+    graph = PropertyGraph(nodes=nodes, edges=college.unionByName(nearby))
+    walk = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(
+            graph.edges_undirected(), 1, max_depth=64
+        ).collect()
+    }
+    fac = {
+        r["id"]: r["dist"]
+        for r in bfs_clique_factored(nodes, 1, ("college", "address")).collect()
+    }
+    assert fac == walk
+
+
+def test_factored_bfs_null_and_empty_attrs(spark):
+    """NULL/'' attributes join nothing: a node reachable only through a
+    NULL-college 'group' must stay unreached, and '' must not connect."""
+    from graphdb_neo4j_spark.operators.paths import bfs_clique_factored
+
+    rows = [
+        (1, "mit", "addr1"),
+        (2, "mit", None),     # dist 1 via college
+        (3, None, "addr1"),   # dist 1 via address
+        (4, None, None),      # unreachable
+        (5, "", "addr2"),     # unreachable ('' is not a group)
+        (6, "", "addr2"),     # reachable only from 5's address — not from 1
+    ]
+    nodes = spark.createDataFrame(rows, "id long, college string, address string")
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs_clique_factored(nodes, 1, ("college", "address")).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 1}
