@@ -546,10 +546,30 @@ def write_ann_index(emb: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Persist the LSH index partitioned by (table_idx, bucket) — the
     at-rest layout where a probe becomes PARTITION PRUNING: reading
     L·(1+flips) directories out of L·2^b instead of scanning the index
-    (``PartitionFilters`` in the probe plan, pytest-pinned)."""
+    (``PartitionFilters`` in the probe plan, pytest-pinned). A sidecar
+    ``_ann_config.json`` records (planes, tables, seed, dim) so probes
+    can't silently hash against a different geometry than the index
+    stores."""
+    import json
+
     ann_bucket_index(emb).write.mode(mode).partitionBy(
         "table_idx", "bucket"
     ).parquet(path)
+    cfg = {"n_planes": N_PLANES, "n_tables": N_TABLES, "seed": _SEED, "dim": DIM}
+    spark = emb.sparkSession
+    # write through the same FS layer as the index (works for any scheme)
+    spark.createDataFrame([(json.dumps(cfg),)], "config string").coalesce(
+        1
+    ).write.mode("overwrite").text(f"{path}/_ann_config")
+
+
+def read_ann_index_config(spark: SparkSession, index_path: str) -> dict:
+    """The (planes, tables, seed, dim) the index was hashed with."""
+    import json
+
+    return json.loads(
+        spark.read.text(f"{index_path}/_ann_config").collect()[0][0]
+    )
 
 
 def probe_ann_index(
@@ -564,22 +584,32 @@ def probe_ann_index(
     driver-side (one L·b-plane matmul on one vector — microseconds), the
     probe keys become literal partition predicates, and only the matching
     (table_idx, bucket) directories are read. This is the query-serving
-    shape: index build is offline, a probe touches candidate files only."""
-    planes = _hyperplanes()
+    shape: index build is offline, a probe touches candidate files only.
+    The hash geometry comes from the index's ``_ann_config.json`` sidecar
+    (falling back to the module defaults for pre-r6 indexes), so a probe
+    always hashes with the planes the index stored."""
+    try:
+        cfg = read_ann_index_config(spark, index_path)
+        n_planes, n_tables, seed = cfg["n_planes"], cfg["n_tables"], cfg["seed"]
+    except Exception:  # pre-sidecar index: module defaults
+        n_planes, n_tables, seed = N_PLANES, N_TABLES, _SEED
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables * n_planes, DIM)
+    )
     v = np.asarray(anchor_emb)
-    bits = (planes @ v > 0).reshape(N_TABLES, N_PLANES)
-    weights = 1 << np.arange(N_PLANES)
+    bits = (planes @ v > 0).reshape(n_tables, n_planes)
+    weights = 1 << np.arange(n_planes)
     probe_keys: set[tuple[int, int]] = set()
-    for t in range(N_TABLES):
+    for t in range(n_tables):
         base = int(bits[t] @ weights)
         buckets = {base}
         if multiprobe_bits >= 1:
-            buckets |= {base ^ (1 << i) for i in range(N_PLANES)}
+            buckets |= {base ^ (1 << i) for i in range(n_planes)}
         if multiprobe_bits >= 2:
             buckets |= {
                 base ^ ((1 << i) | (1 << j))
-                for i in range(N_PLANES)
-                for j in range(i + 1, N_PLANES)
+                for i in range(n_planes)
+                for j in range(i + 1, n_planes)
             }
         probe_keys |= {(t, b) for b in buckets}
     pred = F.struct(F.col("table_idx"), F.col("bucket")).isin(
