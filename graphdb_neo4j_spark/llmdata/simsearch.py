@@ -157,13 +157,18 @@ def _probe_buckets(
     multiprobe_bits: int,
     n_tables: int = N_TABLES,
     n_planes: int = N_PLANES,
+    seed: int = _SEED,
+    dim: int = DIM,
 ) -> list[tuple[int, int]]:
     """Driver-side probe-key set for one anchor: its bucket in each of the
     L tables plus all buckets within ``multiprobe_bits`` sign flips.
     |probes| = L·(1 + b + C(b,2)·[m≥2]) — a few dozen (table, bucket)
-    keys, computed with the same hyperplane draw as the bucketing UDF."""
-    planes = np.random.default_rng(_SEED).standard_normal(
-        (n_tables * n_planes, DIM)
+    keys, computed with the same hyperplane draw as the bucketing UDF.
+    The SINGLE implementation of the bucket/multiprobe enumeration —
+    in-memory search and the persisted-index probe both call it, so the
+    flip logic can't desynchronize between the two."""
+    planes = np.random.default_rng(seed).standard_normal(
+        (n_tables * n_planes, dim)
     )
     bits = (anchor_emb @ planes.T > 0).reshape(n_tables, n_planes)
     base = bits @ (1 << np.arange(n_planes))
@@ -253,9 +258,15 @@ def ann_search(
     anchor_rows = (
         emb.filter(F.col("vec_id") == anchor_id).select("embedding").collect()
     )
+    rest = emb.filter(F.col("vec_id") != anchor_id)
+    if not anchor_rows:
+        # nonexistent anchor (e.g. an erased vector): empty top-k with the
+        # contract schema, matching the r5 behavior — not a driver crash
+        return rest.select(
+            "vec_id", "label", F.lit(0.0).alias("cosine")
+        ).limit(0)
     anchor_np = np.asarray(anchor_rows[0][0], dtype="float64")
 
-    rest = emb.filter(F.col("vec_id") != anchor_id)
     exact = rest.select(
         "vec_id",
         "label",
@@ -266,6 +277,18 @@ def ann_search(
     ).orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
     # ---- plan from a bounded sample ----
+    # fallback_fraction > 1 = the caller FORCES the bucketed route (the
+    # persisted-index parity pattern): the quality/cost guards step aside.
+    forced = fallback_fraction > 1.0
+    if forced and n_planes is not None:
+        # route and config both pinned: no planning needed, skip the
+        # sample job entirely
+        probes = _probe_buckets(
+            anchor_np, multiprobe_bits, n_tables or N_TABLES, n_planes
+        )
+        return _ann_bucketed(
+            rest, anchor_np, probes, k, n_planes, n_tables or N_TABLES
+        )
     sample_rows = (
         rest.filter(F.col("vec_id") % _EST_MODULUS == 0)
         .select("embedding")
@@ -273,6 +296,9 @@ def ann_search(
         .collect()
     )
     if not sample_rows:
+        if forced:  # must bucket: no evidence either way → default config
+            probes = _probe_buckets(anchor_np, multiprobe_bits)
+            return _ann_bucketed(rest, anchor_np, probes, k, N_PLANES, N_TABLES)
         return exact  # empty sample: be conservative, take the exact scan
     mat = np.asarray([r[0] for r in sample_rows], dtype="float64")
     # Analytic hit model per sampled vector: for hyperplane LSH at angle
@@ -306,16 +332,31 @@ def ann_search(
         configs = list(ANN_CONFIG_LADDER)
     scored_cfgs = [(b, L, *estimate(b, L)) for b, L in configs]
     ok = [c for c in scored_cfgs if c[3] >= ANN_RECALL_TARGET]
+    if not ok and not forced:
+        # no config holds the recall target on this corpus: the exact scan
+        # (recall 1.0) is the only route that honors the quality contract,
+        # whatever its fraction would have been
+        return exact
     pool = ok if ok else [max(scored_cfgs, key=lambda c: c[3])]
     b, L, frac, _recall = min(pool, key=lambda c: c[2])
-    probes = _probe_buckets(anchor_np, multiprobe_bits, L, b)
-
     if frac >= fallback_fraction:
         return exact
+    probes = _probe_buckets(anchor_np, multiprobe_bits, L, b)
+    return _ann_bucketed(rest, anchor_np, probes, k, b, L)
 
-    # ---- bucketed path: narrow index, literal probe filter ----
-    # per-table IN-lists, OR'd — partition-pruning predicates on an index
-    # stored partitioned by (table_idx, bucket)
+
+def _ann_bucketed(
+    rest: DataFrame,
+    anchor_np: "np.ndarray",
+    probes: list[tuple[int, int]],
+    k: int,
+    b: int,
+    L: int,
+) -> DataFrame:
+    """The bucketed probe plan: NARROW (vec_id, table, bucket) index,
+    literal per-table IN-list filter (partition-pruning predicates on an
+    index stored partitioned by (table_idx, bucket)), distinct candidate
+    ids, one embedding fetch + exact re-rank."""
     by_table: dict[int, list[int]] = {}
     for t, bk in probes:
         by_table.setdefault(t, []).append(bk)
@@ -585,33 +626,32 @@ def probe_ann_index(
     probe keys become literal partition predicates, and only the matching
     (table_idx, bucket) directories are read. This is the query-serving
     shape: index build is offline, a probe touches candidate files only.
-    The hash geometry comes from the index's ``_ann_config.json`` sidecar
-    (falling back to the module defaults for pre-r6 indexes), so a probe
-    always hashes with the planes the index stored."""
+    The hash geometry comes from the index's ``_ann_config.json`` sidecar;
+    a missing sidecar (pre-r6 index) falls back to the module defaults,
+    but any OTHER read failure — malformed JSON, missing key, transient
+    FS error — RAISES: silently probing a possibly-different geometry is
+    exactly the bug the sidecar exists to prevent. A recorded dim that
+    doesn't match the anchor raises for the same reason."""
+    from pyspark.errors import AnalysisException
+
     try:
         cfg = read_ann_index_config(spark, index_path)
-        n_planes, n_tables, seed = cfg["n_planes"], cfg["n_tables"], cfg["seed"]
-    except Exception:  # pre-sidecar index: module defaults
-        n_planes, n_tables, seed = N_PLANES, N_TABLES, _SEED
-    planes = np.random.default_rng(seed).standard_normal(
-        (n_tables * n_planes, DIM)
+    except AnalysisException:  # sidecar absent: pre-sidecar index
+        cfg = {"n_planes": N_PLANES, "n_tables": N_TABLES, "seed": _SEED, "dim": DIM}
+    n_planes, n_tables, seed, dim = (
+        cfg["n_planes"],
+        cfg["n_tables"],
+        cfg["seed"],
+        cfg["dim"],
     )
-    v = np.asarray(anchor_emb)
-    bits = (planes @ v > 0).reshape(n_tables, n_planes)
-    weights = 1 << np.arange(n_planes)
-    probe_keys: set[tuple[int, int]] = set()
-    for t in range(n_tables):
-        base = int(bits[t] @ weights)
-        buckets = {base}
-        if multiprobe_bits >= 1:
-            buckets |= {base ^ (1 << i) for i in range(n_planes)}
-        if multiprobe_bits >= 2:
-            buckets |= {
-                base ^ ((1 << i) | (1 << j))
-                for i in range(n_planes)
-                for j in range(i + 1, n_planes)
-            }
-        probe_keys |= {(t, b) for b in buckets}
+    v = np.asarray(anchor_emb, dtype="float64")
+    if len(v) != dim:
+        raise ValueError(
+            f"anchor dim {len(v)} != index dim {dim} (from _ann_config)"
+        )
+    probe_keys = set(
+        _probe_buckets(v, multiprobe_bits, n_tables, n_planes, seed, dim)
+    )
     pred = F.struct(F.col("table_idx"), F.col("bucket")).isin(
         [F.struct(F.lit(t), F.lit(b)) for t, b in sorted(probe_keys)]
     )

@@ -669,8 +669,12 @@ def label_propagation_clique_factored(
             .when(own_is_t1 & (adj1 == 0) & F.col("t2").isNull(), F.col("label"))
             .otherwise(F.col("t1.label"))
         )
+        # no broadcast hint: the pair domain is |A×B| + one sentinel pair
+        # per NULL/''-attr node, so on null-heavy corpora `tops` is O(N)
+        # and a forced broadcast would OOM — let AQE broadcast it when it
+        # measures small (the common case)
         labels = (
-            labels.join(F.broadcast(tops), [a, b], "left")
+            labels.join(tops, [a, b], "left")
             .select(
                 "id", a, b,
                 F.coalesce(new_label, F.col("label")).alias("label"),

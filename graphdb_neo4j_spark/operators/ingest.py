@@ -197,16 +197,17 @@ def ingest_students(
     # back to a k-row literal: ONE max-id job, zero lineage, no
     # checkpoint barrier.
     allocated = allocate_ids(nodes, normalize_batch(new_raw))
-    # Driver round-trip is bounded: onboarding batches are interactive
-    # k-row inserts (the reference's POST /students shape). Above the
-    # ceiling, keep the rows on the executors — localCheckpoint gives the
-    # same lineage cut without pulling the batch through the driver.
+    # Lineage cut: materialize the allocation ONCE on the executors
+    # (eager checkpoint — one job), then decide the batch's form from a
+    # cheap count over the cached blocks. Small interactive batches (the
+    # reference's POST /students shape) collapse to a driver-side literal
+    # — zero lineage, no re-scan for the several consumers below; large
+    # onboard batches stay on the executors (the r5 unconditional
+    # collect() was silently unbounded driver memory).
     _ROUNDTRIP_CEILING = 100_000
-    head = allocated.limit(_ROUNDTRIP_CEILING + 1).collect()
-    if len(head) <= _ROUNDTRIP_CEILING:
-        batch = spark.createDataFrame(head, allocated.schema)
-    else:
-        batch = allocated.localCheckpoint(eager=True)
+    batch = allocated.localCheckpoint(eager=True)
+    if batch.count() <= _ROUNDTRIP_CEILING:
+        batch = spark.createDataFrame(batch.collect(), allocated.schema)
     nodes_after = nodes.unionByName(batch.drop("interests"))
     new_edges = derive_edges_for_batch(
         nodes, customer_interest_pairs_raw(spark, sf_dir), batch

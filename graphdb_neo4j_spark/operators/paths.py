@@ -118,8 +118,9 @@ def bfs_clique_factored(
     expanded) → those groups' members (minus nodes already visited).
     Each hop is two equi-joins on (attr, value) keys over MEMBERSHIP
     rows (N·|attrs| of them) instead of a join against Θ(N²/k) clique
-    edges — at the 10× stand-in this is the difference between 0.6 s
-    and an edge build that inflates 100× (r6 scale check, PLANS.md).
+    edges — at the 10× stand-in the factored walk runs in 5.4 s where
+    the edge-walk form (whose edge set inflates 100×) did not finish in
+    570 s (r6 scale check, PLANS.md).
     A group, once expanded, never yields new nodes (all its members are
     visited), so the per-attr visited-group sets also bound total work
     by |groups| across ALL hops, not per hop."""
