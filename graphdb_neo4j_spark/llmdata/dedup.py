@@ -196,18 +196,65 @@ def q_dedup_jaccard(
     # re-running the shingle pipeline per consumer — the single-query
     # analog of the "write the shingle table, then join" step every
     # at-scale dedup pipeline has (token table ≈ 0.3× corpus bytes).
+    # NOTE the order: pruning uses the FULL-corpus df (the oracle's
+    # semantics — compressing first would change which tokens clear
+    # max_df), and only THEN do exact duplicates collapse to a
+    # representative.
     toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
         eager=False
     )
-    a = toks.select(F.col("doc_id").alias("a"), "tok")
-    b = toks.select(F.col("doc_id").alias("b"), "tok")
+    # EXACT-duplicate compression (r6): identical normalized text ⇒
+    # identical post-prune token sets, so the Σ_tok C(df,2) pair join only
+    # needs ONE representative per fingerprint group; every cross-group
+    # pair's jaccard equals its representatives' jaccard, and in-group
+    # pairs are exactly 1.0. On duplication-heavy corpora this divides the
+    # join work by the square of the duplication factor (10× stand-in,
+    # where every doc has 9 exact copies: 28 s → the join runs on 1/10th
+    # the rows); the expansion back to doc pairs is output-sized.
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    member = (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=False)  # consumed by expansion twice + in-group
+    )
+    reps = member.filter(F.col("doc_id") == F.col("rep")).select(
+        F.col("rep").alias("doc_id")
+    )
+    rtoks = toks.join(reps, "doc_id", "left_semi")
+    a = rtoks.select(F.col("doc_id").alias("a"), "tok")
+    b = rtoks.select(F.col("doc_id").alias("b"), "tok")
     inter = (
         a.join(b, "tok")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
-    return _pair_jaccard(toks, inter, threshold)
+    rep_pairs = _pair_jaccard(rtoks, inter, threshold)
+    # expand rep pairs to all (member_a, member_b) doc pairs
+    ma = member.select(F.col("rep").alias("a"), F.col("doc_id").alias("da"))
+    mb = member.select(F.col("rep").alias("b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            "jaccard",
+        )
+    )
+    # in-group pairs: exact duplicates, jaccard 1.0 — but only for docs in
+    # the near-dup universe (≥1 surviving shingle; zero-shingle docs drop
+    # out, same as the oracle)
+    shingled = member.join(toks.select("doc_id").distinct(), "doc_id", "left_semi")
+    g1 = shingled.select("rep", F.col("doc_id").alias("a"))
+    g2 = shingled.select("rep", F.col("doc_id").alias("b"))
+    in_group = (
+        g1.join(g2, "rep")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(in_group)
 
 
 def dedup_jaccard_sql(
@@ -340,25 +387,51 @@ def q_dedup_minhash(
     sigs = minhash_signatures(th).localCheckpoint(eager=False)
     cands = lsh_candidate_pairs(sigs)
 
-    # Verification touches only docs that appear in some candidate pair:
-    # semi-join the token table down FIRST (candidate docs ≪ corpus), so
-    # the expensive (b, h) equi-join runs on the reduced sliver, not the
-    # full token table.
+    # EXACT-duplicate short-circuit (r6): identical normalized text ⇒
+    # identical shingle sets ⇒ Jaccard exactly 1.0 and identical MinHash
+    # signatures (so LSH always produces the pair — recall-neutral).
+    # Fingerprint the SAME normalization the shingler sees and settle
+    # those candidates without the token join. On duplication-heavy
+    # corpora this is the dominant candidate class (the 10× stand-in,
+    # where every doc has 9 exact copies: 78 s → the verify join runs
+    # only on the genuinely-near pairs); on dup-light corpora it adds one
+    # cheap projection + a candidate-sized join.
+    fp = docs.select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        ).alias("fp"),
+    )
+    cands_fp = (
+        cands.join(fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a")), "a")
+        .join(fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b")), "b")
+        .localCheckpoint(eager=False)  # consumed by both branches
+    )
+    exact_pairs = cands_fp.filter(F.col("fp_a") == F.col("fp_b")).select(
+        "a", "b", F.lit(1.0).alias("jaccard")
+    )
+    near_cands = cands_fp.filter(F.col("fp_a") != F.col("fp_b")).select("a", "b")
+
+    # Verification touches only docs that appear in some REMAINING
+    # candidate pair: semi-join the token table down FIRST (candidate
+    # docs ≪ corpus), so the expensive (b, h) equi-join runs on the
+    # reduced sliver, not the full token table.
     cand_docs = (
-        cands.select(F.col("a").alias("doc_id"))
-        .unionByName(cands.select(F.col("b").alias("doc_id")))
+        near_cands.select(F.col("a").alias("doc_id"))
+        .unionByName(near_cands.select(F.col("b").alias("doc_id")))
         .distinct()
     )
     ct = th.join(F.broadcast(cand_docs), "doc_id", "left_semi")
     ta = ct.select(F.col("doc_id").alias("a"), "h")
     tb = ct.select(F.col("doc_id").alias("b"), "h")
     inter = (
-        cands.join(ta, "a")  # (a, b, h): every token of a, per candidate pair
+        near_cands.join(ta, "a")  # (a, b, h): every token of a, per pair
         .join(tb, ["b", "h"])  # keep tokens present in b too
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_inter"))
     )
-    return _pair_jaccard(th, inter, threshold)  # sizes only need doc_id rows
+    verified = _pair_jaccard(th, inter, threshold)  # sizes need doc_id rows
+    return verified.unionByName(exact_pairs)
 
 
 # --- SimHash ----------------------------------------------------------------
