@@ -12,7 +12,7 @@ Mechanics: ``register`` below COLLECTS entries in source order; the
 ``R6_WINDOW`` list at the bottom of this file then flushes the named 50
 to the real registry first and everything else after, so rotating the
 window is a list edit, not a code move. Driver-row history — this is
-the COMPLETE 183-query schedule; the rotation program ends at r7:
+the COMPLETE 184-query schedule; the rotation program ends at r7:
 
 - r1-r3 greens: the reference-surface families (lookup/edge/ingest/
   fuzzy/relationship/recommend/paths) + the r2/r3 analytics batches.
@@ -30,10 +30,11 @@ the COMPLETE 183-query schedule; the rotation program ends at r7:
   textstats/sampling/OLAP-window tails, graph (ppr/lpa/triangles/
   bfs_unbounded), the r5-late additions (hopping, temporal_join,
   stream_enrich, TPC-H Q7/Q8/Q9), CDC, profiling.
-- r7 window (= ``R7_WINDOW_PLAN``, 11 names): the 10 rows-only
+- r7 window (= ``R7_WINDOW_PLAN``, 12 names): the rows-only
   registrations (RNG bucketing / engine hashing / KMeans placement /
   float partial sums — each pytest-pinned against an independent
-  implementation) + ``user_erasure``. After r7 every registered query
+  implementation, incl. the r6-added ``semantic_dedup_lsh`` scale twin)
+  + ``user_erasure``. After r7 every registered query
   has a driver row and the window becomes a steady-state regression
   sweep (re-run the 50 most recently CHANGED queries; absent changes,
   oldest-green-first).
@@ -378,6 +379,11 @@ register(
     "semantic_dedup",
     lambda spark, sf: simsearch.q_semantic_dedup(spark, sf),
     simsearch.semantic_dedup_sql(),
+)
+register(
+    "semantic_dedup_lsh",  # scale twin: bucketed pairs, no quadratic stage
+    lambda spark, sf: simsearch.q_semantic_dedup_lsh(spark, sf),
+    None,  # RNG-seeded LSH bucketing; refinement/co-cluster pytest pins it
 )
 register("events_quantiles", events.q_events_quantiles, events.EVENTS_QUANTILES_SQL)
 register("rolling_daily", events.q_rolling_daily, events.ROLLING_DAILY_SQL)
@@ -958,7 +964,7 @@ _PENDING.clear()
 # R7 WINDOW PLAN — staged now so next round's rotation is a one-line swap
 # (flush on R7_WINDOW_PLAN; drop the ==50 check, the rotation program
 # ends here). The 11 names below are everything still without a driver
-# row after r6: the 10 rows-only registrations (no SQL oracle by design
+# row after r6: the rows-only registrations (no SQL oracle by design
 # — RNG bucketing, engine hashing, KMeans placement, float partial sums;
 # each pinned in pytest against an independent implementation, so the
 # driver records a rows-only row) plus user_erasure (oracle-backed).
@@ -977,10 +983,11 @@ R7_WINDOW_PLAN = [
     "distinct_rollup",
     "weighted_distances",
     "user_erasure",
+    "semantic_dedup_lsh",  # r6 addition (rows-only scale twin)
 ]
 
-if len(R7_WINDOW_PLAN) != 11:
-    raise RuntimeError(f"R7_WINDOW_PLAN must name 11 queries, got {len(R7_WINDOW_PLAN)}")
+if len(R7_WINDOW_PLAN) != 12:
+    raise RuntimeError(f"R7_WINDOW_PLAN must name 12 queries, got {len(R7_WINDOW_PLAN)}")
 if set(R7_WINDOW_PLAN) & (set(R6_WINDOW) | set(R5_WINDOW)):
     raise RuntimeError("r7 plan overlaps an earlier window")
 _undefined = [n for n in R7_WINDOW_PLAN if n not in _registry_dict]

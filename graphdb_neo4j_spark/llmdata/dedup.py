@@ -191,6 +191,20 @@ def q_dedup_jaccard(
     and work is Σ_shingle C(df, 2) with df capped by ``max_df``.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_jaccard_pairs(docs, threshold, width, max_df)
+
+
+def dedup_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> DataFrame:
+    """DataFrame-level body of :func:`q_dedup_jaccard` (docs needs
+    ``doc_id`` and ``text``) — separated so the representative-compression
+    path is property-testable against a pure-Python reference.
+
+    """
     # The pruned token table feeds three different shuffles (join a-side,
     # hot-set agg, per-doc sizes); materialize it once instead of
     # re-running the shingle pipeline per consumer — the single-query
@@ -754,26 +768,80 @@ def q_dedup_incremental(
 
     One shingle pass over the corpus feeds both sides (the checkpointed
     token table is the single-query analog of reading a persisted history
-    token store); the intersection join pairs history tokens with batch
-    tokens only — cross-split pairs by construction, no a<b dance, no
-    within-history work at all.
+    token store); the token intersection join runs over EXACT-duplicate
+    representatives only (r6 — same compression as :func:`q_dedup_jaccard`:
+    full-corpus-df pruning first, then identical-fingerprint docs collapse;
+    a dup-heavy history multiplies the token join otherwise), and rep
+    pairs expand back split-aware: cross-group (hist member × batch
+    member) pairs inherit the rep jaccard in both orientations, in-group
+    hist×batch pairs are exactly 1.0.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
         eager=False
     )
-    hist = toks.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("doc_id").alias("a"), "tok"
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    member = (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+        .select("doc_id", "rep")
+        .localCheckpoint(eager=False)
     )
-    batch = toks.filter(F.col("doc_id") % 2 == 1).select(
-        F.col("doc_id").alias("b"), "tok"
+    reps = member.filter(F.col("doc_id") == F.col("rep")).select(
+        F.col("rep").alias("doc_id")
     )
-    inter = hist.join(batch, "tok").groupBy("a", "b").agg(
-        F.count("*").alias("n_inter")
+    # no second checkpoint: toks is already materialized, and the rep
+    # semi-join is cheap to re-derive per consumer (a checkpoint here
+    # would write a second corpus-sized token table — measured +15 s
+    # at the 10× stand-in)
+    rtoks = toks.join(reps, "doc_id", "left_semi")
+    # orientation-direct rep join: a-side = reps whose group holds ANY
+    # history doc, b-side = reps whose group holds ANY batch doc — each
+    # ordered rep pair expands to exactly its (hist member, batch member)
+    # outputs, so no symmetrize (a symmetrizing union would re-execute
+    # the join subtree) and no within-side work
+    hist_reps = (
+        member.filter(F.col("doc_id") % 2 == 0).select("rep").distinct()
     )
-    return _pair_jaccard(toks, inter, threshold).select(
-        F.col("a").alias("hist_id"), F.col("b").alias("new_id"), "jaccard"
+    batch_reps = (
+        member.filter(F.col("doc_id") % 2 == 1).select("rep").distinct()
     )
+    ta = rtoks.join(
+        hist_reps.withColumnRenamed("rep", "doc_id"), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("a"), "tok")
+    tb = rtoks.join(
+        batch_reps.withColumnRenamed("rep", "doc_id"), "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias("b"), "tok")
+    inter = (
+        ta.join(tb, "tok")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    rep_pairs = _pair_jaccard(rtoks, inter, threshold)
+    mh = member.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("rep").alias("a"), F.col("doc_id").alias("hist_id")
+    )
+    mb = member.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("rep").alias("b"), F.col("doc_id").alias("new_id")
+    )
+    cross = rep_pairs.join(mh, "a").join(mb, "b").select(
+        "hist_id", "new_id", "jaccard"
+    )
+    # in-group: identical docs across the split boundary, jaccard 1.0
+    # (zero-shingle docs stay outside the near-dup universe, as the
+    # oracle has it)
+    shingled = member.join(toks.select("doc_id").distinct(), "doc_id", "left_semi")
+    gh = shingled.filter(F.col("doc_id") % 2 == 0).select(
+        "rep", F.col("doc_id").alias("hist_id")
+    )
+    gb = shingled.filter(F.col("doc_id") % 2 == 1).select(
+        "rep", F.col("doc_id").alias("new_id")
+    )
+    in_group = gh.join(gb, "rep").select(
+        "hist_id", "new_id", F.lit(1.0).alias("jaccard")
+    )
+    return cross.unionByName(in_group)
 
 
 def dedup_incremental_sql(

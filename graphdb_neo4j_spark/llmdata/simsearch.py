@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.session import widen_scan
@@ -446,16 +446,37 @@ def lsh_neardup(
     THIS near-orthogonal fixture (θ ≈ 69° at the threshold — the provably
     hard LSH regime, see ann_search notes) b=4/L=16 still achieves
     recall ≈ 0.91, pytest-pinned with floor 0.8; identical vectors
-    collide in every table, so true duplicates are never missed."""
+    collide in every table, so true duplicates are never missed.
+
+    r6: EXACT-duplicate compression, same discipline as the shingle
+    Jaccard path — bit-identical embedding arrays collapse to one
+    representative before the bucket self-join (the weak b=4 AND needed
+    for recall at θ≈69° makes candidate mass quadratic-ish in N, so
+    duplication multiplies it; 10× dup-heavy stand-in: 234 s → the join
+    runs on uniques only). Cross-group pairs inherit the representative
+    cosine (identical arrays ⇒ identical dot), in-group pairs carry the
+    self-dot, threshold-filtered the same way."""
     emb = widen_scan(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         min_bytes=_LINEAR_MIN_BYTES,
+    )
+    member = (
+        emb.withColumn(
+            "rep", F.min("vec_id").over(Window.partitionBy("embedding"))
+        )
+        .select("vec_id", "rep")
+        .localCheckpoint(eager=False)  # expansion consumes it twice + in-group
+    )
+    remb = emb.join(
+        member.filter(F.col("vec_id") == F.col("rep")).select("vec_id"),
+        "vec_id",
+        "left_semi",
     )
     udf = _make_buckets_udf(n_tables, n_planes)
     # narrow (vec_id, table, bucket) rows, consumed by BOTH sides of the
     # candidate self-join: checkpoint so the Arrow matmul bucketing UDF
     # runs once, not once per side
-    index = emb.select(
+    index = remb.select(
         "vec_id", F.posexplode(udf(F.col("embedding"))).alias("table_idx", "bucket")
     ).localCheckpoint(eager=False)
     a = index.select(F.col("vec_id").alias("a"), "table_idx", "bucket")
@@ -466,15 +487,47 @@ def lsh_neardup(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
-    return (
+    ea = remb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = remb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    rep_pairs = (
         cand.join(ea, "a")
         .join(eb, "b")
         .select("a", "b", _dot(F.col("ea"), F.col("eb")).alias("cosine_raw"))
         .filter(F.col("cosine_raw") >= threshold)
         .select("a", "b", F.round("cosine_raw", 4).alias("cosine"))
     )
+    # expand rep pairs to all (member_a, member_b) doc pairs
+    ma = member.select(F.col("rep").alias("a"), F.col("vec_id").alias("va"))
+    mb = member.select(F.col("rep").alias("b"), F.col("vec_id").alias("vb"))
+    cross = (
+        rep_pairs.join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("va", "vb").alias("a"),
+            F.greatest("va", "vb").alias("b"),
+            "cosine",
+        )
+    )
+    # in-group pairs: identical arrays, cosine = self-dot (≡ what the
+    # exact query computes for the pair), threshold-filtered identically
+    self_dot = emb.join(
+        member.filter(F.col("vec_id") == F.col("rep")).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    ).select(
+        F.col("vec_id").alias("rep"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("sd_raw"),
+    )
+    g1 = member.select("rep", F.col("vec_id").alias("a"))
+    g2 = member.select("rep", F.col("vec_id").alias("b"))
+    in_group = (
+        g1.join(g2, "rep")
+        .filter(F.col("a") < F.col("b"))
+        .join(self_dot, "rep")
+        .filter(F.col("sd_raw") >= threshold)
+        .select("a", "b", F.round("sd_raw", 4).alias("cosine"))
+    )
+    return cross.unionByName(in_group)
 
 
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,6 +887,32 @@ def q_semantic_dedup(
     from graphdb_neo4j_spark.llmdata.dedup import connected_components
 
     pairs = q_cosine_neardup(spark, sf_dir, threshold).select("a", "b")
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+
+
+def q_semantic_dedup_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """SCALE twin of :func:`q_semantic_dedup`: identical component
+    labeling and output schema, but the pair list comes from
+    :func:`lsh_neardup`'s bucketed candidates instead of the exact
+    all-pairs scan — no quadratic stage anywhere (10× stand-in: 176 s
+    exact → bucketed; the exact form stays registered as the
+    oracle-checked baseline). rows-only registration (LSH bucketing is
+    RNG-seeded); pytest pins the two structural guarantees that hold at
+    ANY recall: the LSH clustering is a REFINEMENT of the exact one
+    (lsh pairs ⊆ exact pairs ⇒ every LSH cluster sits inside one exact
+    cluster), and identical vectors always co-cluster (they collide in
+    every band)."""
+    from graphdb_neo4j_spark.llmdata.dedup import connected_components
+
+    pairs = lsh_neardup(spark, sf_dir, threshold).select("a", "b")
     comp = connected_components(pairs)
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "component").select(

@@ -598,3 +598,31 @@ def test_quantize_zero_vector_is_exact(spark):
     got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
     assert got[1]["scale"] == 0.0 and got[1]["q"] == [0, 0, 0]
     assert got[2]["q"] == [64, -127, 32]  # scale = 2/127; 0.5/scale = 31.75 → 32
+
+
+def test_semantic_dedup_lsh_refines_exact_clustering(spark, sf_correct):
+    """The LSH scale twin's structural guarantees, valid at ANY recall:
+    (a) lsh pairs ⊆ exact pairs ⇒ every LSH cluster sits inside exactly
+    one exact cluster (refinement); (b) identical vectors collide in
+    every band, so exact-duplicate vectors always co-cluster."""
+    exact = {
+        r["vec_id"]: r["canonical_id"]
+        for r in simsearch.q_semantic_dedup(spark, sf_correct).collect()
+    }
+    lsh_rows = simsearch.q_semantic_dedup_lsh(spark, sf_correct).collect()
+    lsh_clusters = {}
+    for r in lsh_rows:
+        lsh_clusters.setdefault(r["canonical_id"], set()).add(r["vec_id"])
+    for members in lsh_clusters.values():
+        # refinement: all members of an LSH cluster share ONE exact cluster
+        owners = {exact[m] for m in members}
+        assert len(owners) == 1, (members, owners)
+    # identical-vector co-clustering: find exact-duplicate pairs (cosine
+    # rounds to 1.0) and assert the twin clusters them together
+    lsh_assign = {r["vec_id"]: r["canonical_id"] for r in lsh_rows}
+    dup_pairs = [
+        (r["a"], r["b"])
+        for r in simsearch.q_cosine_neardup(spark, sf_correct, 0.9999).collect()
+    ]
+    for a, b in dup_pairs:
+        assert lsh_assign.get(a) == lsh_assign.get(b), (a, b)

@@ -252,3 +252,63 @@ def test_cdc_apply_equals_sequential_fold(spark, feed):
         last[k] = (op, v)
     want = {k: (op, v) for k, (op, v) in last.items() if op != "delete"}
     assert got == want
+
+
+def _jaccard_ref(texts, threshold, width, max_df):
+    """Pure-Python reference for dedup_jaccard_pairs: normalize, shingle,
+    full-corpus-df prune, exact jaccard over pruned sets."""
+    import re
+
+    sets = {}
+    for i, t in enumerate(texts):
+        n = re.sub(r"\s+", " ", t.strip().lower())
+        sets[i] = {n[j : j + width] for j in range(max(len(n) - width + 1, 0))}
+    df = {}
+    for s in sets.values():
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    pruned = {
+        i: {tok for tok in s if df[tok] <= max_df} for i, s in sets.items()
+    }
+    out = {}
+    ids = sorted(pruned)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = pruned[a], pruned[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if union and inter / union >= threshold:
+                out[(a, b)] = round(inter / union, 6)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab ", min_size=0, max_size=10), min_size=1, max_size=6),
+    st.lists(st.integers(0, 5), min_size=0, max_size=6),
+)
+def test_dedup_jaccard_compression_matches_bruteforce(spark, bases, copies):
+    """The r6 representative-compression path (collapse identical
+    fingerprints before the pair join, expand after) must equal the
+    brute-force jaccard on corpora WITH forced exact duplicates — the
+    regime the compression exists for. width=3/max_df=3 so tiny texts
+    exercise shingling, zero-shingle dropout, AND full-corpus-df pruning."""
+    from graphdb_neo4j_spark.llmdata.dedup import dedup_jaccard_pairs
+
+    texts = list(bases) + [bases[i % len(bases)] for i in copies]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup_jaccard_pairs(
+            docs, threshold=0.4, width=3, max_df=3
+        ).collect()
+    }
+    want = _jaccard_ref(texts, threshold=0.4, width=3, max_df=3)
+    assert set(got) == set(want), (sorted(got), sorted(want))
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-6, k
