@@ -9,7 +9,7 @@ is additionally hash-checked in-repo by ``tests/test_oracle_parity.py``
 regardless of window position).
 
 Mechanics: ``register`` below COLLECTS entries in source order; the
-``R6_WINDOW`` list at the bottom of this file then flushes the named 50
+``R7_WINDOW`` list at the bottom of this file then flushes the named 50
 to the real registry first and everything else after, so rotating the
 window is a list edit, not a code move. Driver-row history — this is
 the COMPLETE 184-query schedule; the rotation program ends at r7:
@@ -25,18 +25,20 @@ the COMPLETE 184-query schedule; the rotation program ends at r7:
   analytics (node_similarity/components), events shapes, embedding
   analytics, BM25/hybrid retrieval, SCD2, hygiene. 46/50 hash-green,
   4 rows-only by documented design.
-- r6 window (THIS round, = the 50 names in ``R6_WINDOW``): every
-  oracle-backed query still without a driver row after r5 —
+- r6 greens (= ``R6_WINDOW``, kept below as history/overlap guard):
+  every oracle-backed query still without a driver row after r5 —
   textstats/sampling/OLAP-window tails, graph (ppr/lpa/triangles/
   bfs_unbounded), the r5-late additions (hopping, temporal_join,
-  stream_enrich, TPC-H Q7/Q8/Q9), CDC, profiling.
-- r7 window (= ``R7_WINDOW_PLAN``, 12 names): the rows-only
-  registrations (RNG bucketing / engine hashing / KMeans placement /
-  float partial sums — each pytest-pinned against an independent
-  implementation, incl. the r6-added ``semantic_dedup_lsh`` scale twin)
-  + ``user_erasure``. After r7 every registered query
-  has a driver row and the window becomes a steady-state regression
-  sweep (re-run the 50 most recently CHANGED queries; absent changes,
+  stream_enrich, TPC-H Q7/Q8/Q9), CDC, profiling. 46/50 hash-green;
+  the 4 fails were oracle-dtype artifacts (values bit-identical).
+- r7 window (THIS round, = the 50 names in ``R7_WINDOW``): the final
+  12 debuts (rows-only registrations — RNG bucketing / engine hashing /
+  KMeans placement / float partial sums, each pytest-pinned against an
+  independent implementation — plus oracle-backed ``user_erasure``),
+  the 4 r6 dtype re-checks (oracles now CAST ... AS BIGINT), and 34
+  oldest-green regression re-checks. After r7 every registered query
+  has a driver row and the window is a steady-state regression sweep
+  (re-run the 50 most recently CHANGED queries; absent changes,
   oldest-green-first).
 """
 
@@ -949,29 +951,32 @@ if len(R6_WINDOW) != 50:
     raise RuntimeError(f"R6_WINDOW must name exactly 50 queries, got {len(R6_WINDOW)}")
 if set(R6_WINDOW) & set(R5_WINDOW):
     raise RuntimeError(f"r6 window overlaps r5: {sorted(set(R6_WINDOW) & set(R5_WINDOW))}")
-_missing = [n for n in R6_WINDOW if n not in _PENDING]
-if _missing:
-    raise RuntimeError(f"R6_WINDOW names not defined: {_missing}")
-
-for _name in R6_WINDOW:
-    _rq = _PENDING.pop(_name)
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-for _name, _rq in _PENDING.items():
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-_PENDING.clear()
 
 # =============================================================================
-# R7 WINDOW PLAN — staged now so next round's rotation is a one-line swap
-# (flush on R7_WINDOW_PLAN; drop the ==50 check, the rotation program
-# ends here). The 11 names below are everything still without a driver
-# row after r6: the rows-only registrations (no SQL oracle by design
-# — RNG bucketing, engine hashing, KMeans placement, float partial sums;
-# each pinned in pytest against an independent implementation, so the
-# driver records a rows-only row) plus user_erasure (oracle-backed).
-# After r7, every one of the 183 registered queries has a driver row.
+# R7 WINDOW — the 50 names the driver's correctness harness records THIS
+# round, in three blocks (order matters: debuts and re-checks first, in
+# case the driver ever records fewer than 50):
+#
+# 1. R7_DEBUTS (12): the only registered queries still without a driver
+#    row after r6 — the rows-only registrations (no SQL oracle by design:
+#    RNG bucketing, engine hashing, KMeans placement, float partial sums;
+#    each pinned in pytest against an independent implementation) plus
+#    the oracle-backed ``user_erasure``. After these, every one of the
+#    184 registered queries has a driver row and the rotation program
+#    ends.
+# 2. R7_DTYPE_RECHECKS (4): the r6 hash-fails that were bit-identical to
+#    DuckDB but differed in pandas dtype (DuckDB SUM(BIGINT)->HUGEINT /
+#    FLOOR()->DOUBLE render float64 vs Spark int64). Their oracles now
+#    carry CAST(... AS BIGINT); re-windowed to convert the 4 red rows to
+#    green. ``tests/oracle_utils.assert_dtype_kinds_match`` now sweeps
+#    all 160 oracles so the class can't recur.
+# 3. R7_REGRESSION_RECHECKS (34): steady-state regression sweep,
+#    oldest-green-first (the r3 reference-surface families, then r4
+#    greens in source order) — all oracle-backed, all green in a prior
+#    driver round and in every in-repo parity run since.
 # =============================================================================
 
-R7_WINDOW_PLAN = [
+R7_DEBUTS = [
     "lsh_neardup",
     "pq_search",
     "bpe_train",
@@ -986,10 +991,72 @@ R7_WINDOW_PLAN = [
     "semantic_dedup_lsh",  # r6 addition (rows-only scale twin)
 ]
 
-if len(R7_WINDOW_PLAN) != 12:
-    raise RuntimeError(f"R7_WINDOW_PLAN must name 12 queries, got {len(R7_WINDOW_PLAN)}")
-if set(R7_WINDOW_PLAN) & (set(R6_WINDOW) | set(R5_WINDOW)):
-    raise RuntimeError("r7 plan overlaps an earlier window")
-_undefined = [n for n in R7_WINDOW_PLAN if n not in _registry_dict]
-if _undefined:
-    raise RuntimeError(f"R7_WINDOW_PLAN names not registered: {_undefined}")
+R7_DTYPE_RECHECKS = [
+    "rolling_daily",
+    "temperature_sample",
+    "table_profile",
+    "k_anonymity",
+]
+
+R7_REGRESSION_RECHECKS = [
+    # r3 greens: the reference-surface families (oldest first)
+    "node_names",
+    "point_lookup",
+    "exists_probe",
+    "name_ci_lookup",
+    "max_id",
+    "count_nodes",
+    "top_acctbal",
+    "edges_same_college",
+    "edge_counts_by_type",
+    "edges_shares_interest",
+    "merge_idempotent",
+    "edges_with_common",
+    "ingest_students",
+    "normalized_nodes",
+    "health_check",
+    "create_user",
+    "interests_transformed",
+    "two_name_relationship",
+    "common_interests_pair",
+    "fuzzy_search_lev",
+    "fuzzy_best_match",
+    # r4 greens, source order
+    "recommend_people",
+    "dedup_exact",
+    "dedup_jaccard",
+    "dedup_components",
+    "training_filter",
+    "knn_anchor",
+    "degree_stats",
+    "bfs_distances",
+    "pricing_summary",
+    "top_parts_by_revenue",
+    "token_stats",
+    "pii_scrub",
+    "lang_id",
+]
+
+R7_WINDOW = R7_DEBUTS + R7_DTYPE_RECHECKS + R7_REGRESSION_RECHECKS
+
+if len(R7_DEBUTS) != 12:
+    raise RuntimeError(f"R7_DEBUTS must name 12 queries, got {len(R7_DEBUTS)}")
+if len(R7_WINDOW) != 50:
+    raise RuntimeError(f"R7_WINDOW must name exactly 50 queries, got {len(R7_WINDOW)}")
+if len(set(R7_WINDOW)) != 50:
+    raise RuntimeError("R7_WINDOW contains duplicates")
+if set(R7_DEBUTS) & (set(R6_WINDOW) | set(R5_WINDOW)):
+    raise RuntimeError("r7 debuts overlap an earlier window (they must be first-timers)")
+_not_rechecks = [n for n in R7_DTYPE_RECHECKS if n not in R6_WINDOW]
+if _not_rechecks:
+    raise RuntimeError(f"dtype re-checks must come from the r6 window: {_not_rechecks}")
+_missing = [n for n in R7_WINDOW if n not in _PENDING]
+if _missing:
+    raise RuntimeError(f"R7_WINDOW names not defined: {_missing}")
+
+for _name in R7_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()

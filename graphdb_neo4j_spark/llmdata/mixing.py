@@ -94,7 +94,7 @@ ws AS (
 ),
 rates AS (
     SELECT source,
-           FLOOR(MIN(n / w) OVER () * w / n * {_BUCKETS}) AS rate_micro
+           CAST(FLOOR(MIN(n / w) OVER () * w / n * {_BUCKETS}) AS BIGINT) AS rate_micro
     FROM ws
 ),
 b AS (

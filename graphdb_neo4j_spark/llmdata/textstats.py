@@ -1146,7 +1146,7 @@ def table_profile_sql() -> str:
     for c in _PROFILE_COLS:
         per_col.append(
             f"SELECT '{c}' AS column,"
-            f" SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,"
+            f" CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,"
             f" COUNT(DISTINCT {c}) AS n_distinct,"
             f" CAST(MIN({c}) AS VARCHAR) AS min_value,"
             f" CAST(MAX({c}) AS VARCHAR) AS max_value FROM documents"

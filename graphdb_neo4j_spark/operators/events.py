@@ -594,7 +594,7 @@ WITH daily AS (
 SELECT event_type,
        strftime(d, '%Y-%m-%d') AS day,
        n,
-       SUM(n) OVER w AS rolling_n,
+       CAST(SUM(n) OVER w AS BIGINT) AS rolling_n,
        CAST(SUM(sum_value_dec) OVER w AS DOUBLE) AS rolling_sum_value
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY d

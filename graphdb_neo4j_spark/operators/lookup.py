@@ -261,7 +261,7 @@ classes AS (
 )
 SELECT CASE WHEN class_size < {k} THEN 'at_risk' ELSE 'anonymous' END AS band,
        COUNT(*) AS n_classes,
-       SUM(class_size) AS n_records,
+       CAST(SUM(class_size) AS BIGINT) AS n_records,
        MIN(class_size) AS min_class_size
 FROM classes
 GROUP BY 1

@@ -25,6 +25,77 @@ def run_oracle(sql: str, sf_dir: str):
     return con.execute(sql)
 
 
+# --- dtype-kind guard (driver-hash mirror) -----------------------------------
+# The driver hashes *pandas* frames, where int64 != float64 even when every
+# value is numerically equal (the r6 `rolling_daily`/`temperature_sample`/
+# `table_profile`/`k_anonymity` failures: DuckDB SUM(BIGINT)->HUGEINT and
+# FLOOR()->DOUBLE both land as pandas float64 while Spark returns int64, so
+# `123.0` vs `123` hash-mismatches despite zero differing cells). Int *width*
+# is harmless (int32 vs int64 both render `123`); the killer is int-vs-float.
+# We therefore compare the numeric KIND ('i' vs 'f') of every column between
+# `DESCRIBE <oracle sql>` on DuckDB (mapped through its pandas conversion:
+# HUGEINT and DECIMAL become float64) and the Spark schema.
+
+_DUCK_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT_TYPES = {"FLOAT", "DOUBLE", "HUGEINT", "UHUGEINT"}
+
+
+def _duck_kind(duck_type: str) -> str:
+    t = duck_type.upper()
+    if t in _DUCK_INT_TYPES:
+        return "i"
+    if t in _DUCK_FLOAT_TYPES or t.startswith("DECIMAL"):
+        # duckdb's .df() renders HUGEINT and DECIMAL as float64
+        return "f"
+    return "other"
+
+
+def _spark_kind(spark_type) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(spark_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "i"
+    if isinstance(spark_type, (T.FloatType, T.DoubleType)):
+        return "f"
+    if isinstance(spark_type, T.DecimalType):
+        # Spark Decimal collects as decimal.Decimal objects -> pandas object
+        # dtype, which the driver hash renders differently from float64 too;
+        # flag it against any numeric oracle column so the pair gets an
+        # explicit CAST on one side.
+        return "decimal"
+    return "other"
+
+
+def assert_dtype_kinds_match(spark_df, oracle_sql: str, sf_dir: str) -> None:
+    """Fail when a column would hash-mismatch at the driver purely because
+    one side is int and the other float (or Spark-side decimal)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    duck_kinds = {row[0]: _duck_kind(row[1]) for row in desc}
+    spark_kinds = {f.name: _spark_kind(f.dataType) for f in spark_df.schema.fields}
+    bad = []
+    for col, sk in spark_kinds.items():
+        dk = duck_kinds.get(col)
+        if dk is None:
+            continue  # column-name mismatch is caught by the value compare
+        if sk == "decimal" and dk in ("i", "f"):
+            bad.append((col, sk, dk))
+        elif {sk, dk} == {"i", "f"}:
+            bad.append((col, sk, dk))
+    assert not bad, (
+        "driver-hash dtype hazard (int-vs-float renders '123' vs '123.0'): "
+        + ", ".join(f"{c}: spark={s} duckdb={d}" for c, s, d in bad)
+        + " — add CAST(... AS BIGINT)/DOUBLE on one side"
+    )
+
+
 def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -60,6 +131,7 @@ def assert_driver_canonicalizable(spark_df) -> None:
 def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str):
     """Assert the Spark result and the DuckDB oracle result are identical
     up to row/column order (floats rounded to 6 decimals)."""
+    assert_dtype_kinds_match(spark_df, oracle_sql, sf_dir)
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
