@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from graphdb_neo4j_spark.llmdata import repcompress as rc
 from graphdb_neo4j_spark.session import widen_scan
 
 # --- exact dedup ------------------------------------------------------------
@@ -158,6 +159,18 @@ toks AS (SELECT t.doc_id, t.tok FROM toks_all t ANTI JOIN hot h ON t.tok = h.tok
 """
 
 
+def _validate_threshold(threshold: float) -> None:
+    """The compressed paths settle exact-duplicate pairs analytically
+    (Jaccard exactly 1.0) instead of re-filtering them; that is only
+    oracle-equivalent when the threshold admits 1.0, so degenerate
+    parameters fail fast rather than silently diverge (ADVICE r6)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(
+            f"threshold must be in (0, 1], got {threshold!r} — a Jaccard "
+            "similarity never exceeds 1.0"
+        )
+
+
 def _pair_jaccard(toks: DataFrame, inter: DataFrame, threshold: float) -> DataFrame:
     """(a, b, jaccard) from an intersection-count table + per-doc set sizes.
 
@@ -205,6 +218,7 @@ def dedup_jaccard_pairs(
     path is property-testable against a pure-Python reference.
 
     """
+    _validate_threshold(threshold)
     # The pruned token table feeds three different shuffles (join a-side,
     # hot-set agg, per-doc sizes); materialize it once instead of
     # re-running the shingle pipeline per consumer — the single-query
@@ -217,25 +231,15 @@ def dedup_jaccard_pairs(
     toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
         eager=False
     )
-    # EXACT-duplicate compression (r6): identical normalized text ⇒
+    # EXACT-duplicate compression (r6, primitive since r7 — see
+    # repcompress.py for the full argument): identical normalized text ⇒
     # identical post-prune token sets, so the Σ_tok C(df,2) pair join only
-    # needs ONE representative per fingerprint group; every cross-group
-    # pair's jaccard equals its representatives' jaccard, and in-group
-    # pairs are exactly 1.0. On duplication-heavy corpora this divides the
-    # join work by the square of the duplication factor (10× stand-in,
-    # where every doc has 9 exact copies: 28 s → the join runs on 1/10th
-    # the rows); the expansion back to doc pairs is output-sized.
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    member = (
-        docs.select("doc_id", F.md5(norm).alias("fp"))
-        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
-        .select("doc_id", "rep")
-        .localCheckpoint(eager=False)  # consumed by expansion twice + in-group
+    # needs ONE representative per fingerprint group (10× dup-heavy
+    # stand-in: 28 s → 5.7 s).
+    member = rc.exact_dup_members(
+        docs, rc.text_fingerprint("text"), "doc_id"
     )
-    reps = member.filter(F.col("doc_id") == F.col("rep")).select(
-        F.col("rep").alias("doc_id")
-    )
-    rtoks = toks.join(reps, "doc_id", "left_semi")
+    rtoks = toks.join(rc.representatives(member, "doc_id"), "doc_id", "left_semi")
     a = rtoks.select(F.col("doc_id").alias("a"), "tok")
     b = rtoks.select(F.col("doc_id").alias("b"), "tok")
     inter = (
@@ -245,29 +249,13 @@ def dedup_jaccard_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     rep_pairs = _pair_jaccard(rtoks, inter, threshold)
-    # expand rep pairs to all (member_a, member_b) doc pairs
-    ma = member.select(F.col("rep").alias("a"), F.col("doc_id").alias("da"))
-    mb = member.select(F.col("rep").alias("b"), F.col("doc_id").alias("db"))
-    cross = (
-        rep_pairs.join(ma, "a")
-        .join(mb, "b")
-        .select(
-            F.least("da", "db").alias("a"),
-            F.greatest("da", "db").alias("b"),
-            "jaccard",
-        )
-    )
-    # in-group pairs: exact duplicates, jaccard 1.0 — but only for docs in
-    # the near-dup universe (≥1 surviving shingle; zero-shingle docs drop
+    cross = rc.expand_cross_pairs(rep_pairs, member, "doc_id")
+    # in-group pairs: exact duplicates, jaccard 1.0 — restricted to the
+    # near-dup universe (≥1 surviving shingle; zero-shingle docs drop
     # out, same as the oracle)
-    shingled = member.join(toks.select("doc_id").distinct(), "doc_id", "left_semi")
-    g1 = shingled.select("rep", F.col("doc_id").alias("a"))
-    g2 = shingled.select("rep", F.col("doc_id").alias("b"))
-    in_group = (
-        g1.join(g2, "rep")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.lit(1.0).alias("jaccard"))
-    )
+    in_group = rc.expand_in_group_pairs(
+        member, "doc_id", universe=toks.select("doc_id").distinct()
+    ).select("a", "b", F.lit(1.0).alias("jaccard"))
     return cross.unionByName(in_group)
 
 
@@ -380,6 +368,7 @@ def q_dedup_minhash(
     rows-only driver check (engine-specific hashing); pytest compares the
     result against the exhaustive Jaccard pairs.
     """
+    _validate_threshold(threshold)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # Token table hashed to longs ONCE: every downstream consumer
     # (signatures, verification joins, set sizes) works on 8-byte keys
@@ -410,12 +399,7 @@ def q_dedup_minhash(
     # where every doc has 9 exact copies: 78 s → the verify join runs
     # only on the genuinely-near pairs); on dup-light corpora it adds one
     # cheap projection + a candidate-sized join.
-    fp = docs.select(
-        "doc_id",
-        F.md5(
-            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-        ).alias("fp"),
-    )
+    fp = docs.select("doc_id", rc.text_fingerprint("text").alias("fp"))
     cands_fp = (
         cands.join(fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a")), "a")
         .join(fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b")), "b")
@@ -776,25 +760,17 @@ def q_dedup_incremental(
     member) pairs inherit the rep jaccard in both orientations, in-group
     hist×batch pairs are exactly 1.0.
     """
+    _validate_threshold(threshold)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
         eager=False
     )
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    member = (
-        docs.select("doc_id", F.md5(norm).alias("fp"))
-        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
-        .select("doc_id", "rep")
-        .localCheckpoint(eager=False)
-    )
-    reps = member.filter(F.col("doc_id") == F.col("rep")).select(
-        F.col("rep").alias("doc_id")
-    )
+    member = rc.exact_dup_members(docs, rc.text_fingerprint("text"), "doc_id")
     # no second checkpoint: toks is already materialized, and the rep
     # semi-join is cheap to re-derive per consumer (a checkpoint here
     # would write a second corpus-sized token table — measured +15 s
     # at the 10× stand-in)
-    rtoks = toks.join(reps, "doc_id", "left_semi")
+    rtoks = toks.join(rc.representatives(member, "doc_id"), "doc_id", "left_semi")
     # orientation-direct rep join: a-side = reps whose group holds ANY
     # history doc, b-side = reps whose group holds ANY batch doc — each
     # ordered rep pair expands to exactly its (hist member, batch member)
@@ -819,28 +795,29 @@ def q_dedup_incremental(
         .agg(F.count("*").alias("n_inter"))
     )
     rep_pairs = _pair_jaccard(rtoks, inter, threshold)
-    mh = member.filter(F.col("doc_id") % 2 == 0).select(
-        F.col("rep").alias("a"), F.col("doc_id").alias("hist_id")
-    )
-    mb = member.filter(F.col("doc_id") % 2 == 1).select(
-        F.col("rep").alias("b"), F.col("doc_id").alias("new_id")
-    )
-    cross = rep_pairs.join(mh, "a").join(mb, "b").select(
-        "hist_id", "new_id", "jaccard"
-    )
+    cross = rc.expand_cross_pairs(
+        rep_pairs,
+        member,
+        "doc_id",
+        out_a="hist_id",
+        out_b="new_id",
+        filter_a=lambda i: i % 2 == 0,
+        filter_b=lambda i: i % 2 == 1,
+        ordered=False,
+    ).select("hist_id", "new_id", "jaccard")
     # in-group: identical docs across the split boundary, jaccard 1.0
     # (zero-shingle docs stay outside the near-dup universe, as the
     # oracle has it)
-    shingled = member.join(toks.select("doc_id").distinct(), "doc_id", "left_semi")
-    gh = shingled.filter(F.col("doc_id") % 2 == 0).select(
-        "rep", F.col("doc_id").alias("hist_id")
-    )
-    gb = shingled.filter(F.col("doc_id") % 2 == 1).select(
-        "rep", F.col("doc_id").alias("new_id")
-    )
-    in_group = gh.join(gb, "rep").select(
-        "hist_id", "new_id", F.lit(1.0).alias("jaccard")
-    )
+    in_group = rc.expand_in_group_pairs(
+        member,
+        "doc_id",
+        a="hist_id",
+        b="new_id",
+        universe=toks.select("doc_id").distinct(),
+        filter_a=lambda i: i % 2 == 0,
+        filter_b=lambda i: i % 2 == 1,
+        ordered=False,
+    ).select("hist_id", "new_id", F.lit(1.0).alias("jaccard"))
     return cross.unionByName(in_group)
 
 

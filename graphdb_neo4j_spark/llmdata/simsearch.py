@@ -22,9 +22,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from graphdb_neo4j_spark.llmdata import repcompress as rc
 from graphdb_neo4j_spark.session import widen_scan
 from pyspark.sql.types import ArrayType, IntegerType
 
@@ -220,9 +221,13 @@ def ann_search(
        keys, so the index side is FILTERED, not joined. On a persisted
        index partitioned by (table_idx, bucket) these literals are
        partition-pruning predicates — zero-scan probes at rest.
-    2. PLAN from a bounded sample (deterministic ``vec_id % 53`` +
-       ``limit`` → CollectLimit early-stops the scan; ≤2000 rows to the
-       driver regardless of N — planner work, not data movement). For
+    2. PLAN from a bounded sample (``vec_id % 53`` + ordered ``limit``
+       → TakeOrderedAndProject: per-partition top-2000 partials, ≤2000
+       rows to the driver regardless of N — planner work, not data
+       movement; the ordering makes the sample — and therefore the
+       route choice — run-deterministic even when >2000 rows clear the
+       modulus, where an unordered limit is partition-order dependent).
+       For
        each (planes, tables) point on ``ANN_CONFIG_LADDER``, one numpy
        matmul estimates BOTH the candidate fraction (sample collision
        rate with the anchor's probes) and the recall (collision rate of
@@ -291,8 +296,10 @@ def ann_search(
         )
     sample_rows = (
         rest.filter(F.col("vec_id") % _EST_MODULUS == 0)
-        .select("embedding")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")  # deterministic sample ⇒ deterministic route
         .limit(2000)
+        .select("embedding")
         .collect()
     )
     if not sample_rows:
@@ -460,18 +467,8 @@ def lsh_neardup(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         min_bytes=_LINEAR_MIN_BYTES,
     )
-    member = (
-        emb.withColumn(
-            "rep", F.min("vec_id").over(Window.partitionBy("embedding"))
-        )
-        .select("vec_id", "rep")
-        .localCheckpoint(eager=False)  # expansion consumes it twice + in-group
-    )
-    remb = emb.join(
-        member.filter(F.col("vec_id") == F.col("rep")).select("vec_id"),
-        "vec_id",
-        "left_semi",
-    )
+    member = rc.exact_dup_members(emb, F.col("embedding"), "vec_id")
+    remb = emb.join(rc.representatives(member, "vec_id"), "vec_id", "left_semi")
     udf = _make_buckets_udf(n_tables, n_planes)
     # narrow (vec_id, table, bucket) rows, consumed by BOTH sides of the
     # candidate self-join: checkpoint so the Arrow matmul bucketing UDF
@@ -496,33 +493,15 @@ def lsh_neardup(
         .filter(F.col("cosine_raw") >= threshold)
         .select("a", "b", F.round("cosine_raw", 4).alias("cosine"))
     )
-    # expand rep pairs to all (member_a, member_b) doc pairs
-    ma = member.select(F.col("rep").alias("a"), F.col("vec_id").alias("va"))
-    mb = member.select(F.col("rep").alias("b"), F.col("vec_id").alias("vb"))
-    cross = (
-        rep_pairs.join(ma, "a")
-        .join(mb, "b")
-        .select(
-            F.least("va", "vb").alias("a"),
-            F.greatest("va", "vb").alias("b"),
-            "cosine",
-        )
-    )
+    cross = rc.expand_cross_pairs(rep_pairs, member, "vec_id")
     # in-group pairs: identical arrays, cosine = self-dot (≡ what the
     # exact query computes for the pair), threshold-filtered identically
-    self_dot = emb.join(
-        member.filter(F.col("vec_id") == F.col("rep")).select("vec_id"),
-        "vec_id",
-        "left_semi",
-    ).select(
+    self_dot = remb.select(
         F.col("vec_id").alias("rep"),
         _dot(F.col("embedding"), F.col("embedding")).alias("sd_raw"),
     )
-    g1 = member.select("rep", F.col("vec_id").alias("a"))
-    g2 = member.select("rep", F.col("vec_id").alias("b"))
     in_group = (
-        g1.join(g2, "rep")
-        .filter(F.col("a") < F.col("b"))
+        rc.expand_in_group_pairs(member, "vec_id")
         .join(self_dot, "rep")
         .filter(F.col("sd_raw") >= threshold)
         .select("a", "b", F.round("sd_raw", 4).alias("cosine"))

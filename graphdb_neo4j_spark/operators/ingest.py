@@ -197,17 +197,24 @@ def ingest_students(
     # back to a k-row literal: ONE max-id job, zero lineage, no
     # checkpoint barrier.
     allocated = allocate_ids(nodes, normalize_batch(new_raw))
-    # Lineage cut: materialize the allocation ONCE on the executors
-    # (eager checkpoint — one job), then decide the batch's form from a
-    # cheap count over the cached blocks. Small interactive batches (the
-    # reference's POST /students shape) collapse to a driver-side literal
-    # — zero lineage, no re-scan for the several consumers below; large
-    # onboard batches stay on the executors (the r5 unconditional
-    # collect() was silently unbounded driver memory).
+    # Lineage cut: ONE bounded job decides the route AND fetches the
+    # small-batch rows — take(ceiling+1) early-stops once it has enough
+    # rows, so driver memory stays bounded (the r5 unconditional
+    # collect() was silently unbounded) and interactive batches (the
+    # reference's POST /students shape) pay a single job instead of the
+    # r6 eager-checkpoint + count + collect triple. Small batches
+    # collapse to a driver-side literal — zero lineage, no re-scan for
+    # the several consumers below. Only genuinely large onboard batches
+    # pay a second job to materialize on the executors (plain
+    # localCheckpoint there trades recompute-on-executor-loss for the
+    # lineage cut; a lost executor mid-onboard is the rerun-the-batch
+    # case operationally anyway).
     _ROUNDTRIP_CEILING = 100_000
-    batch = allocated.localCheckpoint(eager=True)
-    if batch.count() <= _ROUNDTRIP_CEILING:
-        batch = spark.createDataFrame(batch.collect(), allocated.schema)
+    head = allocated.take(_ROUNDTRIP_CEILING + 1)
+    if len(head) <= _ROUNDTRIP_CEILING:
+        batch = spark.createDataFrame(head, allocated.schema)
+    else:
+        batch = allocated.localCheckpoint(eager=True)
     nodes_after = nodes.unionByName(batch.drop("interests"))
     new_edges = derive_edges_for_batch(
         nodes, customer_interest_pairs_raw(spark, sf_dir), batch

@@ -1,7 +1,9 @@
 """Property-based tests (hypothesis) for the pure kernels: the Indel-ratio
 scorer and connected-components labeling."""
 
+import pytest
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.functions.fuzz import indel_ratio
 
@@ -312,3 +314,95 @@ def test_dedup_jaccard_compression_matches_bruteforce(spark, bases, copies):
     assert set(got) == set(want), (sorted(got), sorted(want))
     for k in want:
         assert abs(got[k] - want[k]) <= 1e-6, k
+
+
+# --- the compression primitives themselves (repcompress.py) ------------------
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 4), min_size=1, max_size=12),
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 4)), max_size=6),
+)
+def test_repcompress_expansion_matches_bruteforce(spark, keys, rep_edges):
+    """expand_cross_pairs + expand_in_group_pairs over exact_dup_members
+    must reproduce exactly the member-level pair set a brute-force
+    expansion gives: for any key assignment and any rep-level pair set,
+    (a) every cross-group member pair appears once with its rep value,
+    (b) every within-group pair appears once, (c) nothing else."""
+    from graphdb_neo4j_spark.llmdata import repcompress as rc
+
+    docs = spark.createDataFrame(
+        [(i, f"k{k}") for i, k in enumerate(keys)], "doc_id long, key string"
+    )
+    member = rc.exact_dup_members(docs, F.col("key"), "doc_id")
+    got_member = {r["doc_id"]: r["rep"] for r in member.collect()}
+    # reference membership: rep = min doc_id per key
+    rep_of_key = {}
+    for i, k in enumerate(keys):
+        rep_of_key.setdefault(k, i)
+    want_member = {i: rep_of_key[k] for i, k in enumerate(keys)}
+    assert got_member == want_member
+
+    groups = {}
+    for i, k in enumerate(keys):
+        groups.setdefault(rep_of_key[k], []).append(i)
+
+    # rep-level pairs: only valid (distinct-rep, ordered) edges survive
+    edges = set()
+    for x, y in rep_edges:
+        kx, ky = f"k{x}", f"k{y}"
+        if kx in rep_of_key and ky in rep_of_key:
+            ra, rb = rep_of_key[kx], rep_of_key[ky]
+            if ra != rb:
+                edges.add((min(ra, rb), max(ra, rb)))
+    edges = sorted(edges)
+    rep_pairs = spark.createDataFrame(
+        [(a, b, float(a * 100 + b)) for a, b in edges] or [(None, None, None)],
+        "a long, b long, score double",
+    ).filter(F.col("a").isNotNull())
+
+    cross = {
+        (r["a"], r["b"]): r["score"]
+        for r in rc.expand_cross_pairs(rep_pairs, member, "doc_id").collect()
+    }
+    want_cross = {}
+    for ra, rb in edges:
+        for ma in groups[ra]:
+            for mb in groups[rb]:
+                want_cross[(min(ma, mb), max(ma, mb))] = float(ra * 100 + rb)
+    assert cross == want_cross
+
+    in_group = {
+        (r["a"], r["b"])
+        for r in rc.expand_in_group_pairs(member, "doc_id").collect()
+    }
+    want_in_group = {
+        (a, b)
+        for members in groups.values()
+        for a in members
+        for b in members
+        if a < b
+    }
+    assert in_group == want_in_group
+    # cross and in-group are disjoint by construction
+    assert not (set(want_cross) & want_in_group)
+
+
+def test_dedup_threshold_validation(spark):
+    """Degenerate thresholds (>1 or <=0) must fail fast: the compressed
+    paths settle exact-dup pairs at literal 1.0 and would otherwise
+    silently diverge from the oracle's WHERE filter (r6 ADVICE)."""
+    from graphdb_neo4j_spark.llmdata.dedup import (
+        dedup_jaccard_pairs,
+        q_dedup_incremental,
+        q_dedup_minhash,
+    )
+
+    docs = spark.createDataFrame([(0, "aaa bbb ccc")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        dedup_jaccard_pairs(docs, threshold=1.5)
+    with pytest.raises(ValueError, match="threshold"):
+        q_dedup_minhash(spark, "/root/testdata/sf0.001", threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        q_dedup_incremental(spark, "/root/testdata/sf0.001", threshold=-0.2)
