@@ -67,11 +67,26 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         return round(best, 3)
 
+    # Iterative queries construct their plan with a driver-side loop that
+    # runs jobs (BFS frontiers, pagerank/LPA iterations, star-collapse,
+    # BPE merge training) — most of their wall time is CONSTRUCTION
+    # (analysis + per-iteration job overhead), not the final count().
+    # Report the split so a round-over-round regression in DATA cost
+    # isn't masked by fixed ANALYSIS cost (r6 verdict #8).
+    iterative = {
+        "bfs_unbounded",
+        "bpe_train",
+        "graph_components",
+        "label_propagation",
+        "pagerank_factored",
+        "pagerank_ppr",
+    }
     # best-of-2 per query: a single pass is hostage to transient host load
     # (observed 1.6× total swing between back-to-back runs with identical
     # code); the min of two passes is the standard steady-state timing and
     # still charges every per-query plan+execute cost.
     timings: dict[str, float] = {}
+    splits: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
     canary()  # discard: absorbs the canary expression's own codegen/JIT
     canaries: list[float] = [canary()]
@@ -79,18 +94,29 @@ def main() -> None:
     for qi, (name, fn) in enumerate(sorted(bench_queries().items())):
         loadavgs.append(round(os.getloadavg()[0], 2))
         best = None
+        best_split: tuple[float, float] | None = None
         for _ in range(2):
             t0 = time.perf_counter()
             try:
-                fn(spark, sf_dir).count()
-                elapsed = time.perf_counter() - t0
-                best = elapsed if best is None else min(best, elapsed)
+                df = fn(spark, sf_dir)
+                t1 = time.perf_counter()
+                df.count()
+                t2 = time.perf_counter()
+                elapsed = t2 - t0
+                if best is None or elapsed < best:
+                    best = elapsed
+                    best_split = (t1 - t0, t2 - t1)
             except Exception as e:  # one broken query must not zero the bench
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
                 break
         if best is not None:
             timings[name] = round(best, 3)
+            if name in iterative and best_split is not None:
+                splits[name] = {
+                    "construct_s": round(best_split[0], 3),
+                    "execute_s": round(best_split[1], 3),
+                }
         # Steady-state isolation: queries localCheckpoint/cache intermediates
         # and streaming runs leave memory-sink tables; unreleased, they pile
         # up across the ~40 bench queries and late-alphabet queries pay the
@@ -120,6 +146,8 @@ def main() -> None:
             "max": max(loadavgs),
         },
     }
+    if splits:
+        out["iterative_split"] = splits
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

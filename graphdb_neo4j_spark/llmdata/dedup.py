@@ -219,26 +219,45 @@ def dedup_jaccard_pairs(
 
     """
     _validate_threshold(threshold)
-    # The pruned token table feeds three different shuffles (join a-side,
-    # hot-set agg, per-doc sizes); materialize it once instead of
-    # re-running the shingle pipeline per consumer — the single-query
-    # analog of the "write the shingle table, then join" step every
-    # at-scale dedup pipeline has (token table ≈ 0.3× corpus bytes).
-    # NOTE the order: pruning uses the FULL-corpus df (the oracle's
-    # semantics — compressing first would change which tokens clear
-    # max_df), and only THEN do exact duplicates collapse to a
-    # representative.
+    toks, member, rep_pairs = _jaccard_rep_level(docs, threshold, width, max_df)
+    cross = rc.expand_cross_pairs(rep_pairs, member, "doc_id")
+    # in-group pairs: exact duplicates, jaccard 1.0 — restricted to the
+    # near-dup universe (≥1 surviving shingle; zero-shingle docs drop
+    # out, same as the oracle)
+    in_group = rc.expand_in_group_pairs(
+        member, "doc_id", universe=toks.select("doc_id").distinct()
+    ).select("a", "b", F.lit(1.0).alias("jaccard"))
+    return cross.unionByName(in_group)
+
+
+def _jaccard_rep_level(
+    docs: DataFrame,
+    threshold: float,
+    width: int,
+    max_df: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared rep-level core of the jaccard family: returns
+    ``(toks, member, rep_pairs)`` where ``rep_pairs`` are the
+    threshold-passing (a, b, jaccard) pairs over exact-duplicate
+    REPRESENTATIVES only. ``dedup_jaccard_pairs`` expands these to doc
+    pairs; ``q_dedup_components`` clusters them directly (components of
+    the expanded graph are recoverable from rep-level components + the
+    membership map, so the quadratic in-group edges never materialize).
+
+    The pruned token table feeds three different shuffles (join a-side,
+    hot-set agg, per-doc sizes); materialize it once instead of
+    re-running the shingle pipeline per consumer — the single-query
+    analog of the "write the shingle table, then join" step every
+    at-scale dedup pipeline has (token table ≈ 0.3× corpus bytes).
+    NOTE the order: pruning uses the FULL-corpus df (the oracle's
+    semantics — compressing first would change which tokens clear
+    max_df), and only THEN do exact duplicates collapse to a
+    representative (r6 measurement: 10× dup-heavy stand-in 28 s → 5.7 s).
+    """
     toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
         eager=False
     )
-    # EXACT-duplicate compression (r6, primitive since r7 — see
-    # repcompress.py for the full argument): identical normalized text ⇒
-    # identical post-prune token sets, so the Σ_tok C(df,2) pair join only
-    # needs ONE representative per fingerprint group (10× dup-heavy
-    # stand-in: 28 s → 5.7 s).
-    member = rc.exact_dup_members(
-        docs, rc.text_fingerprint("text"), "doc_id"
-    )
+    member = rc.exact_dup_members(docs, rc.text_fingerprint("text"), "doc_id")
     rtoks = toks.join(rc.representatives(member, "doc_id"), "doc_id", "left_semi")
     a = rtoks.select(F.col("doc_id").alias("a"), "tok")
     b = rtoks.select(F.col("doc_id").alias("b"), "tok")
@@ -249,14 +268,7 @@ def dedup_jaccard_pairs(
         .agg(F.count("*").alias("n_inter"))
     )
     rep_pairs = _pair_jaccard(rtoks, inter, threshold)
-    cross = rc.expand_cross_pairs(rep_pairs, member, "doc_id")
-    # in-group pairs: exact duplicates, jaccard 1.0 — restricted to the
-    # near-dup universe (≥1 surviving shingle; zero-shingle docs drop
-    # out, same as the oracle)
-    in_group = rc.expand_in_group_pairs(
-        member, "doc_id", universe=toks.select("doc_id").distinct()
-    ).select("a", "b", F.lit(1.0).alias("jaccard"))
-    return cross.unionByName(in_group)
+    return toks, member, rep_pairs
 
 
 def dedup_jaccard_sql(
@@ -583,9 +595,39 @@ def q_dedup_components(
     """Canonical-document assignment: cluster the exact-Jaccard near-dup
     pair graph and emit (doc_id, canonical_id, cluster_size) for every doc
     that belongs to a near-dup cluster. The keep-one-per-cluster policy of
-    a training-data pipeline is then a filter (doc_id = canonical_id)."""
-    pairs = q_dedup_jaccard(spark, sf_dir, threshold, width, max_df)
-    comp = connected_components(pairs)
+    a training-data pipeline is then a filter (doc_id = canonical_id).
+
+    r7: clusters at the REPRESENTATIVE level instead of expanding pairs
+    first. The expanded graph's components are exactly recoverable:
+    every exact-dup group is a clique (its in-group 1.0 edges), so
+    (a) members inherit their rep's component, (b) a group with ≥2
+    shingle-bearing members forms a component even when its rep has no
+    near-dup pair, and (c) component labels agree because rep = min(id)
+    of its group and the label is the component-min id. On a dup-factor-k
+    corpus the iterative label propagation would otherwise re-join the
+    Σ C(g, 2) in-group clique edges EVERY iteration — the same
+    duplicate-quadratic r6 killed in the pair family, but multiplied by
+    the iteration count."""
+    _validate_threshold(threshold)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks, member, rep_pairs = _jaccard_rep_level(docs, threshold, width, max_df)
+    rep_comp = connected_components(rep_pairs.select("a", "b"))
+    # shingle-bearing membership (zero-shingle docs are outside the
+    # near-dup universe, as the oracle has it)
+    shingled = member.join(toks.select("doc_id").distinct(), "doc_id", "left_semi")
+    # groups that form a cluster on their own: ≥2 shingled members and
+    # the rep untouched by any rep-level pair
+    clique_reps = (
+        shingled.groupBy("rep")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("rep").alias("node"), F.col("rep").alias("component"))
+        .join(rep_comp.select("node"), "node", "left_anti")
+    )
+    all_rep_comp = rep_comp.unionByName(clique_reps)
+    comp = shingled.join(
+        all_rep_comp.withColumnRenamed("node", "rep"), "rep"
+    ).select(F.col("doc_id").alias("node"), "component")
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, "component")

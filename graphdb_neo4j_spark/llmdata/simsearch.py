@@ -463,6 +463,34 @@ def lsh_neardup(
     runs on uniques only). Cross-group pairs inherit the representative
     cosine (identical arrays ⇒ identical dot), in-group pairs carry the
     self-dot, threshold-filtered the same way."""
+    member, rep_pairs, self_dot = _lsh_neardup_rep_level(
+        spark, sf_dir, threshold, n_planes, n_tables
+    )
+    cross = rc.expand_cross_pairs(rep_pairs, member, "vec_id")
+    # in-group pairs: identical arrays, cosine = self-dot (≡ what the
+    # exact query computes for the pair), threshold-filtered identically
+    in_group = (
+        rc.expand_in_group_pairs(member, "vec_id")
+        .join(self_dot, "rep")
+        .filter(F.col("sd_raw") >= threshold)
+        .select("a", "b", F.round("sd_raw", 4).alias("cosine"))
+    )
+    return cross.unionByName(in_group)
+
+
+def _lsh_neardup_rep_level(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    n_planes: int = NEARDUP_PLANES,
+    n_tables: int = NEARDUP_TABLES,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Rep-level core of :func:`lsh_neardup`: ``(member, rep_pairs,
+    self_dot)`` where ``rep_pairs`` are the threshold-passing verified
+    (a, b, cosine) pairs over exact-duplicate representatives and
+    ``self_dot`` is each representative's (rep, sd_raw) self product.
+    ``lsh_neardup`` expands these to vector pairs;
+    ``q_semantic_dedup_lsh`` clusters them directly."""
     emb = widen_scan(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         min_bytes=_LINEAR_MIN_BYTES,
@@ -493,20 +521,11 @@ def lsh_neardup(
         .filter(F.col("cosine_raw") >= threshold)
         .select("a", "b", F.round("cosine_raw", 4).alias("cosine"))
     )
-    cross = rc.expand_cross_pairs(rep_pairs, member, "vec_id")
-    # in-group pairs: identical arrays, cosine = self-dot (≡ what the
-    # exact query computes for the pair), threshold-filtered identically
     self_dot = remb.select(
         F.col("vec_id").alias("rep"),
         _dot(F.col("embedding"), F.col("embedding")).alias("sd_raw"),
     )
-    in_group = (
-        rc.expand_in_group_pairs(member, "vec_id")
-        .join(self_dot, "rep")
-        .filter(F.col("sd_raw") >= threshold)
-        .select("a", "b", F.round("sd_raw", 4).alias("cosine"))
-    )
-    return cross.unionByName(in_group)
+    return member, rep_pairs, self_dot
 
 
 def q_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -888,11 +907,31 @@ def q_semantic_dedup_lsh(
     ANY recall: the LSH clustering is a REFINEMENT of the exact one
     (lsh pairs ⊆ exact pairs ⇒ every LSH cluster sits inside one exact
     cluster), and identical vectors always co-cluster (they collide in
-    every band)."""
+    every band).
+
+    r7: clusters at the REPRESENTATIVE level (same argument as
+    ``dedup.q_dedup_components``): exact-dup groups are cliques, so the
+    expanded graph's components = rep-level components + the membership
+    map, plus ≥2-member identical-vector groups whose self-dot clears
+    the threshold as standalone cliques. The iterative label propagation
+    never re-joins the Σ C(g, 2) in-group edges."""
     from graphdb_neo4j_spark.llmdata.dedup import connected_components
 
-    pairs = lsh_neardup(spark, sf_dir, threshold).select("a", "b")
-    comp = connected_components(pairs)
+    member, rep_pairs, self_dot = _lsh_neardup_rep_level(spark, sf_dir, threshold)
+    rep_comp = connected_components(rep_pairs.select("a", "b"))
+    clique_reps = (
+        member.groupBy("rep")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .join(self_dot, "rep")
+        .filter(F.col("sd_raw") >= threshold)
+        .select(F.col("rep").alias("node"), F.col("rep").alias("component"))
+        .join(rep_comp.select("node"), "node", "left_anti")
+    )
+    all_rep_comp = rep_comp.unionByName(clique_reps)
+    comp = member.join(
+        all_rep_comp.withColumnRenamed("node", "rep"), "rep"
+    ).select(F.col("vec_id").alias("node"), "component")
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "component").select(
         F.col("node").alias("vec_id"),

@@ -626,3 +626,39 @@ def test_semantic_dedup_lsh_refines_exact_clustering(spark, sf_correct):
     ]
     for a, b in dup_pairs:
         assert lsh_assign.get(a) == lsh_assign.get(b), (a, b)
+
+
+def test_rep_level_clustering_equals_expanded(spark, sf_correct):
+    """r7: q_dedup_components / q_semantic_dedup_lsh cluster over
+    REPRESENTATIVE pairs and attach members afterwards. Pin exact row
+    equality with the expanded-pair formulation they replaced (same
+    clusters, same labels, same sizes) — the clique argument
+    (components(expanded graph) = rep components + membership +
+    standalone >=2-member exact-dup groups) must hold on real data,
+    including groups untouched by any near-dup pair."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata import dedup as dd
+
+    # expanded formulation, verbatim pre-r7 shape
+    pairs = dd.q_dedup_jaccard(spark, sf_correct)
+    comp = dd.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    old = comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+    new = dd.q_dedup_components(spark, sf_correct)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+    lsh_pairs = simsearch.lsh_neardup(spark, sf_correct, 0.35).select("a", "b")
+    comp = dd.connected_components(lsh_pairs)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    old = comp.join(sizes, "component").select(
+        F.col("node").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+    )
+    new = simsearch.q_semantic_dedup_lsh(spark, sf_correct)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
