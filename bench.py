@@ -16,7 +16,10 @@ with every run so a contaminated recording is visible IN the artifact:
   across rounds) runs first and again after every 8 queries; the JSON
   reports each canary timing and ``canary_drift`` = max/min. Drift > ~1.2
   means the host slowed down mid-run and the late queries' numbers are
-  suspect; compare canary slots to see WHICH stretch.
+  suspect; compare canary slots to see WHICH stretch. (r7: the canary is
+  JIT-warmed to steady state before the first slot and each slot is
+  best-of-3 — without that, the expression's own ~20-execution warm-up
+  ramp baked a ~2x false drift into every artifact.)
 - ``os.getloadavg()`` (1-min) is sampled at each query's start; the JSON
   reports min/mean/max. On this 32-core box a loadavg far above the
   bench's own footprint (~32) flags external load.
@@ -50,22 +53,46 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda batches: batches, "id long"
     ).collect()
+    # Parquet-scan warmup: the first file scan pays FileSourceStrategy,
+    # footer-reader and scan-codegen lazy init (~0.3-0.5 s measured) —
+    # without this the alphabetically-first query (ann_search) absorbs it
+    # and reads 2-3x its steady state in the artifact.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    def canary() -> float:
+    def _canary_once() -> float:
         # Fixed CPU-bound JVM-only work: one wide codegen'd aggregate over
         # a range scan, no shuffle, no Python. NEVER change this expression
-        # — cross-round comparability is the point. Best-of-2 like the
-        # queries, so canary drift reflects sustained host load, not a
-        # single-shot scheduler hiccup.
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            spark.range(200_000_000).selectExpr(
-                "sum(id * 2 + 1) as s", "avg(id % 97) as a"
-            ).collect()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        return round(best, 3)
+        # — cross-round comparability is the point.
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2 + 1) as s", "avg(id % 97) as a"
+        ).collect()
+        return time.perf_counter() - t0
+
+    def canary() -> float:
+        # best-of-5 so a slot reflects sustained host load, not a
+        # scheduler/GC hiccup: the steady-state canary is a ~0.11 s
+        # 32-way job, so its wall time = the slowest core — ONE busy
+        # core inflates a single run by ~30%, and only the min of
+        # several runs converges on host capacity (measured idle-host
+        # singles range 0.14-0.63 s). ~0.6 s per slot, 8 slots.
+        return round(min(_canary_once() for _ in range(5)), 3)
+
+    # The canary expression has its OWN JIT warm-up curve: measured on an
+    # idle host it ramps 0.63 → 0.14 s over ~20 executions (tiered
+    # compilation keeps improving the generated loop), which used to bake
+    # a ~2× "drift" into every artifact regardless of host state
+    # (BENCH_r06's 2.44 drift was partly this instrument artifact, not
+    # only load). Warm a fixed 20 executions (~3 s; the ramp is not
+    # monotone, so an early-break heuristic under-warms), then keep
+    # warming while still improving (cap 10 more) so every recorded slot
+    # measures the same steady-state code.
+    warm_min = min(_canary_once() for _ in range(20))
+    for _ in range(10):
+        x = _canary_once()
+        if x >= warm_min:
+            break
+        warm_min = x
 
     # Iterative queries construct their plan with a driver-side loop that
     # runs jobs (BFS frontiers, pagerank/LPA iterations, star-collapse,
@@ -88,7 +115,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     splits: dict[str, dict[str, float]] = {}
     errors: dict[str, str] = {}
-    canary()  # discard: absorbs the canary expression's own codegen/JIT
     canaries: list[float] = [canary()]
     loadavgs: list[float] = []
     for qi, (name, fn) in enumerate(sorted(bench_queries().items())):

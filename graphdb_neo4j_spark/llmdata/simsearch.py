@@ -260,17 +260,54 @@ def ann_search(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
         min_bytes=_LINEAR_MIN_BYTES,
     )
-    anchor_rows = (
-        emb.filter(F.col("vec_id") == anchor_id).select("embedding").collect()
-    )
     rest = emb.filter(F.col("vec_id") != anchor_id)
+    # fallback_fraction > 1 = the caller FORCES the bucketed route (the
+    # persisted-index parity pattern): the quality/cost guards step aside.
+    forced = fallback_fraction > 1.0
+    if forced and n_planes is not None:
+        # route and config both pinned: no planning needed — one
+        # anchor-only point lookup, no sample job
+        anchor_rows = (
+            emb.filter(F.col("vec_id") == anchor_id).select("embedding").collect()
+        )
+        if not anchor_rows:
+            return rest.select(
+                "vec_id", "label", F.lit(0.0).alias("cosine")
+            ).limit(0)
+        anchor_np = np.asarray(anchor_rows[0][0], dtype="float64")
+        probes = _probe_buckets(
+            anchor_np, multiprobe_bits, n_tables or N_TABLES, n_planes
+        )
+        return _ann_bucketed(
+            rest, anchor_np, probes, k, n_planes, n_tables or N_TABLES
+        )
+
+    # ---- ONE bounded job fetches the anchor AND the planner sample ----
+    # (r7: they were two driver round-trips; on a 0.3 s query the extra
+    # fixed job was most of the ann-vs-brute gap). Sort key (not-anchor,
+    # vec_id) puts the anchor first so it is ALWAYS inside the limit, then
+    # the first 2000 modulus-matched non-anchor rows — the identical
+    # deterministic sample the two-job form drew. TakeOrderedAndProject:
+    # per-partition top-(2001), ≤2001 rows to the driver regardless of N.
+    head = (
+        emb.filter(
+            (F.col("vec_id") == anchor_id)
+            | (F.col("vec_id") % _EST_MODULUS == 0)
+        )
+        .select("vec_id", "embedding")
+        .orderBy((F.col("vec_id") != anchor_id).cast("int"), "vec_id")
+        .limit(2001)
+        .collect()
+    )
+    anchor_rows = [r for r in head if r["vec_id"] == anchor_id]
+    sample_rows = [r for r in head if r["vec_id"] != anchor_id][:2000]
     if not anchor_rows:
         # nonexistent anchor (e.g. an erased vector): empty top-k with the
         # contract schema, matching the r5 behavior — not a driver crash
         return rest.select(
             "vec_id", "label", F.lit(0.0).alias("cosine")
         ).limit(0)
-    anchor_np = np.asarray(anchor_rows[0][0], dtype="float64")
+    anchor_np = np.asarray(anchor_rows[0]["embedding"], dtype="float64")
 
     exact = rest.select(
         "vec_id",
@@ -281,33 +318,12 @@ def ann_search(
         ).alias("cosine"),
     ).orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
-    # ---- plan from a bounded sample ----
-    # fallback_fraction > 1 = the caller FORCES the bucketed route (the
-    # persisted-index parity pattern): the quality/cost guards step aside.
-    forced = fallback_fraction > 1.0
-    if forced and n_planes is not None:
-        # route and config both pinned: no planning needed, skip the
-        # sample job entirely
-        probes = _probe_buckets(
-            anchor_np, multiprobe_bits, n_tables or N_TABLES, n_planes
-        )
-        return _ann_bucketed(
-            rest, anchor_np, probes, k, n_planes, n_tables or N_TABLES
-        )
-    sample_rows = (
-        rest.filter(F.col("vec_id") % _EST_MODULUS == 0)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")  # deterministic sample ⇒ deterministic route
-        .limit(2000)
-        .select("embedding")
-        .collect()
-    )
     if not sample_rows:
         if forced:  # must bucket: no evidence either way → default config
             probes = _probe_buckets(anchor_np, multiprobe_bits)
             return _ann_bucketed(rest, anchor_np, probes, k, N_PLANES, N_TABLES)
         return exact  # empty sample: be conservative, take the exact scan
-    mat = np.asarray([r[0] for r in sample_rows], dtype="float64")
+    mat = np.asarray([r["embedding"] for r in sample_rows], dtype="float64")
     # Analytic hit model per sampled vector: for hyperplane LSH at angle
     # θ to the anchor, per-plane agreement p = 1 − θ/π, per-table hit
     # q(b) = p^b (+ multiprobe terms), any-table hit = 1 − (1−q)^L — the
