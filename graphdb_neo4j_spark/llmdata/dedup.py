@@ -1100,23 +1100,63 @@ def q_dedup_components_incremental(
     them in. Oracle = the FULL-graph recursive-CTE components — the
     incremental fold must be indistinguishable from a fresh clustering.
     """
+    _validate_threshold(threshold)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
         eager=False
     )
+    # r7: the three parity-pair token self-joins run over exact-duplicate
+    # REPRESENTATIVES (same compression as the pair family — full-corpus
+    # df pruning first, then identical-fingerprint docs collapse); each
+    # (parity_l, parity_r) pair set expands back with the repcompress
+    # primitives, oriented for the cross-split sets and ordered for the
+    # within-parity ones. The fold itself (update_components) still
+    # consumes the TRUE expanded pair sets — its contract is the exercise.
+    member = rc.exact_dup_members(docs, rc.text_fingerprint("text"), "doc_id")
+    rtoks = toks.join(rc.representatives(member, "doc_id"), "doc_id", "left_semi")
+    universe = toks.select("doc_id").distinct()
 
     def pairs_between(left_parity: int, right_parity: int) -> DataFrame:
-        a = toks.filter(F.col("doc_id") % 2 == left_parity).select(
-            F.col("doc_id").alias("a"), "tok"
+        same = left_parity == right_parity
+        reps_l = (
+            member.filter(F.col("doc_id") % 2 == left_parity)
+            .select("rep")
+            .distinct()
         )
-        b = toks.filter(F.col("doc_id") % 2 == right_parity).select(
-            F.col("doc_id").alias("b"), "tok"
+        reps_r = (
+            member.filter(F.col("doc_id") % 2 == right_parity)
+            .select("rep")
+            .distinct()
         )
-        inter = a.join(b, "tok")
-        if left_parity == right_parity:
-            inter = inter.filter(F.col("a") < F.col("b"))
+        ta = rtoks.join(
+            reps_l.withColumnRenamed("rep", "doc_id"), "doc_id", "left_semi"
+        ).select(F.col("doc_id").alias("a"), "tok")
+        tb = rtoks.join(
+            reps_r.withColumnRenamed("rep", "doc_id"), "doc_id", "left_semi"
+        ).select(F.col("doc_id").alias("b"), "tok")
+        inter = ta.join(tb, "tok")
+        inter = inter.filter(
+            F.col("a") < F.col("b") if same else F.col("a") != F.col("b")
+        )
         grouped = inter.groupBy("a", "b").agg(F.count("*").alias("n_inter"))
-        return _pair_jaccard(toks, grouped, threshold)
+        rep_pairs = _pair_jaccard(rtoks, grouped, threshold)
+        cross = rc.expand_cross_pairs(
+            rep_pairs,
+            member,
+            "doc_id",
+            filter_a=lambda i: i % 2 == left_parity,
+            filter_b=lambda i: i % 2 == right_parity,
+            ordered=same,
+        )
+        in_group = rc.expand_in_group_pairs(
+            member,
+            "doc_id",
+            universe=universe,
+            filter_a=lambda i: i % 2 == left_parity,
+            filter_b=lambda i: i % 2 == right_parity,
+            ordered=same,
+        ).select("a", "b", F.lit(1.0).alias("jaccard"))
+        return cross.select("a", "b", "jaccard").unionByName(in_group)
 
     hist_components = connected_components(pairs_between(0, 0))
     new_pairs = pairs_between(0, 1).unionByName(pairs_between(1, 1))
