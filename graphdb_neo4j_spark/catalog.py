@@ -1060,3 +1060,46 @@ for _name in R7_WINDOW:
 for _name, _rq in _PENDING.items():
     _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
 _PENDING.clear()
+
+# =============================================================================
+# R8 WINDOW PLAN — staged so next round's rotation is a one-line swap
+# (rename to R8_WINDOW, flush on it, and move R7's names into the
+# history comments). After r7 every registered query has a driver row,
+# so the window is a pure steady-state regression sweep: re-check the
+# 50 queries whose driver row is OLDEST and was not re-checked in r7
+# (the r4 greens not among R7's 34 re-checks, then the r5 window, in
+# source order) — EXCEPT that any query materially CHANGED in a round
+# jumps to the front of that round's window (the r7 precedent: the 4
+# dtype re-checks). r9 takes the next 50 of the pool (rest of R5_WINDOW
+# + R6_WINDOW), and the cycle repeats.
+# =============================================================================
+
+R8_WINDOW_PLAN = [
+    # r4 greens never re-checked since (38)
+    "events_hourly", "events_json", "events_cube", "sessionize",
+    "asof_join", "events_rollup_serve", "stream_hourly", "stream_sessions",
+    "stream_user_counts", "stream_asof", "stream_json", "nl_single_name",
+    "nl_two_name", "nl_codegen_count", "multimodal_stats", "image_meta",
+    "asset_features", "image_resize_plan", "frame_sample", "ann_search",
+    "embedding_norms", "ivf_search", "sketch_profile", "pagerank",
+    "pagerank_factored", "fuzzy_search_indel", "dedup_minhash",
+    "dedup_simhash", "winnowing_fingerprint", "cosine_neardup",
+    "bpe_token_stats", "sequence_pack", "frequent_tokens", "contamination",
+    "quality_scores", "doc_fingerprint", "tfidf_top_terms", "doc_chunks",
+    # oldest r5 greens (12) — incl. the queries whose internals the r7
+    # compression work touched (they re-verify in-repo every run, but a
+    # fresh driver row after a change is the steady-state contract)
+    "stream_rollup", "stream_anomaly", "stream_sessionize", "stream_funnel",
+    "stream_dedup", "stream_interval", "stream_transitions",
+    "dedup_incremental", "dedup_incremental_exact",
+    "dedup_incremental_minhash", "dedup_components_incremental",
+    "quality_classifier",
+]
+
+if len(R8_WINDOW_PLAN) != 50:
+    raise RuntimeError(f"R8_WINDOW_PLAN must name 50 queries, got {len(R8_WINDOW_PLAN)}")
+if set(R8_WINDOW_PLAN) & set(R7_WINDOW):
+    raise RuntimeError("r8 plan overlaps the r7 window (steady-state = oldest first)")
+_undefined = [n for n in R8_WINDOW_PLAN if n not in _registry_dict]
+if _undefined:
+    raise RuntimeError(f"R8_WINDOW_PLAN names not registered: {_undefined}")
