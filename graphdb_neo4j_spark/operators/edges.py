@@ -304,12 +304,19 @@ HAVING COUNT(*) >= {min_common}
 
 def q_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5 MERGE oracle form: merging the SAME_COLLEGE set into itself must be
-    a no-op (count unchanged) — the create-only-if-absent contract."""
+    a no-op (count unchanged) — the create-only-if-absent contract.
+
+    Both merge sides are the same bare (src, dst, type) subtree — NOT
+    decorated with a payload column first (r7): identical projections
+    let the anti-join's two exchanges come out identical, so the
+    quadratic clique-edge derivation is shuffled once and reused instead
+    of executed per side (the full-registry 10× sweep read 434 s here —
+    candidates = the entire Θ(N²/k) edge set is the adversarial-largest
+    MERGE input by design; real merges carry ingest-batch-sized
+    candidate sets, see ``ingest_students``). Payload-carrying merge
+    is exercised by the ingest path and ``test_edges``."""
     edges = q_edges_same_college(spark, sf_dir)
-    merged = merge_edges(
-        edges.withColumn("common", F.lit(None).cast("array<string>")),
-        edges.withColumn("common", F.lit(None).cast("array<string>")),
-    )
+    merged = merge_edges(edges, edges)
     return merged.groupBy("type").agg(F.count("*").alias("n_edges"))
 
 

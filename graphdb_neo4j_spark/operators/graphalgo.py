@@ -311,7 +311,15 @@ SELECT id, ROUND("rank", 6) AS "rank" FROM r{iterations}
 
 def q_pagerank(spark: SparkSession, sf_dir: str, iterations: int = 5) -> DataFrame:
     """PageRank over the SAME_COLLEGE ∪ SAME_BOARD graph (the two clique
-    families give meaningful rank spread), rounded for stable comparison."""
+    families give meaningful rank spread), rounded for stable comparison.
+
+    This is the EDGE-WALK exactness baseline (same disposition as
+    ``semantic_dedup``/``cosine_neardup``): it materializes the Θ(N²/k)
+    clique edges the DuckDB oracle mirrors, so its cost is quadratic in
+    attribute-group size by construction — the r7 full-registry 10×
+    sweep measured it accordingly. The scale path is
+    :func:`q_pagerank_factored` (O(N·|attrs|)/iteration, identical
+    ranks, pytest-pinned + its own driver row); at 100 TB run THAT."""
     from graphdb_neo4j_spark.operators.edges import derive_attribute_edges
 
     nodes = customer_nodes(spark, sf_dir)

@@ -142,6 +142,20 @@ def test_factored_bfs_equals_edge_walk(spark, sf_dir):
     }
     assert fac == walk
 
+    # bounded form (q_bfs_distances' r7 shape): depth caps factor
+    # identically because both walks are level-synchronous
+    walk2 = {
+        r["id"]: r["dist"]
+        for r in bfs_distances(graph.edges_undirected(), 1, max_depth=2).collect()
+    }
+    fac2 = {
+        r["id"]: r["dist"]
+        for r in bfs_clique_factored(
+            nodes, 1, ("college", "address"), max_depth=2
+        ).collect()
+    }
+    assert fac2 == walk2
+
 
 def test_factored_bfs_null_and_empty_attrs(spark):
     """NULL/'' attributes join nothing: a node reachable only through a
