@@ -34,6 +34,16 @@ with every run so a contaminated recording is visible IN the artifact:
 - ``os.getloadavg()`` (1-min) is sampled at each query's start; the JSON
   reports min/mean/max. On this 32-core box a loadavg far above the
   bench's own footprint (~32) flags external load.
+
+Record-until-clean (round-8): two consecutive driver artifacts failed the
+canary's own taint bar (r6 drift 2.44, r7 drift 3.21 vs bar 1.6) because
+the harness shipped whatever single recording it got. The builder cannot
+control driver-time host load, so the harness now retries: run a full
+recording, check ``canary_drift``; while tainted (> 1.6), discard and
+re-run, up to 3 attempts total. The shipped JSON is the FIRST clean
+attempt (or, if all are tainted, the attempt with the LOWEST drift plus
+an explicit ``all_attempts_tainted: true`` marker), and every attempt's
+drift/total is recorded under ``attempts`` so the selection is auditable.
 """
 
 from __future__ import annotations
@@ -45,6 +55,17 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+# Taint bar for canary_drift (calibrated r7: idle-host floor 1.3-1.55,
+# verified discriminative at 1.6 — see the module docstring).
+TAINT_BAR = 1.6
+MAX_ATTEMPTS = 3
+# Retry only while there is wall-clock room for another full attempt: a
+# missing artifact (driver kills a long run) is worse than a tainted one.
+# The budget is total bench wall; a retry launches only if the elapsed
+# time plus the measured cost of the last attempt fits inside it.
+TIME_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
 
 
 def main() -> None:
@@ -119,85 +140,137 @@ def main() -> None:
         "pagerank_factored",
         "pagerank_ppr",
     }
-    # best-of-2 per query: a single pass is hostage to transient host load
-    # (observed 1.6× total swing between back-to-back runs with identical
-    # code); the min of two passes is the standard steady-state timing and
-    # still charges every per-query plan+execute cost.
-    timings: dict[str, float] = {}
-    splits: dict[str, dict[str, float]] = {}
-    errors: dict[str, str] = {}
-    canaries: list[float] = [canary()]
-    loadavgs: list[float] = []
-    for qi, (name, fn) in enumerate(sorted(bench_queries().items())):
-        loadavgs.append(round(os.getloadavg()[0], 2))
-        best = None
-        best_split: tuple[float, float] | None = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            try:
-                df = fn(spark, sf_dir)
-                t1 = time.perf_counter()
-                df.count()
-                t2 = time.perf_counter()
-                elapsed = t2 - t0
-                if best is None or elapsed < best:
-                    best = elapsed
-                    best_split = (t1 - t0, t2 - t1)
-            except Exception as e:  # one broken query must not zero the bench
-                errors[name] = f"{type(e).__name__}: {e}"[:300]
-                print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
-                break
-        if best is not None:
-            timings[name] = round(best, 3)
-            if name in iterative and best_split is not None:
-                splits[name] = {
-                    "construct_s": round(best_split[0], 3),
-                    "execute_s": round(best_split[1], 3),
-                }
-        # Steady-state isolation: queries localCheckpoint/cache intermediates
-        # and streaming runs leave memory-sink tables; unreleased, they pile
-        # up across the ~40 bench queries and late-alphabet queries pay the
-        # GC thrash (observed 2-4× inflation on stream_asof/training_filter
-        # vs the same query in a fresh session). Python gc triggers py4j
-        # detach so the ContextCleaner can drop the blocks; clearCache drops
-        # explicit caches; System.gc() compacts before the next timing.
-        spark.catalog.clearCache()
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        if (qi + 1) % 8 == 0:
-            canaries.append(canary())
-    canaries.append(canary())
 
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "canary": canaries,
-        "canary_drift": round(max(canaries) / max(min(canaries), 1e-9), 3),
-        # cross-RUN channel: within-run drift misses a UNIFORM slowdown
-        # (every slot slow, ratio flat); compare canary_min across
-        # recordings/rounds instead — measured clean-host floor ~0.10 s,
-        # and a uniformly-slow run (total 113 s vs 81 s twin) read 0.121.
-        "canary_min": min(canaries),
-        "loadavg": {
-            "min": min(loadavgs),
-            "mean": round(sum(loadavgs) / len(loadavgs), 2),
-            "max": max(loadavgs),
-        },
-    }
-    if splits:
-        out["iterative_split"] = splits
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    def record() -> dict:
+        """One full recording pass over every bench query; returns the
+        artifact dict (the retry loop below decides whether to ship it).
+
+        best-of-2 per query: a single pass is hostage to transient host
+        load (observed 1.6× total swing between back-to-back runs with
+        identical code); the min of two passes is the standard
+        steady-state timing and still charges every per-query
+        plan+execute cost."""
+        timings: dict[str, float] = {}
+        splits: dict[str, dict[str, float]] = {}
+        errors: dict[str, str] = {}
+        canaries: list[float] = [canary()]
+        loadavgs: list[float] = []
+        for qi, (name, fn) in enumerate(sorted(bench_queries().items())):
+            loadavgs.append(round(os.getloadavg()[0], 2))
+            best = None
+            best_split: tuple[float, float] | None = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                try:
+                    df = fn(spark, sf_dir)
+                    t1 = time.perf_counter()
+                    df.count()
+                    t2 = time.perf_counter()
+                    elapsed = t2 - t0
+                    if best is None or elapsed < best:
+                        best = elapsed
+                        best_split = (t1 - t0, t2 - t1)
+                except Exception as e:  # one broken query must not zero the bench
+                    errors[name] = f"{type(e).__name__}: {e}"[:300]
+                    print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+                    break
+            if best is not None:
+                timings[name] = round(best, 3)
+                if name in iterative and best_split is not None:
+                    splits[name] = {
+                        "construct_s": round(best_split[0], 3),
+                        "execute_s": round(best_split[1], 3),
+                    }
+            # Steady-state isolation: queries localCheckpoint/cache
+            # intermediates and streaming runs leave memory-sink tables;
+            # unreleased, they pile up across the ~40 bench queries and
+            # late-alphabet queries pay the GC thrash (observed 2-4×
+            # inflation on stream_asof/training_filter vs the same query in
+            # a fresh session). Python gc triggers py4j detach so the
+            # ContextCleaner can drop the blocks; clearCache drops explicit
+            # caches; System.gc() compacts before the next timing.
+            spark.catalog.clearCache()
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            if (qi + 1) % 8 == 0:
+                canaries.append(canary())
+        canaries.append(canary())
+
+        total = round(sum(timings.values()), 3)
+        out = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "canary": canaries,
+            "canary_drift": round(max(canaries) / max(min(canaries), 1e-9), 3),
+            # cross-RUN channel: within-run drift misses a UNIFORM slowdown
+            # (every slot slow, ratio flat); compare canary_min across
+            # recordings/rounds instead — measured clean-host floor ~0.10 s,
+            # and a uniformly-slow run (total 113 s vs 81 s twin) read 0.121.
+            "canary_min": round(min(canaries), 3),
+            "loadavg": {
+                "min": min(loadavgs),
+                "mean": round(sum(loadavgs) / len(loadavgs), 2),
+                "max": max(loadavgs),
+            },
+        }
+        if splits:
+            out["iterative_split"] = splits
+        if errors:
+            out["errors"] = errors
+        return out
+
+    # ---- record-until-clean (r8) ----
+    # A recording whose canary_drift exceeds the taint bar measured HOST
+    # LOAD, not the code under test; discard it and re-record (up to
+    # MAX_ATTEMPTS), shipping the first clean attempt. Every attempt's
+    # drift/total ships in the JSON so the selection is auditable; if all
+    # attempts are tainted, ship the lowest-drift one plus an explicit
+    # ``all_attempts_tainted`` marker. A query ERROR is code, not load —
+    # ship immediately (retrying cannot fix it and must not mask it).
+    attempts: list[dict] = []
+    chosen: dict | None = None
+    bench_t0 = time.perf_counter()
+    for _ in range(MAX_ATTEMPTS):
+        att_t0 = time.perf_counter()
+        rec = record()
+        att_wall = time.perf_counter() - att_t0
+        attempts.append(rec)
+        if rec.get("errors") or rec["canary_drift"] <= TAINT_BAR:
+            chosen = rec
+            break
+        print(
+            f"BENCH TAINTED attempt {len(attempts)}: canary_drift "
+            f"{rec['canary_drift']} > {TAINT_BAR}, re-recording",
+            file=sys.stderr,
+        )
+        if time.perf_counter() - bench_t0 + att_wall > TIME_BUDGET_S:
+            print(
+                f"BENCH BUDGET: no room for another ~{att_wall:.0f}s attempt "
+                f"inside {TIME_BUDGET_S:.0f}s, shipping best so far",
+                file=sys.stderr,
+            )
+            break
+    if chosen is None:
+        chosen = min(attempts, key=lambda r: r["canary_drift"])
+        chosen["all_attempts_tainted"] = True
+    chosen["attempts"] = [
+        {
+            "canary_drift": r["canary_drift"],
+            "canary_min": r["canary_min"],
+            "total": r["value"],
+            "selected": r is chosen,
+        }
+        for r in attempts
+    ]
+    print(json.dumps(chosen))
     spark.stop()
     # non-zero exit still signals the failure to the driver, but the JSON
     # line above preserves every healthy query's timing (round-2 lesson:
     # one broken family zeroed the whole bench)
-    if errors:
+    if chosen.get("errors"):
         sys.exit(1)
 
 

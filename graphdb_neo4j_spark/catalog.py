@@ -9,10 +9,10 @@ is additionally hash-checked in-repo by ``tests/test_oracle_parity.py``
 regardless of window position).
 
 Mechanics: ``register`` below COLLECTS entries in source order; the
-``R7_WINDOW`` list at the bottom of this file then flushes the named 50
+``R8_WINDOW`` list at the bottom of this file then flushes the named 50
 to the real registry first and everything else after, so rotating the
 window is a list edit, not a code move. Driver-row history — this is
-the COMPLETE 184-query schedule; the rotation program ends at r7:
+the COMPLETE 184-query schedule; the rotation program ended at r7:
 
 - r1-r3 greens: the reference-surface families (lookup/edge/ingest/
   fuzzy/relationship/recommend/paths) + the r2/r3 analytics batches.
@@ -31,15 +31,18 @@ the COMPLETE 184-query schedule; the rotation program ends at r7:
   bfs_unbounded), the r5-late additions (hopping, temporal_join,
   stream_enrich, TPC-H Q7/Q8/Q9), CDC, profiling. 46/50 hash-green;
   the 4 fails were oracle-dtype artifacts (values bit-identical).
-- r7 window (THIS round, = the 50 names in ``R7_WINDOW``): the final
-  12 debuts (rows-only registrations — RNG bucketing / engine hashing /
-  KMeans placement / float partial sums, each pytest-pinned against an
-  independent implementation — plus oracle-backed ``user_erasure``),
-  the 4 r6 dtype re-checks (oracles now CAST ... AS BIGINT), and 34
-  oldest-green regression re-checks. After r7 every registered query
-  has a driver row and the window is a steady-state regression sweep
-  (re-run the 50 most recently CHANGED queries; absent changes,
-  oldest-green-first).
+- r7 greens (= ``R7_WINDOW``, kept below as history/overlap guard): the
+  final 12 debuts (rows-only registrations — RNG bucketing / engine
+  hashing / KMeans placement / float partial sums, each pytest-pinned
+  against an independent implementation — plus oracle-backed
+  ``user_erasure``), the 4 r6 dtype re-checks (oracles now CAST ... AS
+  BIGINT), and 34 oldest-green regression re-checks. 39/39 oracle-backed
+  green, 11 rows-only debuts clean — after r7 every registered query
+  has a driver row.
+- r8 window (THIS round, = the 50 names in ``R8_WINDOW``): the
+  steady-state regression sweep begins — ``weighted_distances`` first
+  (changed: oracle-promoted this round), then 49 oldest-green re-checks
+  (the r4 greens R7 didn't reach, then the oldest r5 greens).
 """
 
 from __future__ import annotations
@@ -736,8 +739,12 @@ register(
 register(
     "weighted_distances",
     lambda spark, sf: paths.q_weighted_distances(spark, sf),
-    None,  # iterative min-plus fixpoint has no SQL mirror;
-    # Dijkstra parity pinned in tests/test_paths.py
+    # r8 (VERDICT r7 #4): oracle-promoted — the bounded-round min-plus
+    # fixpoint unrolls into one MIN-per-id CTE level per round (a
+    # recursive CTE would enumerate every ≤6-hop path); bit-exact by
+    # induction, see weighted_distances_sql. Dijkstra parity additionally
+    # pinned in tests/test_paths.py.
+    paths.weighted_distances_sql(),
 )
 register(
     "k_anonymity",
@@ -1054,27 +1061,32 @@ _missing = [n for n in R7_WINDOW if n not in _PENDING]
 if _missing:
     raise RuntimeError(f"R7_WINDOW names not defined: {_missing}")
 
-for _name in R7_WINDOW:
-    _rq = _PENDING.pop(_name)
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-for _name, _rq in _PENDING.items():
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-_PENDING.clear()
-
 # =============================================================================
-# R8 WINDOW PLAN — staged so next round's rotation is a one-line swap
-# (rename to R8_WINDOW, flush on it, and move R7's names into the
-# history comments). After r7 every registered query has a driver row,
-# so the window is a pure steady-state regression sweep: re-check the
-# 50 queries whose driver row is OLDEST and was not re-checked in r7
-# (the r4 greens not among R7's 34 re-checks, then the r5 window, in
-# source order) — EXCEPT that any query materially CHANGED in a round
-# jumps to the front of that round's window (the r7 precedent: the 4
-# dtype re-checks). r9 takes the next 50 of the pool (rest of R5_WINDOW
-# + R6_WINDOW), and the cycle repeats.
+# R8 WINDOW — the 50 names the driver's correctness harness records THIS
+# round, executing the plan staged in r7 (oldest-green-first) with the
+# changed-queries-first rule applied (the r7 precedent: the 4 dtype
+# re-checks). Two blocks:
+#
+# 1. R8_CHANGED (1): queries whose registration materially changed in
+#    r8 and therefore need a FRESH driver row — ``weighted_distances``
+#    was oracle-PROMOTED this round (rows-only → DuckDB min-plus unroll,
+#    VERDICT r7 #4); its r7 row was rows-only, so the new hash check has
+#    never run at the driver.
+# 2. R8_STEADY (49): the staged steady-state regression sweep,
+#    oldest-green-first — the r4 greens not among R7's 34 re-checks,
+#    then the oldest r5 greens in source order. The one name the
+#    changed-first swap displaces (``quality_classifier``, the NEWEST
+#    green in the staged list) moves to the front of the r9 plan.
+#
+# r9 takes the next 50 of the pool (displaced + rest of R5_WINDOW +
+# R6_WINDOW names not re-checked since), and the cycle repeats.
 # =============================================================================
 
-R8_WINDOW_PLAN = [
+R8_CHANGED = [
+    "weighted_distances",
+]
+
+R8_STEADY = [
     # r4 greens never re-checked since (38)
     "events_hourly", "events_json", "events_cube", "sessionize",
     "asof_join", "events_rollup_serve", "stream_hourly", "stream_sessions",
@@ -1086,20 +1098,72 @@ R8_WINDOW_PLAN = [
     "dedup_simhash", "winnowing_fingerprint", "cosine_neardup",
     "bpe_token_stats", "sequence_pack", "frequent_tokens", "contamination",
     "quality_scores", "doc_fingerprint", "tfidf_top_terms", "doc_chunks",
-    # oldest r5 greens (12) — incl. the queries whose internals the r7
+    # oldest r5 greens (11) — incl. the queries whose internals the r7
     # compression work touched (they re-verify in-repo every run, but a
     # fresh driver row after a change is the steady-state contract)
     "stream_rollup", "stream_anomaly", "stream_sessionize", "stream_funnel",
     "stream_dedup", "stream_interval", "stream_transitions",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash", "dedup_components_incremental",
-    "quality_classifier",
 ]
 
-if len(R8_WINDOW_PLAN) != 50:
-    raise RuntimeError(f"R8_WINDOW_PLAN must name 50 queries, got {len(R8_WINDOW_PLAN)}")
-if set(R8_WINDOW_PLAN) & set(R7_WINDOW):
-    raise RuntimeError("r8 plan overlaps the r7 window (steady-state = oldest first)")
-_undefined = [n for n in R8_WINDOW_PLAN if n not in _registry_dict]
+R8_WINDOW = R8_CHANGED + R8_STEADY
+
+if len(R8_WINDOW) != 50:
+    raise RuntimeError(f"R8_WINDOW must name exactly 50 queries, got {len(R8_WINDOW)}")
+if len(set(R8_WINDOW)) != 50:
+    raise RuntimeError("R8_WINDOW contains duplicates")
+if set(R8_STEADY) & set(R7_WINDOW):
+    raise RuntimeError("r8 steady block overlaps the r7 window (steady-state = oldest first)")
+_missing = [n for n in R8_WINDOW if n not in _PENDING]
+if _missing:
+    raise RuntimeError(f"R8_WINDOW names not defined: {_missing}")
+
+for _name in R8_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()
+
+# =============================================================================
+# R9 WINDOW PLAN — staged so next round's rotation is a one-line swap
+# (rename to R9_WINDOW, flush on it, move R8's names into history).
+# Oldest-green-first: the name R8's changed-first swap displaced, then
+# the rest of the r5 greens in source order, then the oldest r6 greens
+# (skipping the four R7 dtype re-checks — their rows are r7-fresh).
+# Any query materially changed in r9 jumps to the front, displacing the
+# newest names here to r10.
+# =============================================================================
+
+R9_WINDOW_PLAN = [
+    # displaced from the staged r8 list by the changed-first swap (1)
+    "quality_classifier",
+    # rest of the r5 greens, source order (38)
+    "quality_classifier_hashed", "quality_gate", "bigram_logprob",
+    "corpus_drift", "events_anomaly", "shipping_priority", "nation_revenue",
+    "late_shipment_priority", "promo_revenue_disjunctive",
+    "top_return_customers", "order_priority_check", "dormant_customers",
+    "small_lot_revenue", "big_orders", "brand_supplier_counts",
+    "order_count_distribution", "lone_late_supplier",
+    "cheapest_supplier_per_part", "revenue_rollup", "balance_ntiles",
+    "cumulative_revenue", "node_similarity", "graph_components",
+    "dedup_representatives", "events_pivot", "events_unpivot",
+    "segment_overlap", "event_transitions", "session_paths",
+    "embedding_pca", "cluster_medoids", "bm25_search", "hybrid_search",
+    "gap_fill", "scd2_customers", "weighted_sample", "decontaminated",
+    "domain_stats",
+    # oldest r6 greens, source order, minus the r7 dtype re-checks (11)
+    "repetition_scores", "holdout_split", "unigram_logprob",
+    "funnel_counts", "retention_cohorts", "dedup_segments",
+    "stratified_sample", "semantic_dedup", "events_quantiles",
+    "top_parts_per_nation", "triangle_counts",
+]
+
+if len(R9_WINDOW_PLAN) != 50:
+    raise RuntimeError(f"R9_WINDOW_PLAN must name 50 queries, got {len(R9_WINDOW_PLAN)}")
+if set(R9_WINDOW_PLAN) & set(R8_WINDOW):
+    raise RuntimeError("r9 plan overlaps the r8 window (steady-state = oldest first)")
+_undefined = [n for n in R9_WINDOW_PLAN if n not in _registry_dict]
 if _undefined:
-    raise RuntimeError(f"R8_WINDOW_PLAN names not registered: {_undefined}")
+    raise RuntimeError(f"R9_WINDOW_PLAN names not registered: {_undefined}")

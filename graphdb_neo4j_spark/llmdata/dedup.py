@@ -163,7 +163,14 @@ def _validate_threshold(threshold: float) -> None:
     """The compressed paths settle exact-duplicate pairs analytically
     (Jaccard exactly 1.0) instead of re-filtering them; that is only
     oracle-equivalent when the threshold admits 1.0, so degenerate
-    parameters fail fast rather than silently diverge (ADVICE r6)."""
+    parameters fail fast rather than silently diverge (ADVICE r6).
+
+    Non-positive thresholds are rejected DELIBERATELY as degenerate
+    parameters, not for oracle-equivalence: a threshold ≤ 0 admits every
+    pair (the compressed result would still match the oracle since the
+    literal 1.0 in-group score passes any such filter), but it turns the
+    near-dup query into an all-pairs cross product — never a meaningful
+    request, so it fails fast too (ADVICE r7)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(
             f"threshold must be in (0, 1], got {threshold!r} — a Jaccard "

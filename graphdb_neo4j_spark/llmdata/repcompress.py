@@ -40,6 +40,8 @@ expansion sides + in-group) and its lineage is a corpus scan.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -81,8 +83,8 @@ def expand_cross_pairs(
     b: str = "b",
     out_a: str | None = None,
     out_b: str | None = None,
-    filter_a: Column | None = None,
-    filter_b: Column | None = None,
+    filter_a: Callable[[Column], Column] | None = None,
+    filter_b: Callable[[Column], Column] | None = None,
     ordered: bool = True,
 ) -> DataFrame:
     """Rep-level pairs ``(a, b, *values)`` → member-level pairs, carrying
@@ -127,8 +129,8 @@ def expand_in_group_pairs(
     a: str = "a",
     b: str = "b",
     universe: DataFrame | None = None,
-    filter_a: Column | None = None,
-    filter_b: Column | None = None,
+    filter_a: Callable[[Column], Column] | None = None,
+    filter_b: Callable[[Column], Column] | None = None,
     ordered: bool = True,
 ) -> DataFrame:
     """All (a, b, rep) pairs *within* exact-duplicate groups — the pairs

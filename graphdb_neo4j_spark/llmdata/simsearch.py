@@ -286,8 +286,10 @@ def ann_search(
     # (r7: they were two driver round-trips; on a 0.3 s query the extra
     # fixed job was most of the ann-vs-brute gap). Sort key (not-anchor,
     # vec_id) puts the anchor first so it is ALWAYS inside the limit, then
-    # the first 2000 modulus-matched non-anchor rows — the identical
-    # deterministic sample the two-job form drew. TakeOrderedAndProject:
+    # the first 2000 modulus-matched non-anchor rows — a DETERMINISTIC
+    # sample (id-ordered prefix), unlike the prior form's unordered
+    # limit(2000), which was partition-order dependent; route choices can
+    # therefore differ from pre-r7 recordings. TakeOrderedAndProject:
     # per-partition top-(2001), ≤2001 rows to the driver regardless of N.
     head = (
         emb.filter(

@@ -365,3 +365,55 @@ def q_weighted_distances(
     )
     out = weighted_distances(edges, source_id, max_rounds=max_rounds)
     return out.select("id", F.round("dist", 6).alias("dist"))
+
+
+def weighted_distances_sql(source_id: int = 1, max_rounds: int = 6) -> str:
+    """DuckDB mirror of :func:`q_weighted_distances` (r8, promoting the
+    last oracle-promotable rows-only registration — VERDICT r7 #4).
+
+    The Spark side is a SYNCHRONOUS round-based Bellman-Ford: round r+1's
+    distance per node = MIN(incumbent, MIN over in-edges of dist(u)+w).
+    A recursive CTE can't mirror that directly (the walk would enumerate
+    every ≤6-hop path — exponential on clique-ish interest graphs), but
+    the fixpoint unrolls EXACTLY: one CTE level per round, each level a
+    MIN-per-id over (previous level ∪ relaxed candidates). Level size is
+    bounded by |nodes|, so the oracle is 6 bounded joins, not a walk.
+
+    Float equality holds bit-for-bit by induction: every candidate is
+    prev_dist + w with both engines in IEEE double (edge w is
+    ROUND(1.0/n, 6) in both), and MIN is exact — so round r's values are
+    identical across engines whenever round r-1's are. The final
+    ROUND(dist, 6) matches the Spark query's cross-engine guard."""
+    from graphdb_neo4j_spark.sources.tpch import CUST_PARTS_CTE
+
+    levels = []
+    for r in range(1, max_rounds + 1):
+        levels.append(
+            f"""d{r} AS (
+    SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM d{r - 1}
+        UNION ALL
+        SELECT e.v AS id, d.dist + e.w AS dist
+        FROM d{r - 1} d JOIN und e ON e.u = d.id
+    ) GROUP BY id
+)"""
+        )
+    level_sql = ",\n".join(levels)
+    return f"""
+WITH {CUST_PARTS_CTE.strip()},
+edges AS (
+    SELECT a.id AS src, b.id AS dst,
+           ROUND(CAST(1.0 AS DOUBLE) / COUNT(*), 6) AS w
+    FROM cust_parts a JOIN cust_parts b
+      ON a.interest = b.interest AND a.id < b.id
+    GROUP BY a.id, b.id
+),
+und AS (
+    SELECT src AS u, dst AS v, w FROM edges
+    UNION ALL
+    SELECT dst AS u, src AS v, w FROM edges
+),
+d0 AS (SELECT CAST({source_id} AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist),
+{level_sql}
+SELECT id, ROUND(dist, 6) AS dist FROM d{max_rounds}
+"""

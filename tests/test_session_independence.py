@@ -17,10 +17,18 @@ oracle-identical results on a session with *adversarial* defaults:
 - ``spark.sql.execution.arrow.pyspark.enabled = false`` (conversion
   fast path off; pandas_udf execution is unaffected by this conf).
 
-One query per family, each on a FRESH ``newSession()`` (same JVM,
-separate SQLConf) because some operators self-heal by setting session
-confs — a shared session would let the first query fix the config for
-the rest and mask a dependence.
+Every query runs on a FRESH ``newSession()`` (same JVM, separate
+SQLConf) because some operators self-heal by setting session confs — a
+shared session would let the first query fix the config for the rest
+and mask a dependence.
+
+r8 (VERDICT r7 #5): widened from 12 family picks to ALL 54 bench
+queries — the exact set the driver times on ITS OWN session, so every
+timed query is pinned config-independent, not just one per family.
+Oracle-backed queries verify against DuckDB on the adversarial session;
+rows-only queries (no SQL mirror by design) verify the adversarial
+session's rows are IDENTICAL to the default session's rows — config
+independence is Spark-vs-Spark even where no oracle exists.
 """
 
 import pytest
@@ -36,32 +44,42 @@ _ADVERSARIAL = {
     "spark.sql.execution.arrow.pyspark.enabled": "false",
 }
 
-# one oracle-backed query per family; comments name the dependence the
-# pick is most exposed to
-_FAMILY_PICKS = [
+_QUERIES = all_queries()
+
+# ALL bench queries (what the driver times), plus the original r6 family
+# picks that aren't benched — keeps the r6 families covered while the
+# sweep's primary contract is now the bench surface.
+_EXTRA_FAMILY_PICKS = [
     "name_ci_lookup",       # lookup: lower() — ICU vs JVM case mapping
-    "fuzzy_search_lev",     # fuzzy: expression cascade over names
-    "edges_same_college",   # join family: skew + AQE interplay
-    "events_hourly",        # events: nanos fixture + date_format in session tz
     "rolling_daily",        # events windows: range frame over dates
-    "stream_hourly",        # streaming: availableNow micro-batch, same fixture
-    "dedup_jaccard",        # dedup: compression primitive + shingle joins
-    "token_stats",          # textstats: regex tokenize
     "temperature_sample",   # mixing: integer LCG arithmetic
-    "pricing_summary",      # OLAP: decimal aggs cast to double
     "triangle_counts",      # graph: factored triangle join
     "knn_join",             # simsearch: float dot products
 ]
+_SWEEP = sorted(
+    {n for n, rq in _QUERIES.items() if rq.bench} | set(_EXTRA_FAMILY_PICKS)
+)
 
-_QUERIES = all_queries()
+
+def _rows_canon(df):
+    cols = sorted(df.columns)
+    return sorted(
+        (tuple(repr(r[c]) for c in cols) for r in df.collect()), key=repr
+    )
 
 
-@pytest.mark.parametrize("name", _FAMILY_PICKS)
+@pytest.mark.parametrize("name", _SWEEP)
 def test_query_is_session_config_independent(name, spark, sf_correct):
     fresh = spark.newSession()
     for k, v in _ADVERSARIAL.items():
         fresh.conf.set(k, v)
     rq = _QUERIES[name]
-    assert rq.oracle is not None, f"{name} must be oracle-backed for this sweep"
     df = rq.fn(fresh, sf_correct)
-    assert_matches_oracle(df, rq.oracle, sf_correct)
+    if rq.oracle is not None:
+        assert_matches_oracle(df, rq.oracle, sf_correct)
+    else:
+        # rows-only by design: adversarial session must reproduce the
+        # default session bit-for-bit (repr-canonical rows)
+        assert _rows_canon(df) == _rows_canon(rq.fn(spark, sf_correct)), (
+            f"{name}: adversarial-session rows differ from default session"
+        )
