@@ -314,7 +314,13 @@ def q_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates = the entire Θ(N²/k) edge set is the adversarial-largest
     MERGE input by design; real merges carry ingest-batch-sized
     candidate sets, see ``ingest_students``). Payload-carrying merge
-    is exercised by the ingest path and ``test_edges``."""
+    is exercised by the ingest path and ``test_edges``.
+
+    r8: an ``xxhash64(src,dst,type)`` single-key anti-join was A/B'd at
+    10× (narrow-pruned and shared-subtree forms) and REJECTED — AQE
+    already reuses the derivation exchange here, so the hash only adds
+    ~900M hash evaluations (interleaved best-of-3: 3-column form wins
+    every rep, 257-382 s vs 449-588 s; numbers in PLANS.md)."""
     edges = q_edges_same_college(spark, sf_dir)
     merged = merge_edges(edges, edges)
     return merged.groupBy("type").agg(F.count("*").alias("n_edges"))
