@@ -40,9 +40,10 @@ the COMPLETE 184-query schedule; the rotation program ended at r7:
   green, 11 rows-only debuts clean — after r7 every registered query
   has a driver row.
 - r8 window (THIS round, = the 50 names in ``R8_WINDOW``): the
-  steady-state regression sweep begins — ``weighted_distances`` first
-  (changed: oracle-promoted this round), then 49 oldest-green re-checks
-  (the r4 greens R7 didn't reach, then the oldest r5 greens).
+  steady-state regression sweep begins — ``weighted_distances`` and
+  ``graph_components`` first (changed: both oracle-promoted this
+  round), then 48 oldest-green re-checks (the r4 greens R7 didn't
+  reach, then the oldest r5 greens).
 """
 
 from __future__ import annotations
@@ -654,8 +655,13 @@ register("events_unpivot", events.q_events_unpivot, events.EVENTS_UNPIVOT_SQL)
 register(
     "graph_components",
     lambda spark, sf: graphalgo.q_graph_components(spark, sf),
-    None,  # transitive closure infeasible in SQL at this density;
-    # union-find parity pinned in tests/test_graphalgo.py
+    # r8: oracle-promoted — NOT via the transitive closure (infeasible at
+    # this density, the pre-r8 rows-only reason) but by unrolling the
+    # bipartite min-label propagation itself, one materialized CTE level
+    # per round; equal by construction whether or not the Spark loop
+    # early-stops (see graph_components_sql). Union-find parity pytest
+    # kept as the independent cross-check.
+    graphalgo.graph_components_sql(),
     bench=True,  # heavyweight: iterative min-label propagation
 )
 register(
@@ -866,7 +872,7 @@ R5_WINDOW = [
     "revenue_rollup",
     "balance_ntiles",
     "cumulative_revenue",
-    # graph analytics (3; graph_components is rows-only by design)
+    # graph analytics (3; graph_components was rows-only until its r8 oracle promotion)
     "node_similarity",
     "graph_components",
     "dedup_representatives",
@@ -1067,16 +1073,19 @@ if _missing:
 # changed-queries-first rule applied (the r7 precedent: the 4 dtype
 # re-checks). Two blocks:
 #
-# 1. R8_CHANGED (1): queries whose registration materially changed in
+# 1. R8_CHANGED (2): queries whose registration materially changed in
 #    r8 and therefore need a FRESH driver row — ``weighted_distances``
-#    was oracle-PROMOTED this round (rows-only → DuckDB min-plus unroll,
-#    VERDICT r7 #4); its r7 row was rows-only, so the new hash check has
+#    (oracle-PROMOTED: rows-only → DuckDB min-plus unroll, VERDICT r7
+#    #4) and ``graph_components`` (oracle-PROMOTED: rows-only → the
+#    bipartite min-label propagation unrolled as materialized CTE
+#    levels). Their prior rows were rows-only, so the hash checks have
 #    never run at the driver.
-# 2. R8_STEADY (49): the staged steady-state regression sweep,
+# 2. R8_STEADY (48): the staged steady-state regression sweep,
 #    oldest-green-first — the r4 greens not among R7's 34 re-checks,
-#    then the oldest r5 greens in source order. The one name the
-#    changed-first swap displaces (``quality_classifier``, the NEWEST
-#    green in the staged list) moves to the front of the r9 plan.
+#    then the oldest r5 greens in source order. The two names the
+#    changed-first swaps displace (``quality_classifier`` and
+#    ``dedup_components_incremental``, the NEWEST greens in the staged
+#    list) move to the front of the r9 plan.
 #
 # r9 takes the next 50 of the pool (displaced + rest of R5_WINDOW +
 # R6_WINDOW names not re-checked since), and the cycle repeats.
@@ -1084,6 +1093,7 @@ if _missing:
 
 R8_CHANGED = [
     "weighted_distances",
+    "graph_components",
 ]
 
 R8_STEADY = [
@@ -1098,13 +1108,13 @@ R8_STEADY = [
     "dedup_simhash", "winnowing_fingerprint", "cosine_neardup",
     "bpe_token_stats", "sequence_pack", "frequent_tokens", "contamination",
     "quality_scores", "doc_fingerprint", "tfidf_top_terms", "doc_chunks",
-    # oldest r5 greens (11) — incl. the queries whose internals the r7
+    # oldest r5 greens (10) — incl. the queries whose internals the r7
     # compression work touched (they re-verify in-repo every run, but a
     # fresh driver row after a change is the steady-state contract)
     "stream_rollup", "stream_anomaly", "stream_sessionize", "stream_funnel",
     "stream_dedup", "stream_interval", "stream_transitions",
     "dedup_incremental", "dedup_incremental_exact",
-    "dedup_incremental_minhash", "dedup_components_incremental",
+    "dedup_incremental_minhash",
 ]
 
 R8_WINDOW = R8_CHANGED + R8_STEADY
@@ -1137,9 +1147,10 @@ _PENDING.clear()
 # =============================================================================
 
 R9_WINDOW_PLAN = [
-    # displaced from the staged r8 list by the changed-first swap (1)
-    "quality_classifier",
-    # rest of the r5 greens, source order (38)
+    # displaced from the staged r8 list by the changed-first swaps (2)
+    "quality_classifier", "dedup_components_incremental",
+    # rest of the r5 greens, source order (37; graph_components moved
+    # into R8_CHANGED by its r8 oracle promotion)
     "quality_classifier_hashed", "quality_gate", "bigram_logprob",
     "corpus_drift", "events_anomaly", "shipping_priority", "nation_revenue",
     "late_shipment_priority", "promo_revenue_disjunctive",
@@ -1147,7 +1158,7 @@ R9_WINDOW_PLAN = [
     "small_lot_revenue", "big_orders", "brand_supplier_counts",
     "order_count_distribution", "lone_late_supplier",
     "cheapest_supplier_per_part", "revenue_rollup", "balance_ntiles",
-    "cumulative_revenue", "node_similarity", "graph_components",
+    "cumulative_revenue", "node_similarity",
     "dedup_representatives", "events_pivot", "events_unpivot",
     "segment_overlap", "event_transitions", "session_paths",
     "embedding_pca", "cluster_medoids", "bm25_search", "hybrid_search",

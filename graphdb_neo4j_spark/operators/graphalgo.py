@@ -1010,11 +1010,75 @@ def q_graph_components(
     )
 
 
-# No SQL oracle for graph_components: a DuckDB mirror must materialize the
-# pair graph and take its transitive closure — the people graph is one dense
-# giant component (every attribute clique overlaps), so the closure is
-# Θ(N²)-row with Θ(E·N) join work and times out at sf0.01 where the factored
-# bipartite propagation finishes in seconds. That blow-up is the point of
-# the factored form; correctness is pinned instead by a driver-side
-# union-find parity test over the SAME incidence pairs
-# (tests/test_graphalgo.py::test_graph_components_matches_union_find).
+def graph_components_sql(max_iterations: int = 20) -> str:
+    """DuckDB mirror of :func:`q_graph_components` (r8 oracle promotion).
+
+    A pair-graph transitive closure is infeasible at this density (the
+    people graph is one dense giant component: Θ(N²)-row closure, timed
+    out at sf0.01 — the pre-r8 reason this query was rows-only). The
+    mirror instead unrolls the SAME bipartite min-label propagation the
+    Spark side runs: one CTE level per round, each level = group label
+    (min member label per group key) → node min over its groups →
+    least(incumbent, group-min). Every level is ≤|nodes| rows and two
+    joins over the O(N·attrs) incidence — the factored form's own cost
+    shape, so the oracle finishes in milliseconds where the closure
+    blew up.
+
+    Equality is by CONSTRUCTION, not by a diameter bound: the update
+    f(labels) is a deterministic function, Spark applies it k ≤
+    ``max_iterations`` times stopping at the first fixpoint application
+    (further applications are then no-ops), and the SQL applies it
+    exactly ``max_iterations`` times — identical labels whether or not
+    the loop early-stopped. The union-find parity test
+    (tests/test_graphalgo.py) stays as the independent cross-check."""
+    levels = []
+    for r in range(1, max_iterations + 1):
+        # AS MATERIALIZED: each level references the previous one TWICE
+        # (incumbent + the group-min subquery); DuckDB inlines plain CTEs,
+        # which doubles the tree per level — 2^20 copies of the base scans
+        # exhausts file handles before it exhausts time. Materializing
+        # evaluates each level once, the shape the Spark loop has anyway.
+        levels.append(
+            f"""l{r} AS MATERIALIZED (
+    SELECT l.id,
+           LEAST(l.label, COALESCE(nm.gmin, l.label)) AS label
+    FROM l{r - 1} l LEFT JOIN (
+        SELECT i2.id, MIN(g.glabel) AS gmin
+        FROM inc i2 JOIN (
+            SELECT i.gk, MIN(lv.label) AS glabel
+            FROM inc i JOIN l{r - 1} lv ON i.id = lv.id
+            GROUP BY i.gk
+        ) g ON i2.gk = g.gk
+        GROUP BY i2.id
+    ) nm ON l.id = nm.id
+)"""
+        )
+    level_sql = ",\n".join(levels)
+    return f"""
+WITH {NODES_CTE.strip()},
+{CUST_PARTS_CTE.strip()},
+inc AS MATERIALIZED (
+    SELECT id, 'college:' || college AS gk FROM nodes
+      WHERE college IS NOT NULL AND college <> ''
+    UNION ALL
+    SELECT id, 'board:' || board FROM nodes
+      WHERE board IS NOT NULL AND board <> ''
+    UNION ALL
+    SELECT id, 'stream:' || stream FROM nodes
+      WHERE stream IS NOT NULL AND stream <> ''
+    UNION ALL
+    SELECT id, 'address:' || address FROM nodes
+      WHERE address IS NOT NULL AND address <> ''
+    UNION ALL
+    SELECT id, 'i:' || interest FROM cust_parts
+),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM nodes),
+{level_sql},
+sizes AS (
+    SELECT label, COUNT(*) AS component_size FROM l{max_iterations} GROUP BY label
+)
+SELECT l.id,
+       CAST(l.label AS BIGINT) AS component,
+       CAST(s.component_size AS BIGINT) AS component_size
+FROM l{max_iterations} l JOIN sizes s ON l.label = s.label
+"""

@@ -388,8 +388,11 @@ def weighted_distances_sql(source_id: int = 1, max_rounds: int = 6) -> str:
 
     levels = []
     for r in range(1, max_rounds + 1):
+        # AS MATERIALIZED: each level references the previous one twice
+        # (incumbent union + relax join); DuckDB inlines plain CTEs, so
+        # the tree doubles per level — 2^6 is tolerable but pointless.
         levels.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
     SELECT id, MIN(dist) AS dist FROM (
         SELECT id, dist FROM d{r - 1}
         UNION ALL

@@ -7,7 +7,7 @@ land as pandas float64, while Spark returns int64 — so the hash saw
 ``123.0`` vs ``123`` over bit-identical results. The guard compares the
 numeric *kind* of every shared column between ``DESCRIBE <oracle sql>``
 (mapped through duckdb's pandas conversion) and the Spark schema, and runs
-inside ``assert_matches_oracle`` so the full 161-oracle parity sweep
+inside ``assert_matches_oracle`` so the full oracle parity sweep (every oracle-backed registration)
 enforces it.
 """
 
