@@ -155,11 +155,20 @@ def main() -> None:
         errors: dict[str, str] = {}
         canaries: list[float] = [canary()]
         loadavgs: list[float] = []
+        dispersion: dict[str, dict[str, float]] = {}
         for qi, (name, fn) in enumerate(sorted(bench_queries().items())):
             loadavgs.append(round(os.getloadavg()[0], 2))
+            reps: list[float] = []
             best = None
             best_split: tuple[float, float] | None = None
-            for _ in range(2):
+            # Sub-second queries are hostage to VM noise: r8's verdict
+            # chased 2x "regressions" on 0.2-1.2 s queries whose code was
+            # byte-identical to r7. Give them a 3rd rep so the shipped min
+            # reflects steady state, and ship min/med dispersion per query
+            # so a wide spread self-identifies as noise (VERDICT r8 #4).
+            for rep in range(3):
+                if rep == 2 and (best is None or best >= 1.0):
+                    break
                 t0 = time.perf_counter()
                 try:
                     df = fn(spark, sf_dir)
@@ -167,6 +176,7 @@ def main() -> None:
                     df.count()
                     t2 = time.perf_counter()
                     elapsed = t2 - t0
+                    reps.append(elapsed)
                     if best is None or elapsed < best:
                         best = elapsed
                         best_split = (t1 - t0, t2 - t1)
@@ -176,6 +186,13 @@ def main() -> None:
                     break
             if best is not None:
                 timings[name] = round(best, 3)
+                srt = sorted(reps)
+                mid = len(srt) // 2
+                med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+                dispersion[name] = {
+                    "min": round(srt[0], 3),
+                    "med": round(med, 3),
+                }
                 if name in iterative and best_split is not None:
                     splits[name] = {
                         "construct_s": round(best_split[0], 3),
@@ -216,6 +233,8 @@ def main() -> None:
                 "max": max(loadavgs),
             },
         }
+        if dispersion:
+            out["dispersion"] = dispersion
         if splits:
             out["iterative_split"] = splits
         if errors:
@@ -238,21 +257,36 @@ def main() -> None:
         rec = record()
         att_wall = time.perf_counter() - att_t0
         attempts.append(rec)
-        if rec.get("errors") or rec["canary_drift"] <= TAINT_BAR:
+        if rec.get("errors"):
+            # A query ERROR is code, not load — ship immediately. If the
+            # errored attempt is ALSO load-tainted, say so explicitly so
+            # downstream consumers need not re-derive it from canary_drift
+            # (ADVICE r8).
+            if rec["canary_drift"] > TAINT_BAR:
+                rec["tainted"] = True
             chosen = rec
             break
-        print(
-            f"BENCH TAINTED attempt {len(attempts)}: canary_drift "
-            f"{rec['canary_drift']} > {TAINT_BAR}, re-recording",
-            file=sys.stderr,
-        )
+        if rec["canary_drift"] <= TAINT_BAR:
+            chosen = rec
+            break
+        # Budget check BEFORE announcing a re-record: the old order printed
+        # "re-recording" and then immediately shipped when the budget was
+        # exhausted — misleading stderr (ADVICE r8).
         if time.perf_counter() - bench_t0 + att_wall > TIME_BUDGET_S:
             print(
-                f"BENCH BUDGET: no room for another ~{att_wall:.0f}s attempt "
-                f"inside {TIME_BUDGET_S:.0f}s, shipping best so far",
+                f"BENCH BUDGET: attempt {len(attempts)} tainted (drift "
+                f"{rec['canary_drift']} > {TAINT_BAR}) but no room for "
+                f"another ~{att_wall:.0f}s attempt inside "
+                f"{TIME_BUDGET_S:.0f}s, shipping best so far",
                 file=sys.stderr,
             )
             break
+        if len(attempts) < MAX_ATTEMPTS:
+            print(
+                f"BENCH TAINTED attempt {len(attempts)}: canary_drift "
+                f"{rec['canary_drift']} > {TAINT_BAR}, re-recording",
+                file=sys.stderr,
+            )
     if chosen is None:
         chosen = min(attempts, key=lambda r: r["canary_drift"])
         chosen["all_attempts_tainted"] = True

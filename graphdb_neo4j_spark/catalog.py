@@ -91,7 +91,11 @@ register(
     events_stream.q_stream_sessions,
     events_stream.STREAM_SESSIONS_SQL,
 )
-register("stream_user_counts", events_stream.q_stream_user_counts, None)
+register(
+    "stream_user_counts",
+    events_stream.q_stream_user_counts,
+    events_stream.STREAM_USER_COUNTS_SQL,  # r9 oracle promotion
+)
 register("stream_asof", events_stream.q_stream_asof, events.ASOF_JOIN_SQL, bench=True)
 register("stream_json", events_stream.q_stream_json, events.EVENTS_JSON_SQL)
 

@@ -934,9 +934,14 @@ WHERE rank <= {k}
 
 # --- weakly connected components (factored, no clique materialization) --------
 
+# Shared by q_graph_components AND graph_components_sql: the oracle is an
+# exact unroll of the Spark loop, so both sides must run the same round
+# count — one constant, two defaults (ADVICE r8).
+COMPONENTS_MAX_ITERS = 20
+
 
 def q_graph_components(
-    spark: SparkSession, sf_dir: str, max_iterations: int = 20
+    spark: SparkSession, sf_dir: str, max_iterations: int = COMPONENTS_MAX_ITERS
 ) -> DataFrame:
     """(id, component, component_size) over the WHOLE derived people graph
     (all 4 attribute edge types + SHARES_INTEREST) — GDS ``wcc`` for the
@@ -1010,7 +1015,7 @@ def q_graph_components(
     )
 
 
-def graph_components_sql(max_iterations: int = 20) -> str:
+def graph_components_sql(max_iterations: int = COMPONENTS_MAX_ITERS) -> str:
     """DuckDB mirror of :func:`q_graph_components` (r8 oracle promotion).
 
     A pair-graph transitive closure is infeasible at this density (the

@@ -27,6 +27,13 @@ from graphdb_neo4j_spark.sources.tpch import NODES_CTE, customer_nodes
 
 DEFAULT_MAX_DEPTH = 3
 
+# Shared by q_weighted_distances AND weighted_distances_sql: the oracle
+# hash-match only holds when both sides run the same source node and the
+# same number of relaxation rounds, so the defaults live in one place
+# (ADVICE r8 — duplicated literals desynchronize silently).
+WEIGHTED_SOURCE_ID = 1
+WEIGHTED_MAX_ROUNDS = 6
+
 
 def bfs_distances(
     edges_undirected: DataFrame, source_id: int, max_depth: int = DEFAULT_MAX_DEPTH
@@ -340,7 +347,10 @@ def weighted_distances(
 
 
 def q_weighted_distances(
-    spark: SparkSession, sf_dir: str, source_id: int = 1, max_rounds: int = 6
+    spark: SparkSession,
+    sf_dir: str,
+    source_id: int = WEIGHTED_SOURCE_ID,
+    max_rounds: int = WEIGHTED_MAX_ROUNDS,
 ) -> DataFrame:
     """Registered form: cheapest-route distances from one student over
     SHARES_INTEREST edges weighted by affinity — w = 1/|common interests|
@@ -367,7 +377,9 @@ def q_weighted_distances(
     return out.select("id", F.round("dist", 6).alias("dist"))
 
 
-def weighted_distances_sql(source_id: int = 1, max_rounds: int = 6) -> str:
+def weighted_distances_sql(
+    source_id: int = WEIGHTED_SOURCE_ID, max_rounds: int = WEIGHTED_MAX_ROUNDS
+) -> str:
     """DuckDB mirror of :func:`q_weighted_distances` (r8, promoting the
     last oracle-promotable rows-only registration — VERDICT r7 #4).
 

@@ -588,16 +588,30 @@ def q_stream_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom applyInPandasWithState operator run to completion. Update-mode
-    emissions are per-micro-batch, so the row set depends on batch split —
-    registered rows-only; the pytest invariant checks final totals."""
+    """Custom applyInPandasWithState operator drained with availableNow,
+    then reduced to the final per-user totals (r9 oracle promotion —
+    VERDICT r8 #2). Update-mode emissions are per-micro-batch (row set
+    depends on batch split), but each emission is the user's RUNNING
+    count, monotone non-decreasing across batches — so max-per-user over
+    the emissions is exactly the final state, which equals the batch
+    ``COUNT(*) GROUP BY user_id``. Same reduction discipline as
+    :func:`q_stream_funnel`; the raw-emission form stays covered by
+    tests/test_streaming.py."""
     ev = stream_events(spark, sf_dir)
-    return run_available_now(
+    sink = run_available_now(
         spark,
         user_counts_stateful_stream(ev),
         "stream_user_counts_sink",
         output_mode="update",
     )
+    return sink.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+STREAM_USER_COUNTS_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
 
 
 # --- streaming funnel (stateful, exact under disorder) -----------------------

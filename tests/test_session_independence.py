@@ -79,7 +79,17 @@ def test_query_is_session_config_independent(name, spark, sf_correct):
         assert_matches_oracle(df, rq.oracle, sf_correct)
     else:
         # rows-only by design: adversarial session must reproduce the
-        # default session bit-for-bit (repr-canonical rows)
+        # default session bit-for-bit (repr-canonical rows).
+        #
+        # DETERMINISM REQUIREMENT (ADVICE r8): this branch compares raw
+        # reprs between two sessions that differ in shuffle partitioning
+        # (200 vs the default 32), so any FUTURE rows-only bench
+        # registration must produce values independent of aggregation
+        # order — integer/exact results, or floats derived via
+        # order-insensitive exact ops (min/max/count) or rounded to the
+        # same 6-decimal convention the oracle comparison uses. A float
+        # sum whose value depends on partition-merge order WILL flake
+        # here; round it in the query itself, not in this test.
         assert _rows_canon(df) == _rows_canon(rq.fn(spark, sf_correct)), (
             f"{name}: adversarial-session rows differ from default session"
         )
