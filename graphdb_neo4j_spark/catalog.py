@@ -9,7 +9,7 @@ is additionally hash-checked in-repo by ``tests/test_oracle_parity.py``
 regardless of window position).
 
 Mechanics: ``register`` below COLLECTS entries in source order; the
-``R8_WINDOW`` list at the bottom of this file then flushes the named 50
+``R9_WINDOW`` list at the bottom of this file then flushes the named 50
 to the real registry first and everything else after, so rotating the
 window is a list edit, not a code move. Driver-row history — this is
 the COMPLETE 184-query schedule; the rotation program ended at r7:
@@ -39,11 +39,15 @@ the COMPLETE 184-query schedule; the rotation program ended at r7:
   BIGINT), and 34 oldest-green regression re-checks. 39/39 oracle-backed
   green, 11 rows-only debuts clean — after r7 every registered query
   has a driver row.
-- r8 window (THIS round, = the 50 names in ``R8_WINDOW``): the
-  steady-state regression sweep begins — ``weighted_distances`` and
-  ``graph_components`` first (changed: both oracle-promoted this
-  round), then 48 oldest-green re-checks (the r4 greens R7 didn't
-  reach, then the oldest r5 greens).
+- r8 greens (= ``R8_WINDOW``, kept below as history/overlap guard):
+  ``weighted_distances`` and ``graph_components`` first (changed: both
+  oracle-promoted that round), then 48 oldest-green re-checks (the r4
+  greens R7 didn't reach, then the oldest r5 greens). 40/50 hash-green,
+  10 rows-only by documented design, 0 errors.
+- r9 window (THIS round, = the 50 names in ``R9_WINDOW``):
+  changed-first — ``stream_user_counts`` (oracle-promoted),
+  ``graph_components``/``weighted_distances`` (construct-time loop
+  restructure) — then the 47 oldest staged steady-state re-checks.
 """
 
 from __future__ import annotations
@@ -1133,28 +1137,37 @@ _missing = [n for n in R8_WINDOW if n not in _PENDING]
 if _missing:
     raise RuntimeError(f"R8_WINDOW names not defined: {_missing}")
 
-for _name in R8_WINDOW:
-    _rq = _PENDING.pop(_name)
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-for _name, _rq in _PENDING.items():
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-_PENDING.clear()
-
 # =============================================================================
-# R9 WINDOW PLAN — staged so next round's rotation is a one-line swap
-# (rename to R9_WINDOW, flush on it, move R8's names into history).
-# Oldest-green-first: the name R8's changed-first swap displaced, then
-# the rest of the r5 greens in source order, then the oldest r6 greens
-# (skipping the four R7 dtype re-checks — their rows are r7-fresh).
-# Any query materially changed in r9 jumps to the front, displacing the
-# newest names here to r10.
+# R9 WINDOW — the 50 names the driver's correctness harness records THIS
+# round. Two blocks, per the standing changed-queries-first rule:
+#
+# 1. R9_CHANGED (3): registrations that materially changed in r9 —
+#    ``stream_user_counts`` (oracle-PROMOTED: rows-only → max-per-user
+#    reduction over the monotone update emissions, oracled by the batch
+#    COUNT(*) GROUP BY — VERDICT r8 #2), and ``graph_components`` /
+#    ``weighted_distances`` (construct-time restructure: changed-flag
+#    folded into the lazily-checkpointed per-round frame, fused round 1 —
+#    VERDICT r8 #3; the relax function is algebraically unchanged so the
+#    unrolled SQL oracles still mirror it, but a restructured loop needs
+#    a fresh driver row). All three were in R8_WINDOW; changed-first
+#    overrides the no-repeat rule (the r8 precedent).
+# 2. R9_STEADY (47): the staged steady-state sweep from last round's
+#    R9_WINDOW_PLAN, oldest-green-first. The 3 names the changed-first
+#    swaps displace (``events_quantiles``, ``top_parts_per_nation``,
+#    ``triangle_counts`` — the NEWEST greens in the staged list) move to
+#    the front of the r10 plan.
 # =============================================================================
 
-R9_WINDOW_PLAN = [
-    # displaced from the staged r8 list by the changed-first swaps (2)
+R9_CHANGED = [
+    "stream_user_counts",
+    "graph_components",
+    "weighted_distances",
+]
+
+R9_STEADY = [
+    # displaced from the staged r8 list by the r8 changed-first swaps (2)
     "quality_classifier", "dedup_components_incremental",
-    # rest of the r5 greens, source order (37; graph_components moved
-    # into R8_CHANGED by its r8 oracle promotion)
+    # rest of the r5 greens, source order (37)
     "quality_classifier_hashed", "quality_gate", "bigram_logprob",
     "corpus_drift", "events_anomaly", "shipping_priority", "nation_revenue",
     "late_shipment_priority", "promo_revenue_disjunctive",
@@ -1168,17 +1181,66 @@ R9_WINDOW_PLAN = [
     "embedding_pca", "cluster_medoids", "bm25_search", "hybrid_search",
     "gap_fill", "scd2_customers", "weighted_sample", "decontaminated",
     "domain_stats",
-    # oldest r6 greens, source order, minus the r7 dtype re-checks (11)
+    # oldest r6 greens, source order, minus the r7 dtype re-checks (8)
     "repetition_scores", "holdout_split", "unigram_logprob",
     "funnel_counts", "retention_cohorts", "dedup_segments",
-    "stratified_sample", "semantic_dedup", "events_quantiles",
-    "top_parts_per_nation", "triangle_counts",
+    "stratified_sample", "semantic_dedup",
 ]
 
-if len(R9_WINDOW_PLAN) != 50:
-    raise RuntimeError(f"R9_WINDOW_PLAN must name 50 queries, got {len(R9_WINDOW_PLAN)}")
-if set(R9_WINDOW_PLAN) & set(R8_WINDOW):
-    raise RuntimeError("r9 plan overlaps the r8 window (steady-state = oldest first)")
-_undefined = [n for n in R9_WINDOW_PLAN if n not in _registry_dict]
+R9_WINDOW = R9_CHANGED + R9_STEADY
+
+if len(R9_WINDOW) != 50:
+    raise RuntimeError(f"R9_WINDOW must name exactly 50 queries, got {len(R9_WINDOW)}")
+if len(set(R9_WINDOW)) != 50:
+    raise RuntimeError("R9_WINDOW contains duplicates")
+if set(R9_STEADY) & set(R8_WINDOW):
+    raise RuntimeError("r9 steady block overlaps the r8 window (steady-state = oldest first)")
+_missing = [n for n in R9_WINDOW if n not in _PENDING]
+if _missing:
+    raise RuntimeError(f"R9_WINDOW names not defined: {_missing}")
+
+for _name in R9_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()
+
+# =============================================================================
+# R10 WINDOW PLAN — staged so next round's rotation is a one-line swap
+# (rename to R10_WINDOW, flush on it, move R9's names into history).
+# Oldest-green-first: the 3 names R9's changed-first swaps displaced,
+# then the queries whose last driver row is r6 (source order), then the
+# oldest r7 rows (source order; 37 of the 49 fit — the rest open r11).
+# Any query materially changed in r10 jumps to the front, displacing the
+# newest names here to r11.
+# =============================================================================
+
+R10_WINDOW_PLAN = [
+    # displaced from the staged r9 list by the changed-first swaps (3)
+    "events_quantiles", "top_parts_per_nation", "triangle_counts",
+    # last driver row r6, source order (10)
+    "ppmi_topk", "training_order", "interval_join", "forecast_revenue",
+    "source_scorecard", "group_sample", "integrity_check",
+    "value_histogram", "asof_forward", "user_profile",
+    # last driver row r6, source order (continued, 25)
+    "mix_plan", "knn_join", "dedup_spans", "dedup_snm", "pagerank_ppr",
+    "label_propagation", "embedding_quantize", "dsir_weights",
+    "events_ohlc", "cdc_apply", "basket_affinity", "pareto_revenue",
+    "top_supplier", "ship_latency", "sequence_match", "stream_ohlc",
+    "conversion_lag", "bfs_unbounded", "events_hopping", "stream_hopping",
+    "temporal_join", "stream_enrich", "volume_shipping", "market_share",
+    "product_profit",
+    # oldest r7 rows, source order (12 of 49; the rest open the r11 plan)
+    "recommend_people", "dedup_exact", "dedup_jaccard", "dedup_components",
+    "training_filter", "knn_anchor", "degree_stats", "bfs_distances",
+    "pricing_summary", "top_parts_by_revenue", "token_stats", "pii_scrub",
+]
+
+if len(R10_WINDOW_PLAN) != 50:
+    raise RuntimeError(f"R10_WINDOW_PLAN must name 50 queries, got {len(R10_WINDOW_PLAN)}")
+if set(R10_WINDOW_PLAN) & set(R9_WINDOW):
+    raise RuntimeError("r10 plan overlaps the r9 window (steady-state = oldest first)")
+_undefined = [n for n in R10_WINDOW_PLAN if n not in _registry_dict]
 if _undefined:
-    raise RuntimeError(f"R9_WINDOW_PLAN names not registered: {_undefined}")
+    raise RuntimeError(f"R10_WINDOW_PLAN names not registered: {_undefined}")

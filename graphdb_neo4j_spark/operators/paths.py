@@ -324,7 +324,14 @@ def weighted_distances(
             .groupBy("id")
             .agg(F.min("cand").alias("cand"))
         )
-        new_dist = (
+        # improved-flag folded into the checkpointed frame (r9, same
+        # discipline as graph_components): the full join already holds
+        # both incumbent and candidate, so "improved" = candidate strictly
+        # beats incumbent (a new node has NULL incumbent → inf, and its
+        # candidate is always finite, so the one comparison covers both
+        # cases). One lineage-truncating count job per round instead of
+        # eager-checkpoint job + re-join + count job.
+        tmp = (
             dist.join(candidates, "id", "full")
             .select(
                 "id",
@@ -332,15 +339,15 @@ def weighted_distances(
                     F.coalesce("dist", F.lit(float("inf"))),
                     F.coalesce("cand", F.lit(float("inf"))),
                 ).alias("dist"),
+                (
+                    F.coalesce("cand", F.lit(float("inf")))
+                    < F.coalesce("dist", F.lit(float("inf")))
+                ).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        improved = (
-            new_dist.join(dist.select("id", F.col("dist").alias("old")), "id", "left")
-            .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
-            .count()
-        )
-        dist = new_dist
+        improved = tmp.filter("chg").count()
+        dist = tmp.select("id", "dist")
         if improved == 0:
             break
     return dist
