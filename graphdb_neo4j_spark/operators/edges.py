@@ -320,7 +320,19 @@ def q_merge_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     10× (narrow-pruned and shared-subtree forms) and REJECTED — AQE
     already reuses the derivation exchange here, so the hash only adds
     ~900M hash evaluations (interleaved best-of-3: 3-column form wins
-    every rep, 257-382 s vs 449-588 s; numbers in PLANS.md)."""
+    every rep, 257-382 s vs 449-588 s; numbers in PLANS.md).
+
+    r9 — the STORAGE lever was A/B'd and TAKEN as the production path:
+    the edge set written once via ``sources.sink.write_bucketed`` with
+    the composite MERGE key ``(src, dst, type)`` makes the anti-join a
+    zero-exchange co-partitioned merge (both sides scan ``Bucketed:
+    true``, the only Exchange left is the final type-count agg) —
+    interleaved best-of-3 at 10×: **306-361 s → 32-93 s** (steady 34 s)
+    for a one-time 168 s / 2.0 GB bucketed write. Plan pinned in
+    ``tests/test_sink.py::test_bucketed_merge_antijoin_no_shuffle``.
+    This registered form stays self-contained (derive + anti-join) for
+    the driver's oracle contract — same materialize-then-consume split
+    as ``training_filter``'s components artifact."""
     edges = q_edges_same_college(spark, sf_dir)
     merged = merge_edges(edges, edges)
     return merged.groupBy("type").agg(F.count("*").alias("n_edges"))

@@ -81,7 +81,9 @@ _EXPLICIT: dict[str, Disposition] = {
         "S5 MERGE demo anti-joins the full Θ(N²/k) clique-edge set into "
         "itself — the adversarial-largest candidate set by design; real "
         "merges are batch-sized and broadcast (twin reads 1.17× at 10×); "
-        "r8 hashed-key A/B in PLANS.md",
+        "r8 hashed-key A/B rejected, r9 bucketed-storage A/B TAKEN as "
+        "the production layout: edges stored bucketed on (src,dst,type) "
+        "make the anti-join zero-exchange, 306→32 s at 10× (PLANS.md)",
         twin="ingest_students",
     ),
     # -- output-quadratic by contract (time sub-linear in output) --

@@ -105,6 +105,39 @@ def test_bucketed_join_plans_no_shuffle(spark, sf_correct, tmp_path):
         spark.sql("DROP TABLE IF EXISTS stats_bkt")
 
 
+def test_bucketed_merge_antijoin_no_shuffle(spark, sf_correct, tmp_path):
+    """The idempotent-MERGE anti-join over an edges table bucketed on its
+    full MERGE key (src, dst, type) must plan with ZERO Exchange: both
+    sides read the same bucketed layout, so the SortMergeJoin is a
+    co-partitioned merge (r9 A/B: 306 → 34 s on the 451M-row 10× edge
+    set; PLANS.md round-9). Broadcast disabled so the planner can't hide
+    the shuffle question."""
+    from graphdb_neo4j_spark.operators.edges import merge_edges, q_edges_same_college
+    from graphdb_neo4j_spark.sources import sink
+
+    edges = q_edges_same_college(spark, sf_correct)
+    sink.write_bucketed(
+        edges,
+        "edges_bkt",
+        str(tmp_path / "e"),
+        key=("src", "dst", "type"),
+        buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t = spark.table("edges_bkt")
+        merged = merge_edges(t, spark.table("edges_bkt"))
+        # idempotence: merging the stored set into itself adds nothing
+        assert merged.count() == edges.count()
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed MERGE anti-join must not shuffle"
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS edges_bkt")
+
+
 def test_schema_evolution_merged_read(spark, tmp_path):
     """Two corpus generations, the newer with an added column: one merged
     read, old rows null-backfilled, values intact, counts additive."""
