@@ -104,7 +104,8 @@ _EXPLICIT: dict[str, Disposition] = {
     "weighted_distances": _d(
         "output-quadratic-by-contract",
         "per-pair weights = 1/|common| genuinely need explicit pairs; "
-        "6 min-plus rounds linear in that edge set (135 s at 10×)",
+        "6 min-plus rounds linear in that edge set (135 s at 10× r7; "
+        "121.6 s after the r9 improved-flag fold re-check)",
     ),
     "contamination": _d(
         "output-quadratic-by-contract",
@@ -161,7 +162,8 @@ for _n in _ITERATIVE:
         "driver-side iterative plan construction dominates (BENCH "
         "iterative_split: construct ≫ execute); per-iteration data cost is "
         "linear via clique-factored / rep-level forms (bfs_distances "
-        "1059→3.85 s after the r7 fix, flat vs sf0.1)",
+        "1059→3.85 s after the r7 fix, flat vs sf0.1; graph_components "
+        "re-checked after the r9 loop fold: 6.6 s → 12.0 s at 10×)",
     )
 
 _POINT_PIPELINES = [
