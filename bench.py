@@ -166,8 +166,16 @@ def main() -> None:
             # byte-identical to r7. Give them a 3rd rep so the shipped min
             # reflects steady state, and ship min/med dispersion per query
             # so a wide spread self-identifies as noise (VERDICT r8 #4).
+            # ADAPTIVE: the 3rd rep runs only when the first two DISAGREE
+            # (spread > 1.25) — an unconditional 3rd rep added ~1-2 min
+            # per attempt, enough to push two attempts past the retry
+            # budget and silently disable record-until-clean.
             for rep in range(3):
-                if rep == 2 and (best is None or best >= 1.0):
+                if rep == 2 and (
+                    best is None
+                    or best >= 1.0
+                    or max(reps) / max(min(reps), 1e-9) <= 1.25
+                ):
                     break
                 t0 = time.perf_counter()
                 try:
@@ -250,6 +258,7 @@ def main() -> None:
     # ``all_attempts_tainted`` marker. A query ERROR is code, not load —
     # ship immediately (retrying cannot fix it and must not mask it).
     attempts: list[dict] = []
+    walls: list[float] = []
     chosen: dict | None = None
     bench_t0 = time.perf_counter()
     for _ in range(MAX_ATTEMPTS):
@@ -257,6 +266,7 @@ def main() -> None:
         rec = record()
         att_wall = time.perf_counter() - att_t0
         attempts.append(rec)
+        walls.append(att_wall)
         if rec.get("errors"):
             # A query ERROR is code, not load — ship immediately. If the
             # errored attempt is ALSO load-tainted, say so explicitly so
@@ -295,9 +305,13 @@ def main() -> None:
             "canary_drift": r["canary_drift"],
             "canary_min": r["canary_min"],
             "total": r["value"],
+            # recording wall (reps + canaries + gc), the budget's unit —
+            # auditable so a rep-policy change that eats the retry room
+            # is visible in the artifact itself
+            "wall_s": round(w, 1),
             "selected": r is chosen,
         }
-        for r in attempts
+        for r, w in zip(attempts, walls)
     ]
     print(json.dumps(chosen))
     spark.stop()
