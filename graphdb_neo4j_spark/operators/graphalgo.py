@@ -971,6 +971,17 @@ def q_graph_components(
         "id", F.concat(F.lit("i:"), F.col("interest")).alias("gk")
     )
     inc = reduce(lambda a, b: a.unionByName(b), attr_inc + [interest_inc])
+    return min_label_components(nodes.select("id"), inc, max_iterations)
+
+
+def min_label_components(
+    node_ids: DataFrame, inc: DataFrame, max_iterations: int
+) -> DataFrame:
+    """Bipartite min-label propagation: ``node_ids`` = (id), ``inc`` =
+    (id, gk) node↔group incidence → (id, component, component_size).
+    Extracted from :func:`q_graph_components` (r9) so degenerate
+    incidences — all-singleton groups, empty incidence, multiple
+    components — are directly pytest-pinnable."""
     inc = inc.localCheckpoint(eager=False)
 
     # Round 1 fused (r9 construct-time work, VERDICT r8 #3): the initial
@@ -986,8 +997,7 @@ def q_graph_components(
         inc.join(glabel1, "gk").groupBy("id").agg(F.min("glabel").alias("gmin"))
     )
     labels = (
-        nodes.select("id")
-        .join(node_min1, "id", "left")
+        node_ids.join(node_min1, "id", "left")
         .select("id", F.least("id", F.coalesce("gmin", F.col("id"))).alias("label"))
         .localCheckpoint(eager=False)
     )

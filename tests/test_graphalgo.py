@@ -470,3 +470,77 @@ def test_factored_forms_handle_null_and_empty_attrs(spark):
     }
     assert walk_lpa == fac_lpa
     assert fac_lpa[6] == 6 and fac_lpa[7] == 7  # isolated keep their own label
+
+
+# --- min_label_components degenerate incidences (r9 fused-round-1 pins) -------
+
+
+def _components(spark, ids, inc_rows, max_iterations=20):
+    node_ids = spark.createDataFrame([(i,) for i in ids], "id long")
+    inc = spark.createDataFrame(
+        inc_rows or [], "id long, gk string"
+    )
+    return {
+        r["id"]: (r["component"], r["component_size"])
+        for r in graphalgo.min_label_components(
+            node_ids, inc, max_iterations
+        ).collect()
+    }
+
+
+def test_components_all_singleton_groups(spark):
+    """Every group has ONE member, so round 1 is already a fixpoint — the
+    exact path the r9 fused first round short-circuits (no changed-count
+    in round 1; round 2 must detect the no-op and stop). Every node stays
+    its own component."""
+    ids = [10, 20, 30]
+    inc = [(10, "c:a"), (20, "c:b"), (30, "c:c")]
+    assert _components(spark, ids, inc) == {
+        10: (10, 1),
+        20: (20, 1),
+        30: (30, 1),
+    }
+
+
+def test_components_empty_incidence(spark):
+    """No incidence rows at all (every attribute NULL): the left join in
+    the fused round backfills every node with its own label."""
+    assert _components(spark, [1, 2, 3], []) == {
+        1: (1, 1),
+        2: (2, 1),
+        3: (3, 1),
+    }
+
+
+def test_components_two_groups_and_isolate(spark):
+    """Two disjoint components linked through different group keys plus an
+    isolated node; a chain (1-2 via g1, 2-3 via g2) needs label
+    propagation BEYOND the fused first round to reach node 3."""
+    ids = [1, 2, 3, 7, 8, 9]
+    inc = [
+        (1, "g1"), (2, "g1"),   # 1-2
+        (2, "g2"), (3, "g2"),   # 2-3 → {1,2,3}
+        (7, "g3"), (8, "g3"),   # {7,8}
+        # 9 isolated
+    ]
+    assert _components(spark, ids, inc) == {
+        1: (1, 3),
+        2: (1, 3),
+        3: (1, 3),
+        7: (7, 2),
+        8: (7, 2),
+        9: (9, 1),
+    }
+
+
+def test_components_long_chain_converges(spark):
+    """A 12-node path graph (worst diameter for min-label propagation):
+    the label must walk the whole chain through repeated rounds — pins
+    that the early-stop never fires before the true fixpoint."""
+    n = 12
+    ids = list(range(1, n + 1))
+    inc = []
+    for i in range(1, n):
+        inc += [(i, f"e{i}"), (i + 1, f"e{i}")]
+    got = _components(spark, ids, inc)
+    assert got == {i: (1, n) for i in ids}
