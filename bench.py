@@ -4,6 +4,13 @@
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1": sec, ...}, "sf": <sf>}
 
+Two-channel output (r9): the stdout line is LEAN (headline, per-query
+timings, taint channels, attempt summary) because the driver records
+only the last ~2000 chars of stdout — the r2/r8 artifacts exceeded that
+and shipped unparseable. The FULL recording (canary slots, loadavg,
+per-query min/med dispersion, iterative construct/execute splits,
+per-attempt walls) is written to BENCH_DETAIL.json next to this file.
+
 Each query is executed to completion with a count() action (forces the full
 plan without driver-side result transfer dominating the timing).
 
@@ -313,13 +320,54 @@ def main() -> None:
         }
         for r, w in zip(attempts, walls)
     ]
-    print(json.dumps(chosen))
+
+    # ---- two-channel output (r9) ----
+    # The driver records only the LAST ~2000 chars of stdout: the r2 and
+    # r8 artifacts both exceeded that and shipped UNPARSEABLE (truncated
+    # head, parsed: null) — and the r9 dispersion field would have pushed
+    # the line to ~4.7k. So the stdout line is a LEAN artifact guaranteed
+    # to fit (headline + per-query timings + taint channels), and the
+    # full recording — canary slots, loadavg, per-query dispersion,
+    # iterative splits, attempt walls — is written to BENCH_DETAIL.json
+    # next to this file, where the end-of-round commit preserves it.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(chosen, f)
+    lean = {
+        "metric": chosen["metric"],
+        "value": chosen["value"],
+        "unit": chosen["unit"],
+        "queries": chosen["queries"],
+        "sf": chosen["sf"],
+        "canary_drift": chosen["canary_drift"],
+        "canary_min": chosen["canary_min"],
+        "attempts": [
+            {"drift": a["canary_drift"], "total": a["total"], "sel": a["selected"]}
+            for a in chosen["attempts"]
+        ],
+        "detail": "BENCH_DETAIL.json",
+    }
+    for flag in ("all_attempts_tainted", "tainted", "errors"):
+        if chosen.get(flag):
+            lean[flag] = chosen[flag]
+    line = json.dumps(lean)
+    if len(line) > 1900:  # belt-and-braces: never ship an unparseable line
+        lean.pop("attempts", None)
+        line = json.dumps(lean)
+    print(line)
+    print(f"BENCH full detail written to {detail_path}", file=sys.stderr)
     spark.stop()
     # non-zero exit still signals the failure to the driver, but the JSON
     # line above preserves every healthy query's timing (round-2 lesson:
     # one broken family zeroed the whole bench)
     if chosen.get("errors"):
         sys.exit(1)
+    # NOTE: the lean stdout line drops per-query dispersion / loadavg /
+    # canary slots / iterative splits — ALWAYS read BENCH_DETAIL.json for
+    # those; the stdout artifact exists to survive the driver's tail
+    # capture window.
 
 
 if __name__ == "__main__":
