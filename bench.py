@@ -333,8 +333,13 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
-    with open(detail_path, "w") as f:
-        json.dump(chosen, f)
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(chosen, f)
+    except OSError as e:
+        # The stdout line is the driver contract — a detail-write failure
+        # (read-only checkout, disk full) must not prevent shipping it.
+        print(f"BENCH DETAIL WRITE FAILED ({e}); stdout line only", file=sys.stderr)
     lean = {
         "metric": chosen["metric"],
         "value": chosen["value"],
