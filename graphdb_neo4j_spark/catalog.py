@@ -12,7 +12,7 @@ Mechanics: ``register`` below COLLECTS entries in source order; the
 ``R9_WINDOW`` list at the bottom of this file then flushes the named 50
 to the real registry first and everything else after, so rotating the
 window is a list edit, not a code move. Driver-row history — this is
-the COMPLETE 184-query schedule; the rotation program ended at r7:
+the COMPLETE 185-query schedule; the rotation program ended at r7:
 
 - r1-r3 greens: the reference-surface families (lookup/edge/ingest/
   fuzzy/relationship/recommend/paths) + the r2/r3 analytics batches.
@@ -47,7 +47,8 @@ the COMPLETE 184-query schedule; the rotation program ended at r7:
 - r9 window (THIS round, = the 50 names in ``R9_WINDOW``):
   changed-first — ``stream_user_counts`` (oracle-promoted),
   ``graph_components``/``weighted_distances`` (construct-time loop
-  restructure) — then the 47 oldest staged steady-state re-checks.
+  restructure) — then the 46 oldest staged steady-state re-checks
+  (plus the ``merge_bucketed`` debut leading the changed block).
 """
 
 from __future__ import annotations
@@ -302,6 +303,9 @@ register(
     edges.edges_shares_interest_sql(),
 )
 register("merge_idempotent", edges.q_merge_idempotent, edges.MERGE_IDEMPOTENT_SQL)
+# r9 debut: the bucketed-storage production layout for the same MERGE
+# (zero-exchange anti-join over the staged table; same oracle)
+register("merge_bucketed", edges.q_merge_bucketed, edges.MERGE_IDEMPOTENT_SQL)
 register(
     "edges_with_common",
     lambda spark, sf: edges.q_edges_with_common(spark, sf),
@@ -1141,7 +1145,10 @@ if _missing:
 # R9 WINDOW — the 50 names the driver's correctness harness records THIS
 # round. Two blocks, per the standing changed-queries-first rule:
 #
-# 1. R9_CHANGED (3): registrations that materially changed in r9 —
+# 1. R9_CHANGED (4): the r9 DEBUT ``merge_bucketed`` (the bucketed-
+#    storage MERGE production path — zero-exchange anti-join over the
+#    staged table, same oracle as merge_idempotent; needs its FIRST
+#    driver row), plus registrations that materially changed in r9 —
 #    ``stream_user_counts`` (oracle-PROMOTED: rows-only → max-per-user
 #    reduction over the monotone update emissions, oracled by the batch
 #    COUNT(*) GROUP BY — VERDICT r8 #2), and ``graph_components`` /
@@ -1149,16 +1156,19 @@ if _missing:
 #    folded into the lazily-checkpointed per-round frame, fused round 1 —
 #    VERDICT r8 #3; the relax function is algebraically unchanged so the
 #    unrolled SQL oracles still mirror it, but a restructured loop needs
-#    a fresh driver row). All three were in R8_WINDOW; changed-first
-#    overrides the no-repeat rule (the r8 precedent).
-# 2. R9_STEADY (47): the staged steady-state sweep from last round's
-#    R9_WINDOW_PLAN, oldest-green-first. The 3 names the changed-first
-#    swaps displace (``events_quantiles``, ``top_parts_per_nation``,
-#    ``triangle_counts`` — the NEWEST greens in the staged list) move to
-#    the front of the r10 plan.
+#    a fresh driver row). The latter three were in R8_WINDOW;
+#    changed-first overrides the no-repeat rule (the r8 precedent).
+# 2. R9_STEADY (46): the staged steady-state sweep from last round's
+#    R9_WINDOW_PLAN, oldest-green-first. The 4 names the changed-first
+#    swaps displace (``semantic_dedup``, ``events_quantiles``,
+#    ``top_parts_per_nation``, ``triangle_counts`` — the NEWEST greens in
+#    the staged list) move to the front of the r10 plan.
 # =============================================================================
 
 R9_CHANGED = [
+    # r9 DEBUT (needs its first driver row): the bucketed-storage MERGE
+    # production path, same oracle as merge_idempotent
+    "merge_bucketed",
     "stream_user_counts",
     "graph_components",
     "weighted_distances",
@@ -1181,10 +1191,12 @@ R9_STEADY = [
     "embedding_pca", "cluster_medoids", "bm25_search", "hybrid_search",
     "gap_fill", "scd2_customers", "weighted_sample", "decontaminated",
     "domain_stats",
-    # oldest r6 greens, source order, minus the r7 dtype re-checks (8)
+    # oldest r6 greens, source order, minus the r7 dtype re-checks (7;
+    # semantic_dedup displaced to the r10 plan by the merge_bucketed
+    # debut)
     "repetition_scores", "holdout_split", "unigram_logprob",
     "funnel_counts", "retention_cohorts", "dedup_segments",
-    "stratified_sample", "semantic_dedup",
+    "stratified_sample",
 ]
 
 R9_WINDOW = R9_CHANGED + R9_STEADY
@@ -1217,8 +1229,10 @@ _PENDING.clear()
 # =============================================================================
 
 R10_WINDOW_PLAN = [
-    # displaced from the staged r9 list by the changed-first swaps (3)
-    "events_quantiles", "top_parts_per_nation", "triangle_counts",
+    # displaced from the staged r9 list by the changed-first swaps and
+    # the merge_bucketed debut (4)
+    "semantic_dedup", "events_quantiles", "top_parts_per_nation",
+    "triangle_counts",
     # last driver row r6, source order (10)
     "ppmi_topk", "training_order", "interval_join", "forecast_revenue",
     "source_scorecard", "group_sample", "integrity_check",
@@ -1231,10 +1245,10 @@ R10_WINDOW_PLAN = [
     "conversion_lag", "bfs_unbounded", "events_hopping", "stream_hopping",
     "temporal_join", "stream_enrich", "volume_shipping", "market_share",
     "product_profit",
-    # oldest r7 rows, source order (12 of 49; the rest open the r11 plan)
+    # oldest r7 rows, source order (11 of 49; the rest open the r11 plan)
     "recommend_people", "dedup_exact", "dedup_jaccard", "dedup_components",
     "training_filter", "knn_anchor", "degree_stats", "bfs_distances",
-    "pricing_summary", "top_parts_by_revenue", "token_stats", "pii_scrub",
+    "pricing_summary", "top_parts_by_revenue", "token_stats",
 ]
 
 if len(R10_WINDOW_PLAN) != 50:

@@ -76,6 +76,16 @@ _EXPLICIT: dict[str, Disposition] = {
         "8.4 s",
         twin="semantic_dedup_lsh",
     ),
+    "merge_bucketed": _d(
+        "linear",
+        "the r9 production layout for S5 MERGE: one bucketed+sorted "
+        "stage write (linear in edges, amortized across merges at the "
+        "warehouse) then a ZERO-exchange co-partitioned anti-join — "
+        "32-93 s at 10× vs 306-361 s for the shuffled derive-and-merge "
+        "form (interleaved best-of-3, PLANS.md r9); plan pinned "
+        "bucketed-scan/no-Exchange in test_sink",
+        twin=None,
+    ),
     "merge_idempotent": _d(
         "exactness-baseline",
         "S5 MERGE demo anti-joins the full Θ(N²/k) clique-edge set into "
