@@ -1194,6 +1194,7 @@ def duplicated_gram_starts(
     width: int = SPAN_WIDTH,
     min_df: int = SPAN_MIN_DF,
     hashed: bool = False,
+    keep_first: bool = False,
 ) -> DataFrame:
     """(doc_id, start) of every overlapping ``width``-token gram whose
     corpus document-frequency is >= ``min_df``.
@@ -1206,6 +1207,13 @@ def duplicated_gram_starts(
     ``xxhash64`` BEFORE the shuffle — the 100 TB form (shuffle bytes drop
     ~10×; collisions at 2^-64 are curation-noise). The text-keyed form is
     the DuckDB-oracle mirror; pytest pins the two identical.
+
+    ``keep_first=True`` drops each gram's globally FIRST occurrence
+    (min (doc_id, start)) from the result — the hit set for span
+    REMOVAL, where one canonical copy of every duplicated passage must
+    survive (Lee et al. 2022's keep-one contract). The rank is a window
+    on the gram key the rows are already shuffled on (the df join), so
+    it adds a sort within existing partitions, not a new exchange.
     """
     arrs = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
@@ -1227,7 +1235,13 @@ def duplicated_gram_starts(
         .filter(F.col("gram_df") >= min_df)
         .select("gram")
     )
-    return grams.join(dup_grams, "gram").select("doc_id", "start")
+    hits = grams.join(dup_grams, "gram")
+    if keep_first:
+        rank = F.row_number().over(
+            Window.partitionBy("gram").orderBy("doc_id", "start")
+        )
+        hits = hits.withColumn("rk", rank).filter(F.col("rk") >= 2)
+    return hits.select("doc_id", "start")
 
 
 def q_dedup_spans(
@@ -1322,6 +1336,155 @@ SELECT doc_id,
        COUNT(*) AS n_grams
 FROM islands
 GROUP BY doc_id, island
+"""
+
+
+# --- duplicated-span REMOVAL (the cleaned corpus) -----------------------------
+
+
+def q_dedup_span_removal(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = SPAN_WIDTH,
+    min_df: int = SPAN_MIN_DF,
+    hashed: bool = False,
+) -> DataFrame:
+    """The REMOVAL step of exact substring dedup — the cleaned corpus
+    itself: (doc_id, clean_text, n_removed, n_kept) for EVERY document.
+
+    ``q_dedup_spans`` reports where the duplicated passages are; this is
+    the operator a training pipeline actually feeds the tokenizer (Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": remove repeated substrings, keep ONE canonical copy). The
+    keep-one contract is deterministic: each duplicated ``width``-gram's
+    globally first occurrence — min (doc_id, start) — survives; every
+    other occurrence is a removal hit. Hits interval-merge per doc
+    (gaps-and-islands, same discipline as ``q_dedup_spans``), and the
+    covered token positions are cut from the document. Output text is
+    token-normalized (single-space joined), the standard contract for a
+    tokenizer-bound corpus.
+
+    Scale shape: the hit pipeline is ``duplicated_gram_starts``'s one
+    gram-keyed shuffle plus a rank WITHIN those partitions (no new
+    exchange); islands + per-doc span lists are windows/groupBys keyed
+    by doc_id (hit counts bounded by doc length); the reconstruction is
+    ROW-LOCAL — spans join back to the doc scan on doc_id and a
+    codegen'd ``filter(sequence(...), i -> NOT exists(spans, ...))`` +
+    ``transform``/``array_join`` rebuilds the text with zero explode of
+    token positions. The only per-token materialization in the whole
+    plan is the gram build that every span operator already pays.
+    DuckDB mirrors through an exploded token anti-join (EXISTS on the
+    span intervals) — the engines agree via different algorithms.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    arrs = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    hits = duplicated_gram_starts(
+        docs, width, min_df, hashed, keep_first=True
+    ).select("doc_id", "start", (F.col("start") + width - 1).alias("end"))
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max("end").over(w_prev)
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    spans = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    joined = arrs.join(spans, "doc_id", "left")
+    kept = F.expr(
+        "CASE WHEN spans IS NULL THEN sequence(0, size(arr) - 1) "
+        "ELSE filter(sequence(0, size(arr) - 1), "
+        "i -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e)) END"
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda i: F.col("arr")[i]), " ").alias(
+            "clean_text"
+        ),
+        (F.size("arr") - F.size(kept)).alias("n_removed"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
+def dedup_span_removal_sql(
+    width: int = SPAN_WIDTH, min_df: int = SPAN_MIN_DF
+) -> str:
+    """DuckDB mirror of :func:`q_dedup_span_removal` via an exploded
+    token anti-join (EXISTS against the merged removal intervals) —
+    deliberately a DIFFERENT algorithm from the Spark side's row-local
+    higher-order-function reconstruction."""
+    return rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, array_length(arr, 1) - {width} + 1)) AS start,
+         unnest(list_transform(range(1, array_length(arr, 1) - {width} + 2),
+                i -> array_to_string(arr[i : i + {width} - 1], ' '))) AS gram
+  FROM arrs WHERE array_length(arr, 1) >= {width}
+),
+dup_grams AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_df}
+),
+occ AS (
+  SELECT g.doc_id, g.start,
+         ROW_NUMBER() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.start) AS rk
+  FROM grams g JOIN dup_grams d USING (gram)
+),
+hits AS (
+  SELECT doc_id, start, start + {width} - 1 AS "end" FROM occ WHERE rk >= 2
+),
+flagged AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN MAX("end") OVER w IS NULL OR start > MAX("end") OVER w + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+islands AS (
+  SELECT doc_id, start, "end",
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(start) AS s, MAX("end") AS e FROM islands GROUP BY doc_id, island
+),
+tokens AS (
+  SELECT doc_id, unnest(range(0, array_length(arr, 1))) AS i, unnest(arr) AS tok
+  FROM arrs
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM tokens t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(g.clean_text, '') AS clean_text,
+       array_length(a.arr, 1) - COALESCE(g.n_kept, 0) AS n_removed,
+       COALESCE(g.n_kept, 0) AS n_kept
+FROM arrs a LEFT JOIN agg g USING (doc_id)
 """
 
 

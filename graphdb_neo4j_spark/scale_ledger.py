@@ -76,6 +76,17 @@ _EXPLICIT: dict[str, Disposition] = {
         "8.4 s",
         twin="semantic_dedup_lsh",
     ),
+    "dedup_span_removal": _d(
+        "linear",
+        "r9 debut: the substring-dedup REMOVAL step (keep-one contract). "
+        "Cost = dedup_spans' gram-df shuffle + a rank within the same "
+        "partitions + doc-keyed islands/span-list windows + row-local "
+        "reconstruction (no token explode). 10× sweep: 1.89 -> 6.75 s "
+        "(3.57x) on the adversarial id-shifted replica where EVERY doc "
+        "is 10x-duplicated and removed-token output grows ~194x — time "
+        "sub-linear in output, inside the <=4x linear bar",
+        twin=None,
+    ),
     "merge_bucketed": _d(
         "linear",
         "the r9 production layout for S5 MERGE: one bucketed+sorted "

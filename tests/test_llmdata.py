@@ -526,6 +526,110 @@ class TestDedupSpans:
         assert spans == [(1, 0, 3), (1, 7, 10), (2, 0, 3), (2, 7, 10)]
 
 
+class TestDedupSpanRemoval:
+    """Substring-dedup REMOVAL: keep-one contract over merged islands."""
+
+    def test_keep_first_occurrence_survives(self, spark, tmp_path):
+        from graphdb_neo4j_spark.llmdata.dedup import q_dedup_span_removal
+
+        # doc 1 (smallest id) holds the canonical copy of the shared run;
+        # doc 2's copy is removed; doc 3 shares nothing and is untouched.
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, "x0 x1 " + shared + " x2 x3"),
+            (2, shared + " y0 y1 y2"),
+            (3, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in q_dedup_span_removal(
+                spark, str(tmp_path), width=4, min_df=2
+            ).collect()
+        }
+        assert set(out) == {1, 2, 3}
+        assert out[1]["clean_text"] == rows[0][1]  # canonical copy kept
+        assert out[1]["n_removed"] == 0
+        assert out[2]["clean_text"] == "y0 y1 y2"  # shared run cut
+        assert out[2]["n_removed"] == 8
+        assert out[2]["n_kept"] == 3
+        assert out[3]["clean_text"] == rows[2][1]
+        assert out[3]["n_removed"] == 0
+
+    def test_fully_duplicated_doc_empties(self, spark, tmp_path):
+        from graphdb_neo4j_spark.llmdata.dedup import q_dedup_span_removal
+
+        shared = "a1 a2 a3 a4 a5 a6"
+        rows = [(1, "pre " + shared + " post"), (2, shared)]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in q_dedup_span_removal(
+                spark, str(tmp_path), width=4, min_df=2
+            ).collect()
+        }
+        assert out[1]["n_removed"] == 0
+        assert out[2]["clean_text"] == ""
+        assert out[2]["n_kept"] == 0
+        assert out[2]["n_removed"] == 6
+
+    def test_within_doc_repeat_keeps_first(self, spark, tmp_path):
+        from graphdb_neo4j_spark.llmdata.dedup import q_dedup_span_removal
+
+        # the duplicated run appears twice in doc 2: keep-one keeps only
+        # doc 1's copy (global first); BOTH doc-2 occurrences are hits
+        shared = "a1 a2 a3 a4"
+        rows = [
+            (1, shared + " z0 z1 z2"),
+            (2, shared + " m1 m2 m3 " + shared),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in q_dedup_span_removal(
+                spark, str(tmp_path), width=4, min_df=2
+            ).collect()
+        }
+        assert out[1]["n_removed"] == 0
+        assert out[2]["clean_text"] == "m1 m2 m3"
+        assert out[2]["n_removed"] == 8
+
+    def test_hashed_form_identical(self, spark, sf_dir):
+        from graphdb_neo4j_spark.llmdata.dedup import q_dedup_span_removal
+
+        text = q_dedup_span_removal(spark, sf_dir).collect()
+        hashed = q_dedup_span_removal(spark, sf_dir, hashed=True).collect()
+        assert sorted(map(tuple, text)) == sorted(map(tuple, hashed))
+
+    def test_removal_consistent_with_spans(self, spark, sf_dir):
+        """Tokens removed <= tokens covered by reported duplicated spans
+        (removal spares each gram's first occurrence), and every doc with
+        removals is a doc with reported spans."""
+        from graphdb_neo4j_spark.llmdata.dedup import (
+            q_dedup_span_removal,
+            q_dedup_spans,
+        )
+
+        spans = {}
+        for r in q_dedup_spans(spark, sf_dir).collect():
+            spans[r["doc_id"]] = spans.get(r["doc_id"], 0) + r["span_tokens"]
+        removed = {
+            r["doc_id"]: r["n_removed"]
+            for r in q_dedup_span_removal(spark, sf_dir).collect()
+            if r["n_removed"] > 0
+        }
+        assert removed, "fixture corpus should contain duplicated passages"
+        for doc_id, n in removed.items():
+            assert doc_id in spans
+            assert n <= spans[doc_id]
+
+
 class TestDedupSNM:
     """Sorted-neighborhood dedup: blocked rank window + Jaccard verify."""
 
