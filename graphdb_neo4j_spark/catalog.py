@@ -12,7 +12,7 @@ Mechanics: ``register`` below COLLECTS entries in source order; the
 ``R9_WINDOW`` list at the bottom of this file then flushes the named 50
 to the real registry first and everything else after, so rotating the
 window is a list edit, not a code move. Driver-row history — this is
-the COMPLETE 186-query schedule; the rotation program ended at r7:
+the COMPLETE 187-query schedule; the rotation program ended at r7:
 
 - r1-r3 greens: the reference-surface families (lookup/edge/ingest/
   fuzzy/relationship/recommend/paths) + the r2/r3 analytics batches.
@@ -590,6 +590,13 @@ register(
     lambda spark, sf: dedup.q_dedup_span_removal(spark, sf),
     dedup.dedup_span_removal_sql(),
 )
+# r9 debut: the incremental form — clean the new batch against history
+# (history-priority keep-one; batch text is the only reconstruction input)
+register(
+    "dedup_span_removal_incremental",
+    lambda spark, sf: dedup.q_dedup_span_removal_incremental(spark, sf),
+    dedup.dedup_span_removal_incremental_sql(),
+)
 
 from graphdb_neo4j_spark.llmdata import textsearch
 
@@ -1152,12 +1159,13 @@ if _missing:
 # R9 WINDOW — the 50 names the driver's correctness harness records THIS
 # round. Two blocks, per the standing changed-queries-first rule:
 #
-# 1. R9_CHANGED (5): the r9 DEBUTS ``merge_bucketed`` (the bucketed-
+# 1. R9_CHANGED (6): the r9 DEBUTS ``merge_bucketed`` (the bucketed-
 #    storage MERGE production path — zero-exchange anti-join over the
 #    staged table, same oracle as merge_idempotent; needs its FIRST
-#    driver row) and ``dedup_span_removal`` (the cleaned corpus —
-#    keep-one substring-dedup removal, exploded-anti-join DuckDB
-#    oracle), plus registrations that materially changed in r9 —
+#    driver row) and the ``dedup_span_removal`` pair (the cleaned
+#    corpus — keep-one substring-dedup removal — and its incremental
+#    batch-vs-history form; exploded-anti-join DuckDB oracles), plus
+#    registrations that materially changed in r9 —
 #    ``stream_user_counts`` (oracle-PROMOTED: rows-only → max-per-user
 #    reduction over the monotone update emissions, oracled by the batch
 #    COUNT(*) GROUP BY — VERDICT r8 #2), and ``graph_components`` /
@@ -1167,21 +1175,23 @@ if _missing:
 #    unrolled SQL oracles still mirror it, but a restructured loop needs
 #    a fresh driver row). The latter three were in R8_WINDOW;
 #    changed-first overrides the no-repeat rule (the r8 precedent).
-# 2. R9_STEADY (45): the staged steady-state sweep from last round's
-#    R9_WINDOW_PLAN, oldest-green-first. The 5 names the changed-first
-#    swaps displace (``stratified_sample``, ``semantic_dedup``,
-#    ``events_quantiles``, ``top_parts_per_nation``, ``triangle_counts``
-#    — the NEWEST greens in the staged list) move to the front of the
-#    r10 plan.
+# 2. R9_STEADY (44): the staged steady-state sweep from last round's
+#    R9_WINDOW_PLAN, oldest-green-first. The 6 names the changed-first
+#    swaps displace (``dedup_segments``, ``stratified_sample``,
+#    ``semantic_dedup``, ``events_quantiles``, ``top_parts_per_nation``,
+#    ``triangle_counts`` — the NEWEST greens in the staged list) move to
+#    the front of the r10 plan.
 # =============================================================================
 
 R9_CHANGED = [
     # r9 DEBUTS (need their first driver row): the bucketed-storage MERGE
     # production path (same oracle as merge_idempotent) and the
-    # duplicated-span REMOVAL query (the cleaned corpus, keep-one
-    # contract — exploded-anti-join DuckDB oracle)
+    # duplicated-span REMOVAL pair (the cleaned corpus, keep-one
+    # contract, plus its incremental batch-vs-history form — both with
+    # exploded-anti-join DuckDB oracles)
     "merge_bucketed",
     "dedup_span_removal",
+    "dedup_span_removal_incremental",
     "stream_user_counts",
     "graph_components",
     "weighted_distances",
@@ -1204,11 +1214,12 @@ R9_STEADY = [
     "embedding_pca", "cluster_medoids", "bm25_search", "hybrid_search",
     "gap_fill", "scd2_customers", "weighted_sample", "decontaminated",
     "domain_stats",
-    # oldest r6 greens, source order, minus the r7 dtype re-checks (6;
+    # oldest r6 greens, source order, minus the r7 dtype re-checks (5;
     # semantic_dedup displaced to the r10 plan by the merge_bucketed
-    # debut, stratified_sample by the dedup_span_removal debut)
+    # debut, stratified_sample / dedup_segments by the two
+    # dedup_span_removal* debuts)
     "repetition_scores", "holdout_split", "unigram_logprob",
-    "funnel_counts", "retention_cohorts", "dedup_segments",
+    "funnel_counts", "retention_cohorts",
 ]
 
 R9_WINDOW = R9_CHANGED + R9_STEADY
@@ -1242,9 +1253,9 @@ _PENDING.clear()
 
 R10_WINDOW_PLAN = [
     # displaced from the staged r9 list by the changed-first swaps and
-    # the merge_bucketed / dedup_span_removal debuts (5)
-    "stratified_sample", "semantic_dedup", "events_quantiles",
-    "top_parts_per_nation", "triangle_counts",
+    # the merge_bucketed / dedup_span_removal* debuts (6)
+    "dedup_segments", "stratified_sample", "semantic_dedup",
+    "events_quantiles", "top_parts_per_nation", "triangle_counts",
     # last driver row r6, source order (10)
     "ppmi_topk", "training_order", "interval_join", "forecast_revenue",
     "source_scorecard", "group_sample", "integrity_check",
@@ -1257,12 +1268,12 @@ R10_WINDOW_PLAN = [
     "conversion_lag", "bfs_unbounded", "events_hopping", "stream_hopping",
     "temporal_join", "stream_enrich", "volume_shipping", "market_share",
     "product_profit",
-    # oldest r7 rows, source order (10 of 49; the rest — starting with
-    # token_stats, displaced by the dedup_span_removal debut — open the
-    # r11 plan)
+    # oldest r7 rows, source order (9 of 49; the rest — starting with
+    # top_parts_by_revenue and token_stats, displaced by the
+    # dedup_span_removal* debuts — open the r11 plan)
     "recommend_people", "dedup_exact", "dedup_jaccard", "dedup_components",
     "training_filter", "knn_anchor", "degree_stats", "bfs_distances",
-    "pricing_summary", "top_parts_by_revenue",
+    "pricing_summary",
 ]
 
 if len(R10_WINDOW_PLAN) != 50:

@@ -1342,6 +1342,53 @@ GROUP BY doc_id, island
 # --- duplicated-span REMOVAL (the cleaned corpus) -----------------------------
 
 
+def _cut_spans(arrs: DataFrame, hits: DataFrame) -> DataFrame:
+    """Interval-merge removal ``hits`` (doc_id, start, end) per doc and cut
+    the covered token positions from ``arrs`` (doc_id, arr) →
+    (doc_id, clean_text, n_removed, n_kept) for EVERY arrs row.
+
+    Islands are the same gaps-and-islands discipline as
+    :func:`q_dedup_spans`; the reconstruction is row-local (codegen'd
+    filter/exists/transform/array_join — zero explode of token
+    positions)."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max("end").over(w_prev)
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    spans = (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    joined = arrs.join(spans, "doc_id", "left")
+    kept = F.expr(
+        "CASE WHEN spans IS NULL THEN sequence(0, size(arr) - 1) "
+        "ELSE filter(sequence(0, size(arr) - 1), "
+        "i -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e)) END"
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda i: F.col("arr")[i]), " ").alias(
+            "clean_text"
+        ),
+        (F.size("arr") - F.size(kept)).alias("n_removed"),
+        F.size(kept).alias("n_kept"),
+    )
+
+
 def q_dedup_span_removal(
     spark: SparkSession,
     sf_dir: str,
@@ -1383,42 +1430,7 @@ def q_dedup_span_removal(
     hits = duplicated_gram_starts(
         docs, width, min_df, hashed, keep_first=True
     ).select("doc_id", "start", (F.col("start") + width - 1).alias("end"))
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_end = F.max("end").over(w_prev)
-    flagged = hits.withColumn(
-        "new_island",
-        F.when(prev_end.isNull() | (F.col("start") > prev_end + 1), 1).otherwise(0),
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("start")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
-    spans = (
-        islands.groupBy("doc_id", "island")
-        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
-    )
-    joined = arrs.join(spans, "doc_id", "left")
-    kept = F.expr(
-        "CASE WHEN spans IS NULL THEN sequence(0, size(arr) - 1) "
-        "ELSE filter(sequence(0, size(arr) - 1), "
-        "i -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e)) END"
-    )
-    return joined.select(
-        "doc_id",
-        F.array_join(F.transform(kept, lambda i: F.col("arr")[i]), " ").alias(
-            "clean_text"
-        ),
-        (F.size("arr") - F.size(kept)).alias("n_removed"),
-        F.size(kept).alias("n_kept"),
-    )
+    return _cut_spans(arrs, hits)
 
 
 def dedup_span_removal_sql(
@@ -1485,6 +1497,146 @@ SELECT a.doc_id,
        array_length(a.arr, 1) - COALESCE(g.n_kept, 0) AS n_removed,
        COALESCE(g.n_kept, 0) AS n_kept
 FROM arrs a LEFT JOIN agg g USING (doc_id)
+"""
+
+
+def q_dedup_span_removal_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = SPAN_WIDTH,
+    min_df: int = SPAN_MIN_DF,
+    hashed: bool = False,
+) -> DataFrame:
+    """Incremental substring-dedup removal: clean the NEW batch against
+    history — (doc_id, clean_text, n_removed, n_kept) for BATCH docs only
+    (:func:`split_history_batch` parity split).
+
+    Priority contract: HISTORY always holds the canonical copy — the
+    history corpus was already cleaned and shipped, so a batch passage
+    that history contains is cut from the batch no matter whose doc_id
+    is smaller. Within the batch, keep-one applies batch-internally
+    (first (doc_id, start) occurrence of a gram absent from history
+    survives). Formally: rank gram occurrences over the history∪batch
+    corpus by (is_batch, doc_id, start); every rank ≥ 2 occurrence in a
+    batch doc of a gram with union document-frequency ≥ ``min_df`` is a
+    removal hit. When all history ids precede all batch ids this
+    ordering degenerates to plain (doc_id, start) — i.e. the one-shot
+    :func:`q_dedup_span_removal` restricted to batch rows
+    (pytest-pinned).
+
+    Scale shape: identical to the one-shot form except history text
+    enters only the gram side — at 100 TB the history grams come from a
+    persisted gram table maintained per batch (the same
+    materialize-then-consume split as ``dedup_incremental``'s
+    checkpointed token store and ``training_filter``'s components
+    artifact); this self-contained registered form derives them in-query.
+    Batch-side cost is Σ df_hist(gram)-bounded probes plus the
+    batch-sized windows — never a history rescan of text.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    batch_arrs = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    arrs = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    ).filter(F.size("arr") >= width)
+    grams = arrs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(arr) - {width}),"
+                f" i -> array_join(slice(arr, i + 1, {width}), ' '))"
+            )
+        ).alias("start", "gram"),
+    )
+    if hashed:
+        grams = grams.withColumn("gram", F.xxhash64("gram"))
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("gram_df"))
+        .filter(F.col("gram_df") >= min_df)
+        .select("gram")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("gram").orderBy(
+            (F.col("doc_id") % 2).asc(), "doc_id", "start"
+        )
+    )
+    hits = (
+        grams.join(dup_grams, "gram")
+        .withColumn("rk", rank)
+        .filter((F.col("rk") >= 2) & (F.col("doc_id") % 2 == 1))
+        .select("doc_id", "start", (F.col("start") + width - 1).alias("end"))
+    )
+    return _cut_spans(batch_arrs, hits)
+
+
+def dedup_span_removal_incremental_sql(
+    width: int = SPAN_WIDTH, min_df: int = SPAN_MIN_DF
+) -> str:
+    """DuckDB mirror of :func:`q_dedup_span_removal_incremental` — the
+    exploded-token-anti-join algorithm of :func:`dedup_span_removal_sql`
+    with the history-priority rank ordering."""
+    return rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(0, array_length(arr, 1) - {width} + 1)) AS start,
+         unnest(list_transform(range(1, array_length(arr, 1) - {width} + 2),
+                i -> array_to_string(arr[i : i + {width} - 1], ' '))) AS gram
+  FROM arrs WHERE array_length(arr, 1) >= {width}
+),
+dup_grams AS (
+  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_df}
+),
+occ AS (
+  SELECT g.doc_id, g.start,
+         ROW_NUMBER() OVER (PARTITION BY g.gram
+                            ORDER BY g.doc_id % 2, g.doc_id, g.start) AS rk
+  FROM grams g JOIN dup_grams d USING (gram)
+),
+hits AS (
+  SELECT doc_id, start, start + {width} - 1 AS "end"
+  FROM occ WHERE rk >= 2 AND doc_id % 2 = 1
+),
+flagged AS (
+  SELECT doc_id, start, "end",
+         CASE WHEN MAX("end") OVER w IS NULL OR start > MAX("end") OVER w + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+islands AS (
+  SELECT doc_id, start, "end",
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, MIN(start) AS s, MAX("end") AS e FROM islands GROUP BY doc_id, island
+),
+tokens AS (
+  SELECT doc_id, unnest(range(0, array_length(arr, 1))) AS i, unnest(arr) AS tok
+  FROM arrs WHERE doc_id % 2 = 1
+),
+kept AS (
+  SELECT t.doc_id, t.i, t.tok FROM tokens t
+  WHERE NOT EXISTS (SELECT 1 FROM spans s
+                    WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text, COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       COALESCE(g.clean_text, '') AS clean_text,
+       array_length(a.arr, 1) - COALESCE(g.n_kept, 0) AS n_removed,
+       COALESCE(g.n_kept, 0) AS n_kept
+FROM arrs a LEFT JOIN agg g USING (doc_id)
+WHERE a.doc_id % 2 = 1
 """
 
 

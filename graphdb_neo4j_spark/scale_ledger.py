@@ -76,6 +76,17 @@ _EXPLICIT: dict[str, Disposition] = {
         "8.4 s",
         twin="semantic_dedup_lsh",
     ),
+    "dedup_span_removal_incremental": _d(
+        "linear",
+        "r9 debut: batch-vs-history span removal (history-priority "
+        "keep-one). Same gram-df shuffle + rank-in-partition shape as "
+        "the one-shot form; only BATCH docs reach the islands/"
+        "reconstruction stages, and at scale history enters via a "
+        "persisted gram table (materialize-then-consume, documented). "
+        "10x sweep: 1.79 -> 4.22 s (2.35x) on the adversarial replica "
+        "with ~133x removal output",
+        twin=None,
+    ),
     "dedup_span_removal": _d(
         "linear",
         "r9 debut: the substring-dedup REMOVAL step (keep-one contract). "

@@ -630,6 +630,116 @@ class TestDedupSpanRemoval:
             assert n <= spans[doc_id]
 
 
+class TestDedupSpanRemovalIncremental:
+    """Batch-vs-history span removal: history-priority keep-one."""
+
+    def test_history_wins_regardless_of_id_order(self, spark, tmp_path):
+        from graphdb_neo4j_spark.llmdata.dedup import (
+            q_dedup_span_removal_incremental,
+        )
+
+        # batch doc 1 has a SMALLER id than history doc 2 but still loses
+        # the shared passage — history holds the canonical copy. (The
+        # one-shot keep-first would keep doc 1's copy; this pins the
+        # priority difference.)
+        shared = "alpha beta gamma delta epsilon zeta"
+        rows = [
+            (1, shared + " y0 y1 y2"),  # batch (odd)
+            (2, "x0 x1 " + shared),  # history (even)
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in q_dedup_span_removal_incremental(
+                spark, str(tmp_path), width=4, min_df=2
+            ).collect()
+        }
+        assert set(out) == {1}  # batch rows only
+        assert out[1]["clean_text"] == "y0 y1 y2"
+        assert out[1]["n_removed"] == 6
+
+    def test_batch_internal_keep_first(self, spark, tmp_path):
+        from graphdb_neo4j_spark.llmdata.dedup import (
+            q_dedup_span_removal_incremental,
+        )
+
+        # passage absent from history, shared by two batch docs: the
+        # first batch occurrence survives, the second is cut
+        shared = "a1 a2 a3 a4 a5"
+        rows = [
+            (0, "h0 h1 h2 h3 h4 h5"),  # history, unrelated
+            (1, shared + " m0 m1 m2"),  # batch: canonical copy
+            (3, "n0 n1 n2 " + shared),  # batch: cut
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        out = {
+            r["doc_id"]: r
+            for r in q_dedup_span_removal_incremental(
+                spark, str(tmp_path), width=4, min_df=2
+            ).collect()
+        }
+        assert set(out) == {1, 3}
+        assert out[1]["n_removed"] == 0
+        assert out[3]["clean_text"] == "n0 n1 n2"
+        assert out[3]["n_removed"] == 5
+
+    def test_degenerates_to_one_shot_when_history_precedes(
+        self, spark, tmp_path
+    ):
+        """When every history id < every batch id, the history-priority
+        ordering IS the plain (doc_id, start) ordering — the incremental
+        result must equal the one-shot removal restricted to batch rows."""
+        from graphdb_neo4j_spark.llmdata.dedup import (
+            q_dedup_span_removal,
+            q_dedup_span_removal_incremental,
+        )
+
+        s1 = "alpha beta gamma delta epsilon zeta"
+        s2 = "b1 b2 b3 b4 b5"
+        rows = [
+            (0, "x0 " + s1 + " x1"),  # history
+            (2, s2 + " h0 h1"),  # history
+            (4, "h2 h3 h4 h5 h6 h7"),  # history
+            (11, s1 + " y0 " + s2),  # batch
+            (13, "z0 z1 " + s1),  # batch
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            str(tmp_path / "documents.parquet")
+        )
+        inc = sorted(
+            map(
+                tuple,
+                q_dedup_span_removal_incremental(
+                    spark, str(tmp_path), width=4, min_df=2
+                ).collect(),
+            )
+        )
+        one_shot = sorted(
+            tuple(r)
+            for r in q_dedup_span_removal(
+                spark, str(tmp_path), width=4, min_df=2
+            ).collect()
+            if r["doc_id"] % 2 == 1
+        )
+        assert inc == one_shot
+        assert any(r[2] > 0 for r in inc)  # the property isn't vacuous
+
+    def test_hashed_form_identical(self, spark, sf_dir):
+        from graphdb_neo4j_spark.llmdata.dedup import (
+            q_dedup_span_removal_incremental,
+        )
+
+        text = q_dedup_span_removal_incremental(spark, sf_dir).collect()
+        hashed = q_dedup_span_removal_incremental(
+            spark, sf_dir, hashed=True
+        ).collect()
+        assert sorted(map(tuple, text)) == sorted(map(tuple, hashed))
+
+
 class TestDedupSNM:
     """Sorted-neighborhood dedup: blocked rank window + Jaccard verify."""
 
