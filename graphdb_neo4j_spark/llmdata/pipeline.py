@@ -6,10 +6,14 @@ operators:
           → hygiene counts (PII spans)
           → gates: quality ∧ language ∧ ¬exact-dup ∧ ¬near-dup
           → keep-set parquet
+          → duplicated-SPAN removal over the keep set (keep-one
+            substring dedup — gates drop whole docs, this cleans the
+            survivors' residual boilerplate passages; Lee et al. 2022)
           → sliding-window chunks for tokenization
 
 Every stage is one of the oracle-checked operators (`jsonl_to_parquet`,
-`q_pii_scrub`, `q_training_filter`, `q_doc_chunks`); this module only
+`q_pii_scrub`, `q_training_filter`, `q_dedup_span_removal`,
+`q_doc_chunks`); this module only
 sequences them through staged directories and aggregates the accounting.
 Staged parquet between phases is deliberate at 100 TB: each stage's
 output is a durable, resumable checkpoint (re-running the chunker does
@@ -25,7 +29,10 @@ from dataclasses import dataclass
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.llmdata.dedup import q_dedup_components
+from graphdb_neo4j_spark.llmdata.dedup import (
+    q_dedup_components,
+    q_dedup_span_removal,
+)
 from graphdb_neo4j_spark.llmdata.filterset import q_training_filter
 from graphdb_neo4j_spark.llmdata.scrub import q_pii_scrub
 from graphdb_neo4j_spark.llmdata.textstats import q_doc_chunks, q_token_stats
@@ -37,10 +44,12 @@ class PipelineReport:
     ingested_rows: int
     corrupt_lines: int
     kept_docs: int
-    dropped_by_reason: dict[str, int]  # quality / lang / exact_dup / near_dup
+    # quality / lang / exact_dup / near_dup / span_emptied
+    dropped_by_reason: dict[str, int]
     docs_with_pii: int
     chunks: int
     kept_tokens: int
+    span_removed_tokens: int  # duplicated-passage tokens cut from kept docs
 
     @property
     def dropped_docs(self) -> int:
@@ -54,14 +63,22 @@ def run_corpus_pipeline(
 
     - ``{out_base}/raw/documents.parquet``   — columnarized input
     - ``{out_base}/components.parquet``      — near-dup component labels
-    - ``{out_base}/train/documents.parquet`` — the surviving training set
+    - ``{out_base}/kept/documents.parquet``  — gate survivors (pre-clean)
+    - ``{out_base}/span_removal.parquet``    — per-doc span-cut accounting
+    - ``{out_base}/train/documents.parquet`` — the cleaned training set
     - ``{out_base}/chunks.parquet``          — sliding-window chunks
 
     Returns the attrition accounting (every ingested doc is either kept
     or attributed to exactly one drop reason — checked by the caller's
-    tests, not assumed).
+    tests, not assumed). Gates drop whole docs; the span-removal stage
+    then cuts duplicated ≥width-token passages from the SURVIVORS
+    (keep-one: the first occurrence in the kept corpus is canonical), so
+    chunks and token counts reflect the cleaned text. A doc emptied by
+    the cut (its entire text was someone else's passage) is dropped with
+    reason ``span_emptied``.
     """
     raw_dir = f"{out_base}/raw"
+    kept_dir = f"{out_base}/kept"
     train_dir = f"{out_base}/train"
 
     ingested, corrupt = jsonl_to_parquet(
@@ -94,7 +111,39 @@ def run_corpus_pipeline(
     docs = spark.read.parquet(f"{raw_dir}/documents.parquet")
     keep_ids = verdicts.filter(F.col("keep")).select("doc_id")
     docs.join(keep_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
-        f"{train_dir}/documents.parquet"
+        f"{kept_dir}/documents.parquet"
+    )
+
+    # duplicated-span removal over the KEPT corpus (staged: the gram-df
+    # pipeline runs once; the accounting agg and the train write both
+    # read the materialization)
+    q_dedup_span_removal(spark, kept_dir).write.mode("overwrite").parquet(
+        f"{out_base}/span_removal.parquet"
+    )
+    cleaned = spark.read.parquet(f"{out_base}/span_removal.parquet")
+    span_removed_tokens = int(
+        cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+    )
+    n_emptied = cleaned.filter(F.col("n_kept") == 0).count()
+    if n_emptied:
+        reasons["span_emptied"] = n_emptied
+        kept -= n_emptied
+
+    kept_docs = spark.read.parquet(f"{kept_dir}/documents.parquet")
+    (
+        kept_docs.join(
+            cleaned.filter(F.col("n_kept") > 0).select("doc_id", "clean_text"),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.col("clean_text").alias("text"),
+            "lang",
+            "source",
+            F.length("clean_text").cast("long").alias("n_chars"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{train_dir}/documents.parquet")
     )
 
     chunks = q_doc_chunks(spark, train_dir)
@@ -114,6 +163,7 @@ def run_corpus_pipeline(
         docs_with_pii=docs_with_pii,
         chunks=n_chunks,
         kept_tokens=int(kept_tokens),
+        span_removed_tokens=span_removed_tokens,
     )
 
 

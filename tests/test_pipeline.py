@@ -22,7 +22,7 @@ def test_pipeline_accounting_closes(spark, sf_dir, tmp_path):
     assert report.kept_docs + report.dropped_docs == report.ingested_rows
     assert report.kept_docs > 0
     assert set(report.dropped_by_reason) <= {
-        "quality", "lang", "exact_dup", "near_dup",
+        "quality", "lang", "exact_dup", "near_dup", "span_emptied",
     }
 
     # staged artifacts agree with the report
@@ -34,6 +34,58 @@ def test_pipeline_accounting_closes(spark, sf_dir, tmp_path):
     orphan = chunks.join(train, "doc_id", "left_anti")
     assert orphan.count() == 0
     assert report.kept_tokens > 0
+
+    # span-removal accounting agrees with the staged artifact, and the
+    # train text is the CLEANED text (n_chars recomputed from it)
+    cleaned = spark.read.parquet(f"{out}/span_removal.parquet")
+    assert report.span_removed_tokens == (
+        cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+    )
+    bad_len = train.filter(F.length("text") != F.col("n_chars")).count()
+    assert bad_len == 0
+
+
+def test_pipeline_cuts_planted_duplicated_passage(spark, sf_dir, tmp_path):
+    """Two gate-surviving docs injected with the same 20-token passage:
+    the train set keeps exactly ONE copy (in the smaller doc_id — the
+    keep-one canonical)."""
+    from graphdb_neo4j_spark.llmdata.filterset import q_training_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keep_ids = [
+        r["doc_id"]
+        for r in q_training_filter(spark, sf_dir)
+        .filter(F.col("keep"))
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(2)
+        .collect()
+    ]
+    assert len(keep_ids) == 2
+    passage = " ".join(f"planted{i}" for i in range(20))
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(keep_ids),
+            F.concat_ws(" ", "text", F.lit(passage)),
+        ).otherwise(F.col("text")),
+    )
+    jsonl_path = str(tmp_path / "dump")
+    write_documents_jsonl(injected, jsonl_path)
+    out = str(tmp_path / "out")
+    report = run_corpus_pipeline(spark, jsonl_path, out)
+    assert report.span_removed_tokens >= 20
+
+    train = spark.read.parquet(f"{out}/train/documents.parquet")
+    carriers = {
+        r["doc_id"]: r["text"]
+        for r in train.filter(F.col("text").contains("planted0")).collect()
+    }
+    # the injection must not have flipped the gate verdicts (deterministic
+    # fixture — if this fires, pick different carrier docs)
+    assert train.filter(F.col("doc_id").isin(keep_ids)).count() == 2
+    assert set(carriers) == {min(keep_ids)}
+    assert passage in carriers[min(keep_ids)]
 
 
 def test_pipeline_materializes_components_artifact(spark, sf_dir, tmp_path):
