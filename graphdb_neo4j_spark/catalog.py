@@ -589,6 +589,7 @@ register(
     "dedup_span_removal",
     lambda spark, sf: dedup.q_dedup_span_removal(spark, sf),
     dedup.dedup_span_removal_sql(),
+    bench=True,  # the cleaned-corpus production op — perf tracked per round
 )
 # r9 debut: the incremental form — clean the new batch against history
 # (history-priority keep-one; batch text is the only reconstruction input)

@@ -22,8 +22,10 @@ SQLConf) because some operators self-heal by setting session confs — a
 shared session would let the first query fix the config for the rest
 and mask a dependence.
 
-r8 (VERDICT r7 #5): widened from 12 family picks to ALL 54 bench
-queries — the exact set the driver times on ITS OWN session, so every
+r8 (VERDICT r7 #5): widened from 12 family picks to ALL bench
+queries (54 then; the list tracks the registry, so later bench debuts
+join automatically) — the exact set the driver times on ITS OWN
+session, so every
 timed query is pinned config-independent, not just one per family.
 Oracle-backed queries verify against DuckDB on the adversarial session;
 rows-only queries (no SQL mirror by design) verify the adversarial
