@@ -475,3 +475,63 @@ def test_dedup_threshold_validation(spark):
         q_dedup_minhash(spark, "/root/testdata/sf0.001", threshold=0.0)
     with pytest.raises(ValueError, match="threshold"):
         q_dedup_incremental(spark, "/root/testdata/sf0.001", threshold=-0.2)
+
+
+def _span_removal_ref(docs, width, min_df, priority=None):
+    """Brute-force keep-one substring removal: removed positions are the
+    union of every non-first occurrence of each duplicated gram (first =
+    min by ``priority`` key, default (doc_id, start)). The engine's
+    adjacent-island merging covers exactly this position set, so the
+    position-set reference is exact."""
+    from collections import defaultdict
+
+    priority = priority or (lambda d, i: (d, i))
+    gram_occ = defaultdict(list)
+    for d, toks in docs.items():
+        for i in range(len(toks) - width + 1):
+            gram_occ[tuple(toks[i : i + width])].append((d, i))
+    removed = defaultdict(set)
+    for occ in gram_occ.values():
+        if len({d for d, _ in occ}) < min_df:
+            continue
+        for d, i in sorted(occ, key=lambda p: priority(*p))[1:]:
+            removed[d].update(range(i, i + width))
+    out = {}
+    for d, toks in docs.items():
+        kept = [t for j, t in enumerate(toks) if j not in removed[d]]
+        out[d] = (" ".join(kept), len(toks) - len(kept), len(kept))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 7),
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_removal_kernel_matches_bruteforce(spark, docs):
+    """duplicated_gram_starts(keep_first=True) + _cut_spans against the
+    brute-force position-set reference, on random tiny corpora where
+    overlapping/adjacent duplicated grams are common."""
+    from graphdb_neo4j_spark.llmdata.dedup import (
+        _cut_spans,
+        duplicated_gram_starts,
+    )
+
+    width, min_df = 2, 2
+    ddf = spark.createDataFrame(
+        [(int(d), " ".join(toks)) for d, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    arrs = ddf.select("doc_id", F.split(F.trim("text"), r"\s+").alias("arr"))
+    hits = duplicated_gram_starts(ddf, width, min_df, keep_first=True).select(
+        "doc_id", "start", (F.col("start") + width - 1).alias("end")
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"], r["n_kept"])
+        for r in _cut_spans(arrs, hits).collect()
+    }
+    assert got == _span_removal_ref(docs, width, min_df)
