@@ -1736,11 +1736,13 @@ def clean_batch_with_gram_store(
         grams.join(batch_df, "gram")
         .join(hist_df, "gram", "left")
         .withColumn("hist_df", F.coalesce("hist_df", F.lit(0)))
+        # union-df gate BEFORE the rank window: the predicate is constant
+        # per gram, so per-gram ordering is unchanged, and the window
+        # sorts only candidate occurrences (Catalyst cannot push a
+        # post-window filter itself)
+        .filter(F.col("hist_df") + F.col("batch_df") >= min_df)
         .withColumn("rk", rank)
-        .filter(
-            (F.col("hist_df") + F.col("batch_df") >= min_df)
-            & ((F.col("hist_df") >= 1) | (F.col("rk") >= 2))
-        )
+        .filter((F.col("hist_df") >= 1) | (F.col("rk") >= 2))
         .select("doc_id", "start", (F.col("start") + width - 1).alias("end"))
     )
     return _cut_spans(batch_arrs, hits)
