@@ -1534,6 +1534,18 @@ def q_dedup_span_removal_incremental(
     batch-sized windows — never a history rescan of text.
     """
     docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return span_removal_incremental_frame(docs, width, min_df, hashed)
+
+
+def span_removal_incremental_frame(
+    docs: DataFrame,
+    width: int = SPAN_WIDTH,
+    min_df: int = SPAN_MIN_DF,
+    hashed: bool = False,
+) -> DataFrame:
+    """Frame-level kernel of :func:`q_dedup_span_removal_incremental`
+    (same contract, any (doc_id, text) input — property-tested against a
+    brute-force reference on random corpora)."""
     batch_arrs = docs.filter(F.col("doc_id") % 2 == 1).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
     )

@@ -535,3 +535,33 @@ def test_span_removal_kernel_matches_bruteforce(spark, docs):
         for r in _cut_spans(arrs, hits).collect()
     }
     assert got == _span_removal_ref(docs, width, min_df)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 7),
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=10),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_removal_incremental_matches_bruteforce(spark, docs):
+    """The history-priority rule ((doc_id % 2, doc_id, start) ordering,
+    batch rows only) against the same brute-force reference with the
+    incremental priority key."""
+    from graphdb_neo4j_spark.llmdata.dedup import span_removal_incremental_frame
+
+    width, min_df = 2, 2
+    ddf = spark.createDataFrame(
+        [(int(d), " ".join(toks)) for d, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"], r["n_kept"])
+        for r in span_removal_incremental_frame(ddf, width, min_df).collect()
+    }
+    ref = _span_removal_ref(
+        docs, width, min_df, priority=lambda d, i: (d % 2, d, i)
+    )
+    assert got == {d: v for d, v in ref.items() if d % 2 == 1}
