@@ -1211,9 +1211,12 @@ def duplicated_gram_starts(
     ``keep_first=True`` drops each gram's globally FIRST occurrence
     (min (doc_id, start)) from the result — the hit set for span
     REMOVAL, where one canonical copy of every duplicated passage must
-    survive (Lee et al. 2022's keep-one contract). The rank is a window
-    on the gram key the rows are already shuffled on (the df join), so
-    it adds a sort within existing partitions, not a new exchange.
+    survive (Lee et al. 2022's keep-one contract). The rank windows on
+    the same gram key the df join uses: when that join shuffles (the
+    at-scale shape) the window reuses its partitioning; when the
+    dup-gram side broadcasts (small sf) the window adds the one
+    gram-keyed exchange the join skipped — ≤1 gram exchange either way
+    (plan budget pinned in ``test_plan_contracts``).
     """
     arrs = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
@@ -1411,9 +1414,11 @@ def q_dedup_span_removal(
     token-normalized (single-space joined), the standard contract for a
     tokenizer-bound corpus.
 
-    Scale shape: the hit pipeline is ``duplicated_gram_starts``'s one
-    gram-keyed shuffle plus a rank WITHIN those partitions (no new
-    exchange); islands + per-doc span lists are windows/groupBys keyed
+    Scale shape: the hit pipeline is ``duplicated_gram_starts``'s
+    gram-keyed work plus the keep-first rank — ≤1 gram exchange total
+    (reused from the df join at scale, added in its place when the
+    dup-gram side broadcasts; budget pinned in ``test_plan_contracts``);
+    islands + per-doc span lists are windows/groupBys keyed
     by doc_id (hit counts bounded by doc length); the reconstruction is
     ROW-LOCAL — spans join back to the doc scan on doc_id and a
     codegen'd ``filter(sequence(...), i -> NOT exists(spans, ...))`` +
@@ -1716,11 +1721,15 @@ def clean_batch_with_gram_store(
     rank. Store keys are xxhash64 (the at-rest form), so this mirrors
     the registered query's ``hashed=True`` twin.
 
-    Scale shape: batch grams build row-locally; ONE gram-keyed shuffle
-    covers the batch-df aggregation, the store probe join, and the
-    batch-rank window; islands + reconstruction touch batch docs only.
-    The store-side df aggregation is store-sized (sum of generation
-    partials) — compaction keeps it one-generation-sized."""
+    Scale shape: batch grams build row-locally; the gram-keyed work is
+    the batch-df agg, the store-df agg (store-sized — the sum of
+    generation partials; compaction keeps it one-generation-sized), and
+    the candidate rank window (reuses the probe join's partitioning
+    when the store side shuffles at scale; at small sf the store
+    broadcasts and the window pays its own gram exchange). Islands +
+    reconstruction are doc-keyed and touch batch docs only — 5 shuffles
+    / all-broadcast joins in the audited small-sf plan, every one batch-
+    or store-sized."""
     hist_df = (
         spark.read.parquet(store)
         .groupBy("gram")
