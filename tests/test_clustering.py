@@ -22,9 +22,13 @@ def separable(spark, tmp_path_factory):
             v = v / np.linalg.norm(v)
             rows.append((c * 20 + i, [float(x) for x in v], c))
     d = tmp_path_factory.mktemp("clus")
+    # ONE output file: createDataFrame slices 60 rows across all 32 cores,
+    # and a 32-file fixture gives the KMeans fit 32 partitions whose
+    # float-sum merge order is task-arrival-dependent — the fit (and the
+    # tests) must not vary with thread scheduling
     spark.createDataFrame(
         rows, schema="vec_id long, embedding array<float>, label int"
-    ).write.parquet(f"{d}/embeddings.parquet")
+    ).coalesce(1).write.parquet(f"{d}/embeddings.parquet")
     return str(d)
 
 
@@ -81,9 +85,13 @@ def test_outlier_detection_flags_planted_corruption(spark, tmp_path):
             rows.append((c * 30 + i, [float(x) for x in v / np.linalg.norm(v)], c))
     junk = rng.normal(0, 1, 64)
     rows.append((999, [float(x) for x in junk / np.linalg.norm(junk)], 0))
+    # single-file write: a multi-file fixture hands KMeans one partition
+    # per file and the fit's float-sum merge order becomes task-arrival-
+    # dependent — observed flaking this exact test (the planted outlier
+    # failed to flag once in ~dozens of suite runs)
     spark.createDataFrame(
         rows, schema="vec_id long, embedding array<float>, label int"
-    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    ).coalesce(1).write.parquet(f"{tmp_path}/embeddings.parquet")
 
     out = clustering.q_cluster_outliers(spark, str(tmp_path), n_clusters=3).collect()
     flagged = {r["vec_id"] for r in out if r["is_outlier"]}
