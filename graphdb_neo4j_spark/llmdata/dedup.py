@@ -1438,13 +1438,19 @@ def q_dedup_span_removal(
     return _cut_spans(arrs, hits)
 
 
-def dedup_span_removal_sql(
-    width: int = SPAN_WIDTH, min_df: int = SPAN_MIN_DF
+def _span_cut_sql(
+    width: int,
+    min_df: int,
+    rank_order: str,
+    hits_where: str,
+    docs_where: str = "TRUE",
 ) -> str:
-    """DuckDB mirror of :func:`q_dedup_span_removal` via an exploded
-    token anti-join (EXISTS against the merged removal intervals) —
-    deliberately a DIFFERENT algorithm from the Spark side's row-local
-    higher-order-function reconstruction."""
+    """Shared DuckDB-mirror template for the span-removal oracles: the
+    gram build, duplicated-gram gate, interval merge, exploded token
+    anti-join, and reconstruction are IDENTICAL between the one-shot and
+    incremental forms — only the rank ordering (keep-one priority), the
+    hit filter, and the output-doc restriction differ. One template
+    means the two oracles cannot drift apart."""
     return rf"""
 WITH arrs AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
@@ -1461,11 +1467,11 @@ dup_grams AS (
 ),
 occ AS (
   SELECT g.doc_id, g.start,
-         ROW_NUMBER() OVER (PARTITION BY g.gram ORDER BY g.doc_id, g.start) AS rk
+         ROW_NUMBER() OVER (PARTITION BY g.gram ORDER BY {rank_order}) AS rk
   FROM grams g JOIN dup_grams d USING (gram)
 ),
 hits AS (
-  SELECT doc_id, start, start + {width} - 1 AS "end" FROM occ WHERE rk >= 2
+  SELECT doc_id, start, start + {width} - 1 AS "end" FROM occ WHERE {hits_where}
 ),
 flagged AS (
   SELECT doc_id, start, "end",
@@ -1484,9 +1490,12 @@ islands AS (
 spans AS (
   SELECT doc_id, MIN(start) AS s, MAX("end") AS e FROM islands GROUP BY doc_id, island
 ),
+outdocs AS (
+  SELECT doc_id, arr FROM arrs WHERE {docs_where}
+),
 tokens AS (
   SELECT doc_id, unnest(range(0, array_length(arr, 1))) AS i, unnest(arr) AS tok
-  FROM arrs
+  FROM outdocs
 ),
 kept AS (
   SELECT t.doc_id, t.i, t.tok FROM tokens t
@@ -1501,8 +1510,23 @@ SELECT a.doc_id,
        COALESCE(g.clean_text, '') AS clean_text,
        array_length(a.arr, 1) - COALESCE(g.n_kept, 0) AS n_removed,
        COALESCE(g.n_kept, 0) AS n_kept
-FROM arrs a LEFT JOIN agg g USING (doc_id)
+FROM outdocs a LEFT JOIN agg g USING (doc_id)
 """
+
+
+def dedup_span_removal_sql(
+    width: int = SPAN_WIDTH, min_df: int = SPAN_MIN_DF
+) -> str:
+    """DuckDB mirror of :func:`q_dedup_span_removal` via an exploded
+    token anti-join (EXISTS against the merged removal intervals) —
+    deliberately a DIFFERENT algorithm from the Spark side's row-local
+    higher-order-function reconstruction."""
+    return _span_cut_sql(
+        width,
+        min_df,
+        rank_order="g.doc_id, g.start",
+        hits_where="rk >= 2",
+    )
 
 
 def q_dedup_span_removal_incremental(
@@ -1592,181 +1616,16 @@ def dedup_span_removal_incremental_sql(
     width: int = SPAN_WIDTH, min_df: int = SPAN_MIN_DF
 ) -> str:
     """DuckDB mirror of :func:`q_dedup_span_removal_incremental` — the
-    exploded-token-anti-join algorithm of :func:`dedup_span_removal_sql`
-    with the history-priority rank ordering."""
-    return rf"""
-WITH arrs AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr FROM documents
-),
-grams AS (
-  SELECT doc_id,
-         unnest(range(0, array_length(arr, 1) - {width} + 1)) AS start,
-         unnest(list_transform(range(1, array_length(arr, 1) - {width} + 2),
-                i -> array_to_string(arr[i : i + {width} - 1], ' '))) AS gram
-  FROM arrs WHERE array_length(arr, 1) >= {width}
-),
-dup_grams AS (
-  SELECT gram FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= {min_df}
-),
-occ AS (
-  SELECT g.doc_id, g.start,
-         ROW_NUMBER() OVER (PARTITION BY g.gram
-                            ORDER BY g.doc_id % 2, g.doc_id, g.start) AS rk
-  FROM grams g JOIN dup_grams d USING (gram)
-),
-hits AS (
-  SELECT doc_id, start, start + {width} - 1 AS "end"
-  FROM occ WHERE rk >= 2 AND doc_id % 2 = 1
-),
-flagged AS (
-  SELECT doc_id, start, "end",
-         CASE WHEN MAX("end") OVER w IS NULL OR start > MAX("end") OVER w + 1
-              THEN 1 ELSE 0 END AS new_island
-  FROM hits
-  WINDOW w AS (PARTITION BY doc_id ORDER BY start
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-),
-islands AS (
-  SELECT doc_id, start, "end",
-         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY start
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM flagged
-),
-spans AS (
-  SELECT doc_id, MIN(start) AS s, MAX("end") AS e FROM islands GROUP BY doc_id, island
-),
-tokens AS (
-  SELECT doc_id, unnest(range(0, array_length(arr, 1))) AS i, unnest(arr) AS tok
-  FROM arrs WHERE doc_id % 2 = 1
-),
-kept AS (
-  SELECT t.doc_id, t.i, t.tok FROM tokens t
-  WHERE NOT EXISTS (SELECT 1 FROM spans s
-                    WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.s AND s.e)
-),
-agg AS (
-  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text, COUNT(*) AS n_kept
-  FROM kept GROUP BY doc_id
-)
-SELECT a.doc_id,
-       COALESCE(g.clean_text, '') AS clean_text,
-       array_length(a.arr, 1) - COALESCE(g.n_kept, 0) AS n_removed,
-       COALESCE(g.n_kept, 0) AS n_kept
-FROM arrs a LEFT JOIN agg g USING (doc_id)
-WHERE a.doc_id % 2 = 1
-"""
-
-
-# --- persisted gram store (at-rest incremental span removal) -----------------
-
-
-def write_gram_store(
-    docs: DataFrame, path: str, width: int = SPAN_WIDTH, mode: str = "overwrite"
-) -> None:
-    """Persist per-gram history document frequencies — the at-rest half of
-    incremental span removal: (gram xxhash64, df). ~16 B/row, one row per
-    DISTINCT gram in this generation.
-
-    ``mode="append"`` is the per-batch ingest path (see
-    :func:`append_gram_store`): generations hold DISJOINT doc_id sets, so
-    per-generation distinct-doc counts are ADDITIVE and the probe sums
-    them — the store never rewrites and history text is never re-read.
-    At 100 TB, compact generations periodically (sum-merge on gram) to
-    keep the probe-side aggregation one-generation-sized."""
-    arrs = docs.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
-    ).filter(F.size("arr") >= width)
-    grams = arrs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, size(arr) - {width}),"
-                f" i -> array_join(slice(arr, i + 1, {width}), ' '))"
-            )
-        ).alias("gram"),
-    ).withColumn("gram", F.xxhash64("gram"))
-    (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .write.mode(mode)
-        .parquet(path)
+    shared :func:`_span_cut_sql` template with the history-priority rank
+    ordering, hits restricted to batch occurrences, and output restricted
+    to batch docs."""
+    return _span_cut_sql(
+        width,
+        min_df,
+        rank_order="g.doc_id % 2, g.doc_id, g.start",
+        hits_where="rk >= 2 AND doc_id % 2 = 1",
+        docs_where="doc_id % 2 = 1",
     )
-
-
-def append_gram_store(new_docs: DataFrame, path: str, width: int = SPAN_WIDTH) -> None:
-    """Fold a new generation into the store (append-only; the probe sums
-    partial dfs per gram — exact because generations hold disjoint ids)."""
-    write_gram_store(new_docs, path, width, mode="append")
-
-
-def clean_batch_with_gram_store(
-    spark: SparkSession,
-    store: str,
-    batch: DataFrame,
-    width: int = SPAN_WIDTH,
-    min_df: int = SPAN_MIN_DF,
-) -> DataFrame:
-    """Incremental span removal against the PERSISTED history gram store —
-    the production form of :func:`q_dedup_span_removal_incremental`
-    (pytest pins the two identical on the parity split): history text is
-    never read; the only history input is the (gram, df) table.
-
-    Hit rule (provably equal to the union rank of the registered form):
-    a batch occurrence of gram g is a removal hit iff
-    ``hist_df(g) + batch_df(g) >= min_df`` AND (``hist_df(g) >= 1`` —
-    history holds the canonical copy, every batch occurrence loses — OR
-    the occurrence is not the batch-first by (doc_id, start)). When
-    hist_df ≥ 1 the union rank-1 row is a history row, so all batch
-    occurrences rank ≥ 2; when hist_df = 0 the union rank IS the batch
-    rank. Store keys are xxhash64 (the at-rest form), so this mirrors
-    the registered query's ``hashed=True`` twin.
-
-    Scale shape: batch grams build row-locally; the gram-keyed work is
-    the batch-df agg, the store-df agg (store-sized — the sum of
-    generation partials; compaction keeps it one-generation-sized), and
-    the candidate rank window (reuses the probe join's partitioning
-    when the store side shuffles at scale; at small sf the store
-    broadcasts and the window pays its own gram exchange). Islands +
-    reconstruction are doc-keyed and touch batch docs only — 5 shuffles
-    / all-broadcast joins in the audited small-sf plan, every one batch-
-    or store-sized."""
-    hist_df = (
-        spark.read.parquet(store)
-        .groupBy("gram")
-        .agg(F.sum("df").alias("hist_df"))
-    )
-    batch_arrs = batch.select(
-        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
-    )
-    grams = batch_arrs.filter(F.size("arr") >= width).select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, size(arr) - {width}),"
-                f" i -> array_join(slice(arr, i + 1, {width}), ' '))"
-            )
-        ).alias("start", "gram"),
-    ).withColumn("gram", F.xxhash64("gram"))
-    batch_df = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("batch_df")
-    )
-    rank = F.row_number().over(
-        Window.partitionBy("gram").orderBy("doc_id", "start")
-    )
-    hits = (
-        grams.join(batch_df, "gram")
-        .join(hist_df, "gram", "left")
-        .withColumn("hist_df", F.coalesce("hist_df", F.lit(0)))
-        # union-df gate BEFORE the rank window: the predicate is constant
-        # per gram, so per-gram ordering is unchanged, and the window
-        # sorts only candidate occurrences (Catalyst cannot push a
-        # post-window filter itself)
-        .filter(F.col("hist_df") + F.col("batch_df") >= min_df)
-        .withColumn("rk", rank)
-        .filter((F.col("hist_df") >= 1) | (F.col("rk") >= 2))
-        .select("doc_id", "start", (F.col("start") + width - 1).alias("end"))
-    )
-    return _cut_spans(batch_arrs, hits)
 
 
 # --- sorted-neighborhood dedup (SNM) -----------------------------------------
