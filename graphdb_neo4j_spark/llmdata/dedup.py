@@ -1628,6 +1628,118 @@ def dedup_span_removal_incremental_sql(
     )
 
 
+# --- persisted gram store (at-rest incremental span removal) -----------------
+
+
+def write_gram_store(
+    docs: DataFrame, path: str, width: int = SPAN_WIDTH, mode: str = "overwrite"
+) -> None:
+    """Persist per-gram history document frequencies — the at-rest half of
+    incremental span removal: (gram xxhash64, df). ~16 B/row, one row per
+    DISTINCT gram in this generation.
+
+    ``mode="append"`` is the per-batch ingest path (see
+    :func:`append_gram_store`): generations hold DISJOINT doc_id sets, so
+    per-generation distinct-doc counts are ADDITIVE and the probe sums
+    them — the store never rewrites and history text is never re-read.
+    At 100 TB, compact generations periodically (sum-merge on gram) to
+    keep the probe-side aggregation one-generation-sized."""
+    arrs = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    ).filter(F.size("arr") >= width)
+    grams = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(arr) - {width}),"
+                f" i -> array_join(slice(arr, i + 1, {width}), ' '))"
+            )
+        ).alias("gram"),
+    ).withColumn("gram", F.xxhash64("gram"))
+    (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def append_gram_store(new_docs: DataFrame, path: str, width: int = SPAN_WIDTH) -> None:
+    """Fold a new generation into the store (append-only; the probe sums
+    partial dfs per gram — exact because generations hold disjoint ids)."""
+    write_gram_store(new_docs, path, width, mode="append")
+
+
+def clean_batch_with_gram_store(
+    spark: SparkSession,
+    store: str,
+    batch: DataFrame,
+    width: int = SPAN_WIDTH,
+    min_df: int = SPAN_MIN_DF,
+) -> DataFrame:
+    """Incremental span removal against the PERSISTED history gram store —
+    the production form of :func:`q_dedup_span_removal_incremental`
+    (pytest pins the two identical on the parity split): history text is
+    never read; the only history input is the (gram, df) table.
+
+    Hit rule (provably equal to the union rank of the registered form):
+    a batch occurrence of gram g is a removal hit iff
+    ``hist_df(g) + batch_df(g) >= min_df`` AND (``hist_df(g) >= 1`` —
+    history holds the canonical copy, every batch occurrence loses — OR
+    the occurrence is not the batch-first by (doc_id, start)). When
+    hist_df ≥ 1 the union rank-1 row is a history row, so all batch
+    occurrences rank ≥ 2; when hist_df = 0 the union rank IS the batch
+    rank. Store keys are xxhash64 (the at-rest form), so this mirrors
+    the registered query's ``hashed=True`` twin.
+
+    Scale shape: batch grams build row-locally; the gram-keyed work is
+    the batch-df agg, the store-df agg (store-sized — the sum of
+    generation partials; compaction keeps it one-generation-sized), and
+    the candidate rank window (reuses the probe join's partitioning
+    when the store side shuffles at scale; at small sf the store
+    broadcasts and the window pays its own gram exchange). Islands +
+    reconstruction are doc-keyed and touch batch docs only — 5 shuffles
+    / all-broadcast joins in the audited small-sf plan, every one batch-
+    or store-sized."""
+    hist_df = (
+        spark.read.parquet(store)
+        .groupBy("gram")
+        .agg(F.sum("df").alias("hist_df"))
+    )
+    batch_arrs = batch.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    )
+    grams = batch_arrs.filter(F.size("arr") >= width).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(arr) - {width}),"
+                f" i -> array_join(slice(arr, i + 1, {width}), ' '))"
+            )
+        ).alias("start", "gram"),
+    ).withColumn("gram", F.xxhash64("gram"))
+    batch_df = grams.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("batch_df")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("gram").orderBy("doc_id", "start")
+    )
+    hits = (
+        grams.join(batch_df, "gram")
+        .join(hist_df, "gram", "left")
+        .withColumn("hist_df", F.coalesce("hist_df", F.lit(0)))
+        # union-df gate BEFORE the rank window: the predicate is constant
+        # per gram, so per-gram ordering is unchanged, and the window
+        # sorts only candidate occurrences (Catalyst cannot push a
+        # post-window filter itself)
+        .filter(F.col("hist_df") + F.col("batch_df") >= min_df)
+        .withColumn("rk", rank)
+        .filter((F.col("hist_df") >= 1) | (F.col("rk") >= 2))
+        .select("doc_id", "start", (F.col("start") + width - 1).alias("end"))
+    )
+    return _cut_spans(batch_arrs, hits)
+
+
 # --- sorted-neighborhood dedup (SNM) -----------------------------------------
 
 SNM_WINDOW = 3  # compare each doc with its w successors in sort order
