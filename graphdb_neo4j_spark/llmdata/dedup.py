@@ -29,7 +29,7 @@ against exact Jaccard ground truth instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.llmdata import repcompress as rc
@@ -781,12 +781,18 @@ GROUP BY s.doc_id
 #   size is N_docs × ~200 B regardless of corpus bytes.
 
 
+def batch_predicate() -> Column:
+    """The parity convention of :func:`split_history_batch` as a column
+    expression — the ONE place the history/batch split is defined, so
+    frame kernels that need it inline (e.g.
+    :func:`span_removal_incremental_frame`) cannot drift from the
+    documented split contract."""
+    return F.col("doc_id") % 2 == 1
+
+
 def split_history_batch(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Deterministic (history, new-batch) split on doc_id parity."""
-    return (
-        docs.filter(F.col("doc_id") % 2 == 0),
-        docs.filter(F.col("doc_id") % 2 == 1),
-    )
+    return (docs.filter(~batch_predicate()), docs.filter(batch_predicate()))
 
 
 def q_dedup_incremental(
@@ -1187,6 +1193,15 @@ def q_dedup_components_incremental(
 
 SPAN_WIDTH = 15  # tokens per overlapping gram
 SPAN_MIN_DF = 2  # a gram appearing in >= this many docs is "duplicated"
+# Optional hot-gram guard for the span family (mirrors MAX_TOKEN_DF, above):
+# None by default — removing ultra-hot boilerplate is exactly what substring
+# dedup exists for, and the keep-first reduction below is a mergeable
+# partial agg with no per-gram serial stage, so hot grams cost a skewed
+# (AQE-splittable) join-back, not a straggler. Set it when a pathological
+# gram's occurrence rows (df × positions) would dominate the hit set; the
+# trade-off is RECALL — grams hotter than the cap survive dedup entirely
+# (like SNM's window bound, documented, not silent).
+MAX_GRAM_DF: int | None = None
 
 
 def duplicated_gram_starts(
@@ -1195,6 +1210,7 @@ def duplicated_gram_starts(
     min_df: int = SPAN_MIN_DF,
     hashed: bool = False,
     keep_first: bool = False,
+    max_df: int | None = MAX_GRAM_DF,
 ) -> DataFrame:
     """(doc_id, start) of every overlapping ``width``-token gram whose
     corpus document-frequency is >= ``min_df``.
@@ -1211,12 +1227,29 @@ def duplicated_gram_starts(
     ``keep_first=True`` drops each gram's globally FIRST occurrence
     (min (doc_id, start)) from the result — the hit set for span
     REMOVAL, where one canonical copy of every duplicated passage must
-    survive (Lee et al. 2022's keep-one contract). The rank windows on
-    the same gram key the df join uses: when that join shuffles (the
-    at-scale shape) the window reuses its partitioning; when the
-    dup-gram side broadcasts (small sf) the window adds the one
-    gram-keyed exchange the join skipped — ≤1 gram exchange either way
-    (plan budget pinned in ``test_plan_contracts``).
+    survive (Lee et al. 2022's keep-one contract). Keep-one needs only
+    each gram's minimum (doc_id, start), so it rides the df aggregation
+    itself: the count-distinct is written as its OWN two-level expansion
+    — ``groupBy(gram, doc_id).min(start)`` then
+    ``groupBy(gram).agg(count(*), min(struct(doc_id, start)))`` — and
+    the second level carries the global first occurrence for free (the
+    per-doc min of the smallest doc IS the global min, lexicographic).
+    Both levels are mergeable partial aggs with map-side combine.
+    Spelling the expansion out matters twice: (a) mixing
+    ``count_distinct`` with another aggregate would trigger Catalyst's
+    Expand strategy — every gram occurrence duplicated into the
+    shuffle, measured +15-25% on the 10× replica; (b) the alternative
+    per-gram rank WINDOW is a straggler at 100 TB — a window partition
+    is one task, so a boilerplate gram duplicated across millions of
+    documents (license headers — exactly what substring dedup removes)
+    would serialize its whole occurrence list into one sorted task,
+    and AQE can skew-split joins but not windows. The join-back then
+    filters occurrences equal to the min — codegen, no sort. Plan
+    budget pinned in ``test_plan_contracts``.
+
+    ``max_df`` (default ``MAX_GRAM_DF``) optionally drops grams hotter
+    than the cap from the hit set entirely — see the constant's note for
+    the recall trade-off.
     """
     arrs = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
@@ -1232,18 +1265,19 @@ def duplicated_gram_starts(
     )
     if hashed:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
-    dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("gram_df"))
-        .filter(F.col("gram_df") >= min_df)
-        .select("gram")
-    )
-    hits = grams.join(dup_grams, "gram")
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.min("start").alias("start"))
+    aggs = [F.count("*").alias("gram_df")]
     if keep_first:
-        rank = F.row_number().over(
-            Window.partitionBy("gram").orderBy("doc_id", "start")
+        aggs.append(F.min(F.struct("doc_id", "start")).alias("first_occ"))
+    dup_grams = per_doc.groupBy("gram").agg(*aggs).filter(F.col("gram_df") >= min_df)
+    if max_df is not None:
+        dup_grams = dup_grams.filter(F.col("gram_df") <= max_df)
+    hits = grams.join(dup_grams.drop("gram_df"), "gram")
+    if keep_first:
+        hits = hits.filter(
+            (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("start") != F.col("first_occ.start"))
         )
-        hits = hits.withColumn("rk", rank).filter(F.col("rk") >= 2)
     return hits.select("doc_id", "start")
 
 
@@ -1415,9 +1449,10 @@ def q_dedup_span_removal(
     tokenizer-bound corpus.
 
     Scale shape: the hit pipeline is ``duplicated_gram_starts``'s
-    gram-keyed work plus the keep-first rank — ≤1 gram exchange total
-    (reused from the df join at scale, added in its place when the
-    dup-gram side broadcasts; budget pinned in ``test_plan_contracts``);
+    gram-keyed work with keep-first folded into the df aggregation as a
+    mergeable ``min(struct(doc_id, start))`` — ONE gram shuffle total,
+    no rank window, no per-gram serial stage (budget pinned in
+    ``test_plan_contracts``);
     islands + per-doc span lists are windows/groupBys keyed
     by doc_id (hit counts bounded by doc length); the reconstruction is
     ROW-LOCAL — spans join back to the doc scan on doc_id and a
@@ -1574,8 +1609,18 @@ def span_removal_incremental_frame(
 ) -> DataFrame:
     """Frame-level kernel of :func:`q_dedup_span_removal_incremental`
     (same contract, any (doc_id, text) input — property-tested against a
-    brute-force reference on random corpora)."""
-    batch_arrs = docs.filter(F.col("doc_id") % 2 == 1).select(
+    brute-force reference on random corpora). The history/batch split is
+    :func:`batch_predicate` — the one shared definition of the parity
+    contract.
+
+    Keep-one here is the union-rank over (is_batch, doc_id, start) —
+    history-priority — reduced, like the one-shot form, to a mergeable
+    ``min(struct(is_batch, doc_id, start))`` carried by the second level
+    of the explicitly-expanded df aggregation (the ordering key is
+    unique per gram, so "not the min" ⟺ "rank ≥ 2"; no per-gram rank
+    window, no hot-gram straggler at 100 TB, no Expand — see
+    :func:`duplicated_gram_starts`)."""
+    batch_arrs = docs.filter(batch_predicate()).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
     )
     arrs = docs.select(
@@ -1592,21 +1637,31 @@ def span_removal_incremental_frame(
     )
     if hashed:
         grams = grams.withColumn("gram", F.xxhash64("gram"))
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.min("start").alias("start"))
     dup_grams = (
-        grams.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("gram_df"))
-        .filter(F.col("gram_df") >= min_df)
-        .select("gram")
-    )
-    rank = F.row_number().over(
-        Window.partitionBy("gram").orderBy(
-            (F.col("doc_id") % 2).asc(), "doc_id", "start"
+        per_doc.groupBy("gram")
+        .agg(
+            F.count("*").alias("gram_df"),
+            F.min(
+                F.struct(
+                    batch_predicate().cast("int").alias("is_batch"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("start").alias("start"),
+                )
+            ).alias("first_occ"),
         )
+        .filter(F.col("gram_df") >= min_df)
+        .select("gram", "first_occ")
     )
     hits = (
         grams.join(dup_grams, "gram")
-        .withColumn("rk", rank)
-        .filter((F.col("rk") >= 2) & (F.col("doc_id") % 2 == 1))
+        .filter(
+            batch_predicate()
+            & (
+                (F.col("doc_id") != F.col("first_occ.doc_id"))
+                | (F.col("start") != F.col("first_occ.start"))
+            )
+        )
         .select("doc_id", "start", (F.col("start") + width - 1).alias("end"))
     )
     return _cut_spans(batch_arrs, hits)
@@ -1630,20 +1685,75 @@ def dedup_span_removal_incremental_sql(
 
 # --- persisted gram store (at-rest incremental span removal) -----------------
 
+GRAM_STORE_META = "_gram_store_meta.json"
+_COMPACT_GENERATION = "__compact__"  # reserved; appends may not use it
+
+
+def _gram_store_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, GRAM_STORE_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_gram_store_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    with open(os.path.join(path, GRAM_STORE_META), "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+
 
 def write_gram_store(
-    docs: DataFrame, path: str, width: int = SPAN_WIDTH, mode: str = "overwrite"
+    docs: DataFrame,
+    path: str,
+    width: int = SPAN_WIDTH,
+    mode: str = "overwrite",
+    generation: str = "g0",
 ) -> None:
     """Persist per-gram history document frequencies — the at-rest half of
-    incremental span removal: (gram xxhash64, df). ~16 B/row, one row per
-    DISTINCT gram in this generation.
+    incremental span removal: (gram xxhash64, df), laid out as one
+    ``generation=<id>/`` partition directory per ingest batch. ~16 B/row,
+    one row per DISTINCT gram in this generation (the generation id is a
+    partition DIRECTORY, zero bytes per row).
 
     ``mode="append"`` is the per-batch ingest path (see
     :func:`append_gram_store`): generations hold DISJOINT doc_id sets, so
     per-generation distinct-doc counts are ADDITIVE and the probe sums
     them — the store never rewrites and history text is never re-read.
-    At 100 TB, compact generations periodically (sum-merge on gram) to
-    keep the probe-side aggregation one-generation-sized."""
+    :func:`compact_gram_store` sum-merges generations periodically to keep
+    the probe-side aggregation one-generation-sized.
+
+    Every write stamps/updates a ``_gram_store_meta.json`` sidecar (the
+    underscore prefix hides it from parquet discovery) recording the
+    build ``width``, the hash scheme, and every generation id ever
+    folded in. Appends validate against it: a width mismatch or a
+    replayed generation id (e.g. a retried batch after a partial
+    failure, which would silently double-count dfs and over-remove
+    batch text) raises instead of corrupting the store. The sidecar is
+    written AFTER the data commit, so a crash between the two leaves a
+    last-generation data/meta mismatch that the next append of the same
+    id will fail on — inspect and delete the orphan partition directory;
+    a table format's commit log is the real fix at scale (SURVEY.md
+    §7.4-H1), same caveat as ``compact_partition``."""
+    meta = _gram_store_meta(path)
+    if mode == "append" and meta is not None:
+        if meta["width"] != width:
+            raise ValueError(
+                f"gram store at {path} was built with width={meta['width']}, "
+                f"append requested width={width}"
+            )
+        if generation in meta["generations"]:
+            raise ValueError(
+                f"generation {generation!r} already folded into the gram store "
+                f"at {path} (replayed/retried append would double-count dfs)"
+            )
+    if generation == _COMPACT_GENERATION:
+        raise ValueError(f"generation id {_COMPACT_GENERATION!r} is reserved")
     arrs = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
     ).filter(F.size("arr") >= width)
@@ -1656,18 +1766,71 @@ def write_gram_store(
             )
         ).alias("gram"),
     ).withColumn("gram", F.xxhash64("gram"))
+    if mode == "overwrite":
+        import os
+        import shutil
+
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        meta = None
     (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .write.mode(mode)
-        .parquet(path)
+        .write.mode("overwrite")
+        .parquet(f"{path}/generation={generation}")
     )
+    if meta is None:
+        meta = {"width": width, "hash": "xxhash64", "generations": []}
+    meta["generations"] = meta["generations"] + [generation]
+    _write_gram_store_meta(path, meta)
 
 
-def append_gram_store(new_docs: DataFrame, path: str, width: int = SPAN_WIDTH) -> None:
+def append_gram_store(
+    new_docs: DataFrame, path: str, width: int = SPAN_WIDTH, *, generation: str
+) -> None:
     """Fold a new generation into the store (append-only; the probe sums
-    partial dfs per gram — exact because generations hold disjoint ids)."""
-    write_gram_store(new_docs, path, width, mode="append")
+    partial dfs per gram — exact because generations hold disjoint ids).
+    ``generation`` is the caller's batch id, required so a retried append
+    of an already-folded batch is DETECTED (ValueError) rather than
+    silently double-counted — see :func:`write_gram_store`."""
+    write_gram_store(new_docs, path, width, mode="append", generation=generation)
+
+
+def compact_gram_store(spark: SparkSession, path: str) -> int:
+    """Sum-merge every generation of the store into ONE (gram, df)
+    partition — the maintenance op that keeps the probe-side
+    ``groupBy(gram).sum(df)`` one-generation-sized after many appends
+    (without it the probe input grows linearly in generation count).
+    Returns the generation count before compaction.
+
+    Exact by the same additivity contract appends rely on: generations
+    hold disjoint doc_id sets, so ``sum(df)`` per gram over partials ==
+    the df of the union corpus (pytest pins compacted-store clean ≡
+    multi-generation clean ≡ one-shot). The rewrite is one mergeable
+    partial agg keyed by gram — the identical shuffle the probe would
+    have paid ONCE — staged into ``_compact_tmp`` and swapped in,
+    single-writer batch context like ``compact_partition``
+    (``sources/layout.py``). The meta sidecar's ``generations`` replay
+    ledger is PRESERVED: compaction changes the data layout, not the
+    set of batches folded in, so a post-compaction retry of an old
+    batch still fails."""
+    import glob
+    import os
+    import shutil
+
+    gens = sorted(glob.glob(f"{path}/generation=*"))
+    tmp = f"{path}/_compact_tmp"
+    (
+        spark.read.parquet(path)
+        .groupBy("gram")
+        .agg(F.sum("df").alias("df"))
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    for g in gens:
+        shutil.rmtree(g)
+    os.rename(tmp, f"{path}/generation={_COMPACT_GENERATION}")
+    return len(gens)
 
 
 def clean_batch_with_gram_store(
@@ -1688,19 +1851,30 @@ def clean_batch_with_gram_store(
     history holds the canonical copy, every batch occurrence loses — OR
     the occurrence is not the batch-first by (doc_id, start)). When
     hist_df ≥ 1 the union rank-1 row is a history row, so all batch
-    occurrences rank ≥ 2; when hist_df = 0 the union rank IS the batch
-    rank. Store keys are xxhash64 (the at-rest form), so this mirrors
-    the registered query's ``hashed=True`` twin.
+    occurrences lose; when hist_df = 0 the union-first IS the
+    batch-first. Store keys are xxhash64 (the at-rest form), so this
+    mirrors the registered query's ``hashed=True`` twin.
 
     Scale shape: batch grams build row-locally; the gram-keyed work is
-    the batch-df agg, the store-df agg (store-sized — the sum of
-    generation partials; compaction keeps it one-generation-sized), and
-    the candidate rank window (reuses the probe join's partitioning
-    when the store side shuffles at scale; at small sf the store
-    broadcasts and the window pays its own gram exchange). Islands +
-    reconstruction are doc-keyed and touch batch docs only — 5 shuffles
-    / all-broadcast joins in the audited small-sf plan, every one batch-
-    or store-sized."""
+    the batch-df agg — which carries the batch-first occurrence as a
+    mergeable ``min(struct(doc_id, start))``, no rank window, no
+    hot-gram straggler — and the store-df agg (store-sized — the sum of
+    generation partials; :func:`compact_gram_store` keeps it
+    one-generation-sized). Islands + reconstruction are doc-keyed and
+    touch batch docs only — every shuffle batch- or store-sized, joins
+    broadcast at small sf and AQE-skew-handled at scale.
+
+    Probes validate the store's ``_gram_store_meta.json``: a width
+    mismatch raises (a store built at a different width would silently
+    yield a mostly-miss clean otherwise); a store with no sidecar
+    (pre-meta layout) is probed as-is."""
+    meta = _gram_store_meta(store)
+    if meta is not None and meta["width"] != width:
+        raise ValueError(
+            f"gram store at {store} was built with width={meta['width']}, "
+            f"probe requested width={width} — a cross-width probe silently "
+            f"misses every gram"
+        )
     hist_df = (
         spark.read.parquet(store)
         .groupBy("gram")
@@ -1718,23 +1892,28 @@ def clean_batch_with_gram_store(
             )
         ).alias("start", "gram"),
     ).withColumn("gram", F.xxhash64("gram"))
-    batch_df = grams.groupBy("gram").agg(
-        F.count_distinct("doc_id").alias("batch_df")
-    )
-    rank = F.row_number().over(
-        Window.partitionBy("gram").orderBy("doc_id", "start")
+    # batch df + batch-first occurrence via the explicit two-level
+    # expansion of count_distinct (per-(gram, doc) min, then per-gram
+    # count + min(struct)) — the first occurrence is needed only for
+    # hist_df=0 grams (when history holds the canonical copy EVERY batch
+    # occurrence is a hit); mergeable partial aggs, no Expand, no
+    # per-gram rank window (hot-gram straggler at 100 TB — see
+    # duplicated_gram_starts)
+    per_doc = grams.groupBy("gram", "doc_id").agg(F.min("start").alias("start"))
+    batch_df = per_doc.groupBy("gram").agg(
+        F.count("*").alias("batch_df"),
+        F.min(F.struct("doc_id", "start")).alias("first_occ"),
     )
     hits = (
         grams.join(batch_df, "gram")
         .join(hist_df, "gram", "left")
         .withColumn("hist_df", F.coalesce("hist_df", F.lit(0)))
-        # union-df gate BEFORE the rank window: the predicate is constant
-        # per gram, so per-gram ordering is unchanged, and the window
-        # sorts only candidate occurrences (Catalyst cannot push a
-        # post-window filter itself)
         .filter(F.col("hist_df") + F.col("batch_df") >= min_df)
-        .withColumn("rk", rank)
-        .filter((F.col("hist_df") >= 1) | (F.col("rk") >= 2))
+        .filter(
+            (F.col("hist_df") >= 1)
+            | (F.col("doc_id") != F.col("first_occ.doc_id"))
+            | (F.col("start") != F.col("first_occ.start"))
+        )
         .select("doc_id", "start", (F.col("start") + width - 1).alias("end"))
     )
     return _cut_spans(batch_arrs, hits)

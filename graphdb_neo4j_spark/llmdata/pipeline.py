@@ -116,10 +116,13 @@ def run_corpus_pipeline(
 
     # duplicated-span removal over the KEPT corpus (staged: the gram-df
     # pipeline runs once; the accounting agg and the train write both
-    # read the materialization)
-    q_dedup_span_removal(spark, kept_dir).write.mode("overwrite").parquet(
-        f"{out_base}/span_removal.parquet"
-    )
+    # read the materialization). hashed=True is the at-scale form — the
+    # gram shuffle carries 8-byte xxhash64 keys, not ~width-token text
+    # (pytest pins the two forms identical; the text-keyed twin exists
+    # for the DuckDB oracle mirror)
+    q_dedup_span_removal(spark, kept_dir, hashed=True).write.mode(
+        "overwrite"
+    ).parquet(f"{out_base}/span_removal.parquet")
     cleaned = spark.read.parquet(f"{out_base}/span_removal.parquet")
     span_removed_tokens = int(
         cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0

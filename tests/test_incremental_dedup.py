@@ -151,8 +151,8 @@ def test_gram_store_append_equals_one_shot(spark, sf_correct, tmp_path):
     one_shot = str(tmp_path / "store_oneshot")
     dedup.write_gram_store(hist, one_shot)
     appended = str(tmp_path / "store_appended")
-    dedup.write_gram_store(gen1, appended)
-    dedup.append_gram_store(gen2, appended)
+    dedup.write_gram_store(gen1, appended, generation="g1")
+    dedup.append_gram_store(gen2, appended, generation="g2")
 
     a = sorted(
         map(
@@ -167,3 +167,52 @@ def test_gram_store_append_equals_one_shot(spark, sf_correct, tmp_path):
         )
     )
     assert a == b
+
+    # compaction (sum-merge into ONE generation) must be invisible to the
+    # probe: compacted clean ≡ multi-generation clean ≡ one-shot
+    n_gens = dedup.compact_gram_store(spark, appended)
+    assert n_gens == 2
+    import glob
+
+    assert len(glob.glob(f"{appended}/generation=*")) == 1
+    c = sorted(
+        map(
+            tuple,
+            dedup.clean_batch_with_gram_store(spark, appended, batch).collect(),
+        )
+    )
+    assert c == a
+
+
+def test_gram_store_replay_and_width_guards(spark, sf_correct, tmp_path):
+    """A retried append of an already-folded generation must raise (it
+    would double-count dfs and over-remove batch text), and a probe at a
+    width the store was not built with must raise (it would silently
+    miss every gram). The meta sidecar's replay ledger survives
+    compaction."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    hist, batch = dedup.split_history_batch(docs)
+    gen1 = hist.filter(F.col("doc_id") % 4 == 0)
+    gen2 = hist.filter(F.col("doc_id") % 4 == 2)
+
+    store = str(tmp_path / "store")
+    dedup.write_gram_store(gen1, store, generation="g1")
+    dedup.append_gram_store(gen2, store, generation="g2")
+    with pytest.raises(ValueError, match="already folded"):
+        dedup.append_gram_store(gen2, store, generation="g2")
+    with pytest.raises(ValueError, match="width"):
+        dedup.clean_batch_with_gram_store(spark, store, batch, width=7)
+    meta = dedup._gram_store_meta(store)
+    assert meta == {
+        "width": dedup.SPAN_WIDTH,
+        "hash": "xxhash64",
+        "generations": ["g1", "g2"],
+    }
+
+    dedup.compact_gram_store(spark, store)
+    with pytest.raises(ValueError, match="already folded"):
+        dedup.append_gram_store(gen1, store, generation="g1")
+    with pytest.raises(ValueError, match="reserved"):
+        dedup.append_gram_store(gen1, store, generation="__compact__")

@@ -607,6 +607,35 @@ class TestDedupSpanRemoval:
         hashed = q_dedup_span_removal(spark, sf_dir, hashed=True).collect()
         assert sorted(map(tuple, text)) == sorted(map(tuple, hashed))
 
+    def test_max_gram_df_guard_spares_hot_grams(self, spark, tmp_path):
+        """MAX_GRAM_DF is the span family's hot-gram cap (documented
+        recall trade-off, like SNM's window bound): grams hotter than the
+        cap drop out of the hit set, so the boilerplate SURVIVES in every
+        doc; grams at or under the cap dedup normally; max_df=None (the
+        default) caps nothing."""
+        from graphdb_neo4j_spark.llmdata.dedup import duplicated_gram_starts
+
+        hot = "h1 h2 h3 h4"  # df 3 — over a cap of 2
+        warm = "w1 w2 w3 w4"  # df 2 — at the cap
+        rows = [
+            (1, hot + " " + warm),
+            (2, hot + " x0 " + warm),
+            (3, hot + " y0 y1 y2"),
+        ]
+        ddf = spark.createDataFrame(rows, "doc_id long, text string")
+
+        capped = duplicated_gram_starts(
+            ddf, width=4, min_df=2, keep_first=True, max_df=2
+        ).collect()
+        hit_docs = {r["doc_id"] for r in capped}
+        assert hit_docs == {2}  # only warm's non-first occurrence
+
+        uncapped = duplicated_gram_starts(
+            ddf, width=4, min_df=2, keep_first=True
+        ).collect()
+        assert {r["doc_id"] for r in uncapped} == {2, 3}
+        assert len(uncapped) > len(capped)
+
     def test_removal_consistent_with_spans(self, spark, sf_dir):
         """Tokens removed <= tokens covered by reported duplicated spans
         (removal spares each gram's first occurrence), and every doc with

@@ -41,11 +41,11 @@ CONTRACTS = [
     ("dedup_spans", 3, True, True),
     # block window + (block, rank+d) equi-join + final distinct
     ("dedup_snm", 3, True, True),
-    # gram-df agg + keep-first rank window on the gram key + doc_id
-    # islands window + per-doc span-list agg; dup-gram set and span
-    # lists broadcast back; reconstruction row-local (no extra exchange)
-    ("dedup_span_removal", 4, True, True),
-    ("dedup_span_removal_incremental", 4, True, True),
+    # gram-df agg (keep-first folded in as min(struct) — NO rank window,
+    # r10) + doc_id islands window + per-doc span-list agg; dup-gram set
+    # and span lists broadcast back; reconstruction row-local
+    ("dedup_span_removal", 3, True, True),
+    ("dedup_span_removal_incremental", 3, True, True),
     # term-df groupBy (≤q keys) + final doc_id groupBy; 1-row stats
     # crossJoin is nested-loop by design (single-row build side)
     ("bm25_search", 2, True, False),
