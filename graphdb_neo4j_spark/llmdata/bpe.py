@@ -31,7 +31,7 @@ the iterative argmax loop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.session import widen_scan
@@ -189,6 +189,125 @@ def q_bpe_encode(
             F.sum("n_tokens").alias("n_bpe_tokens"),
         )
     )
+
+
+# --- fixed-merge-list encode (the oracle-expressible serving half) ----------
+#
+# bpe_encode is rows-only because the TRAINER loop (iterative argmax) has
+# no SQL mirror — but the ENCODE kernel itself does: greedy left-to-right
+# non-overlapping merge of one (left, right) pair over a symbol sequence
+# is exactly replace-all over a separator-wrapped string ("␟a␟␟b␟" →
+# "␟ab␟" — each symbol wrapped in U+001F, so a pattern can only match at
+# true symbol boundaries and consecutive matches don't share characters),
+# and a FIXED rank-ordered merge list unrolls to nested replace() calls —
+# identical semantics in Spark and DuckDB. This registered twin applies a
+# fixed merge list so the fold kernel gets a cross-engine hash-matched
+# oracle; the learned-merge form stays pinned by pure-Python parity.
+
+FIXED_MERGES: list[tuple[str, str]] = [
+    # chains exercise rank-order dependence: later merges consume the
+    # symbols earlier merges created (s+c → sc+a → sca+n tokenizes
+    # "scan" to one symbol only if applied in order)
+    ("s", "c"),
+    ("sc", "a"),
+    ("sca", "n"),
+    ("r", "o"),
+    ("ro", "w"),
+    ("t", "a"),
+    ("h", "a"),
+    ("e", "r"),
+]
+
+_SEP = "\x1f"  # unit separator; wraps every symbol (not in the corpus)
+
+
+def _wrap_expr(word_col: str) -> str:
+    """Spark SQL: word → per-character separator-wrapped form."""
+    return (
+        f"array_join(transform(split({word_col}, ''),"
+        f" c -> concat('{_SEP}', c, '{_SEP}')), '')"
+    )
+
+
+def fixed_encode_token_count(
+    word_col: str, merges: list[tuple[str, str]] = FIXED_MERGES
+) -> Column:
+    """n_tokens of ``word_col`` under the fixed merge list, as a single
+    codegen'd expression: wrap → one replace() per merge in rank order →
+    count separators / 2. Per word TYPE, JVM-side, no UDF."""
+    expr = _wrap_expr(word_col)
+    for left, right in merges:
+        pat = f"{_SEP}{left}{_SEP}{_SEP}{right}{_SEP}"
+        rep = f"{_SEP}{left}{right}{_SEP}"
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return F.expr(
+        f"(length({expr}) - length(replace({expr}, '{_SEP}', ''))) / 2"
+    ).cast("long")
+
+
+def q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token accounting under the FIXED merge list —
+    (doc_id, n_words, n_chars, n_bpe_tokens). Same scale shape as
+    :func:`q_bpe_encode`: merges apply on the word-TYPE table (the
+    replace chain runs once per distinct word, never per corpus token),
+    the ≤vocab-sized (word, n_tokens) side broadcasts, and the corpus
+    pays one explode → broadcast join → per-doc agg. The DuckDB oracle
+    replays the identical replace chain (BPE_ENCODE_FIXED_SQL); pytest
+    additionally pins this kernel ≡ the trainer's aggregate() fold
+    (:func:`encode_word_types`) on the same merges."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    types = word_type_counts(docs).select(
+        "word", fixed_encode_token_count("word").alias("n_tokens")
+    )
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        doc_words.join(F.broadcast(types), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_fixed_sql(merges: list[tuple[str, str]] = FIXED_MERGES) -> str:
+    """DuckDB mirror of :func:`q_bpe_encode_fixed`: the same wrap +
+    rank-ordered replace chain per word type, joined back to the exploded
+    corpus. replace() is left-to-right non-overlapping in both engines —
+    exactly the greedy BPE apply."""
+    expr = (
+        "list_aggregate(list_transform(string_split(word, ''),"
+        f" c -> '{_SEP}' || c || '{_SEP}'), 'string_agg', '')"
+    )
+    for left, right in merges:
+        pat = f"{_SEP}{left}{_SEP}{_SEP}{right}{_SEP}"
+        rep = f"{_SEP}{left}{right}{_SEP}"
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+),
+nonempty AS (SELECT doc_id, word FROM words WHERE word <> ''),
+types AS (
+  SELECT word,
+         CAST((length(enc) - length(replace(enc, '{_SEP}', ''))) / 2 AS BIGINT)
+             AS n_tokens
+  FROM (SELECT DISTINCT word FROM nonempty), LATERAL (SELECT {expr} AS enc)
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(length(w.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(t.n_tokens) AS BIGINT) AS n_bpe_tokens
+FROM nonempty w JOIN types t USING (word)
+GROUP BY w.doc_id
+"""
+
+
+BPE_ENCODE_FIXED_SQL = bpe_encode_fixed_sql()
 
 
 def reference_bpe_encode(

@@ -22,7 +22,7 @@ sketch.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.session import widen_scan
@@ -149,7 +149,31 @@ CMS_DEPTH = 4  # δ = e^-depth ≈ 1.8% per-query overestimate-beyond-bound prob
 CMS_WIDTH = 1024  # ε = e/width ≈ 0.27% of total mass
 
 
-def cms_build(toks: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+def _cms_bucket(tok: Column, i: int, width: int, portable: bool) -> Column:
+    """Row-``i`` counter address for a token. Default is ``xxhash64(tok, i)``
+    (JVM-side, cheapest — the at-scale library form). ``portable=True``
+    uses the md5-prefix bucket the repo already replays bit-identically in
+    DuckDB for ``quality_classifier_hashed`` (Spark
+    ``conv(substr(md5(tok||':'||i),1,8),16,10)`` ≡ DuckDB
+    ``('0x'||substr(md5(tok||':'||i),1,8))::BIGINT``) — same independence
+    properties, ~2× the hash cost, and a cross-engine oracle becomes
+    exactly expressible (the registered ``token_cms`` uses it)."""
+    if portable:
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(tok, F.lit(f":{i}"))), 1, 8), 16, 10
+            ).cast("long")
+            % width
+        )
+    return F.pmod(F.xxhash64(tok, F.lit(i)), F.lit(width))
+
+
+def cms_build(
+    toks: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    portable: bool = False,
+) -> DataFrame:
     """Count-Min sketch of the ``tok`` column as a (row_idx, bucket, cnt)
     counter table — ``depth × width`` rows TOTAL regardless of input
     cardinality.
@@ -159,18 +183,17 @@ def cms_build(toks: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -
     partial-agg'd groupBy (the shuffle carries ≤ depth·width counters per
     partition), MERGE is ``unionByName`` + sum (:func:`cms_merge` —
     associative by construction), and QUERY is a broadcast join
-    (:func:`cms_estimate`). Hash rows are xxhash64 with the row index as
-    seed — deterministic, so two shards' sketches merge EXACTLY into the
+    (:func:`cms_estimate`). Hash rows are deterministic per row index, so
+    two shards' sketches merge EXACTLY into the
     whole-input sketch (pytest-pinned, the defining mergeability
-    property).
+    property). Hash rows switch to the md5-prefix portable scheme with
+    ``portable=True`` (see :func:`_cms_bucket`).
     """
     probes = F.array(
         *[
             F.struct(
                 F.lit(i).alias("row_idx"),
-                F.pmod(F.xxhash64(F.col("tok"), F.lit(i)), F.lit(width)).alias(
-                    "bucket"
-                ),
+                _cms_bucket(F.col("tok"), i, width, portable).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -198,19 +221,18 @@ def cms_estimate(
     queries: DataFrame,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    portable: bool = False,
 ) -> DataFrame:
     """(tok, est): Count-Min estimate for each query token — min over the
     depth rows of the addressed counters (a missing counter is 0). The
     sketch side is ≤ depth·width rows, so it BROADCASTS; estimating any
     number of tokens is one broadcast join + a depth-row groupBy, never a
-    corpus scan."""
+    corpus scan. ``portable`` must match the build."""
     probes = F.array(
         *[
             F.struct(
                 F.lit(i).alias("row_idx"),
-                F.pmod(F.xxhash64(F.col("tok"), F.lit(i)), F.lit(width)).alias(
-                    "bucket"
-                ),
+                _cms_bucket(F.col("tok"), i, width, portable).alias("bucket"),
             )
             for i in range(depth)
         ]
@@ -228,15 +250,21 @@ def cms_estimate(
 def q_token_cms(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
     """Registered form: sketch the corpus token stream, then estimate the
     exact top-``k`` tokens' counts from the SKETCH ALONE — (tok, est,
-    exact) side by side. rows-only (hash-seeded counters are
-    engine-internal); pytest pins the CMS contract: est ≥ exact always,
-    est − exact ≤ ε·N with the standard (ε, δ) slack, shard-merge ≡
-    whole-input."""
+    exact) side by side.
+
+    Oracle-promoted (r10): counters use the PORTABLE md5-prefix bucket
+    (:func:`_cms_bucket`), so DuckDB rebuilds the depth×width counter
+    table bit-identically and the whole sketch path — build, address,
+    min-over-rows estimate — is hash-matched cross-engine, not just
+    error-bounded. The xxhash64 library default remains for at-scale
+    callers; pytest additionally pins the CMS contract on both schemes:
+    est ≥ exact always, est − exact ≤ ε·N with the standard (ε, δ)
+    slack, shard-merge ≡ whole-input."""
     docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     )
-    cms = cms_build(toks).localCheckpoint(eager=False)
+    cms = cms_build(toks, portable=True).localCheckpoint(eager=False)
     top = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("exact"))
@@ -244,10 +272,66 @@ def q_token_cms(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
         .limit(k)
     )
     return (
-        cms_estimate(cms, top.select("tok"))
+        cms_estimate(cms, top.select("tok"), portable=True)
         .join(top, "tok")
         .select("tok", "est", "exact")
     )
+
+
+def _cms_bucket_sql(tok_expr: str, i: int, width: int) -> str:
+    """DuckDB mirror of the portable :func:`_cms_bucket` address."""
+    return (
+        f"CAST(('0x' || substring(md5({tok_expr} || ':{i}'), 1, 8)) AS BIGINT)"
+        f" % {width}"
+    )
+
+
+def token_cms_sql(
+    k: int = 30, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> str:
+    """DuckDB oracle for :func:`q_token_cms`: rebuilds the counter table
+    with the same portable md5-prefix addressing (one row per (row_idx,
+    bucket) via a depth-way UNION ALL of bucket expressions), then
+    replays the min-over-rows estimate for the exact top-k tokens."""
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT tok, {i} AS row_idx, {_cms_bucket_sql('tok', i, width)} AS bucket"
+        " FROM toks"
+        for i in range(depth)
+    )
+    top_probe_rows = "\nUNION ALL\n".join(
+        f"SELECT tok, {i} AS row_idx, {_cms_bucket_sql('tok', i, width)} AS bucket"
+        " FROM top"
+        for i in range(depth)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+probes AS (
+{probe_rows}
+),
+cms AS (
+  SELECT row_idx, bucket, COUNT(*) AS cnt FROM probes GROUP BY row_idx, bucket
+),
+top AS (
+  SELECT tok, COUNT(*) AS exact FROM toks GROUP BY tok
+  ORDER BY exact DESC, tok ASC LIMIT {k}
+),
+top_probes AS (
+{top_probe_rows}
+),
+est AS (
+  SELECT p.tok, MIN(COALESCE(c.cnt, 0)) AS est
+  FROM top_probes p LEFT JOIN cms c USING (row_idx, bucket)
+  GROUP BY p.tok
+)
+SELECT t.tok, e.est, t.exact
+FROM top t JOIN est e USING (tok)
+"""
+
+
+TOKEN_CMS_SQL = token_cms_sql()
 
 
 # --- Bloom filter (mergeable membership sketch) ------------------------------

@@ -80,6 +80,31 @@ def test_encode_word_types_matches_python_reference(spark, bpe_fixture):
         assert r["n_tokens"] == len(reference_bpe_encode(r["word"], merges)), r["word"]
 
 
+def test_fixed_encode_kernel_equals_fold_and_reference(spark, sf_dir):
+    """The replace-chain kernel of the oracle-backed bpe_encode_fixed must
+    agree token-for-token with (a) the trainer's aggregate() fold
+    (encode_word_types) and (b) the pure-Python reference, on the SAME
+    fixed merge list — three independent implementations of greedy
+    rank-ordered BPE apply."""
+    from graphdb_neo4j_spark.llmdata.bpe import (
+        FIXED_MERGES,
+        fixed_encode_token_count,
+    )
+
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    merges3 = [(left, right, 0) for left, right in FIXED_MERGES]
+    via_fold = encode_word_types(word_type_counts(docs), merges3)
+    via_replace = word_type_counts(docs).select(
+        "word", fixed_encode_token_count("word").alias("n_tokens")
+    )
+    a = {r["word"]: r["n_tokens"] for r in via_fold.collect()}
+    b = {r["word"]: r["n_tokens"] for r in via_replace.collect()}
+    assert a == b
+    assert any(v < len(w) for w, v in a.items())  # merges actually fire
+    for w in list(a)[:50]:
+        assert a[w] == len(reference_bpe_encode(w, merges3)), w
+
+
 def test_bpe_encode_rollup_bounds(spark, sf_dir):
     out = q_bpe_encode(spark, sf_dir, n_merges=8)
     bad = out.filter(

@@ -100,6 +100,39 @@ def test_cms_shard_merge_equals_whole(spark, sf_correct):
     assert merged == whole
 
 
+def test_cms_portable_scheme_same_contract(spark, sf_correct):
+    """The md5-prefix portable scheme (the registered/oracled form since
+    r10) satisfies the same CMS identities as the xxhash64 library
+    default: exact shard-mergeability and one-sidedness."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata import sketches
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
+    )
+    whole = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_build(toks.select("tok"), portable=True).collect()
+    }
+    a = sketches.cms_build(toks.filter("doc_id % 2 = 0").select("tok"), portable=True)
+    b = sketches.cms_build(toks.filter("doc_id % 2 = 1").select("tok"), portable=True)
+    merged = {
+        (r["row_idx"], r["bucket"]): r["cnt"]
+        for r in sketches.cms_merge(a, b).collect()
+    }
+    assert merged == whole
+
+    exact = dict(
+        toks.groupBy("tok").count().orderBy(F.desc("count")).limit(10).collect()
+    )
+    cms = sketches.cms_build(toks.select("tok"), portable=True)
+    qdf = spark.createDataFrame([(t,) for t in exact], "tok string")
+    for r in sketches.cms_estimate(cms, qdf, portable=True).collect():
+        assert r["est"] >= exact[r["tok"]]
+
+
 def test_cms_estimate_counts_unseen_token_as_small(spark, sf_correct):
     from pyspark.sql import functions as F
 
