@@ -9,10 +9,10 @@ is additionally hash-checked in-repo by ``tests/test_oracle_parity.py``
 regardless of window position).
 
 Mechanics: ``register`` below COLLECTS entries in source order; the
-``R9_WINDOW`` list at the bottom of this file then flushes the named 50
+``R10_WINDOW`` list at the bottom of this file then flushes the named 50
 to the real registry first and everything else after, so rotating the
 window is a list edit, not a code move. Driver-row history — this is
-the COMPLETE 187-query schedule; the rotation program ended at r7:
+the COMPLETE 188-query schedule; the rotation program ended at r7:
 
 - r1-r3 greens: the reference-surface families (lookup/edge/ingest/
   fuzzy/relationship/recommend/paths) + the r2/r3 analytics batches.
@@ -44,11 +44,21 @@ the COMPLETE 187-query schedule; the rotation program ended at r7:
   oracle-promoted that round), then 48 oldest-green re-checks (the r4
   greens R7 didn't reach, then the oldest r5 greens). 40/50 hash-green,
   10 rows-only by documented design, 0 errors.
-- r9 window (THIS round, = the 50 names in ``R9_WINDOW``):
-  changed-first — ``stream_user_counts`` (oracle-promoted),
-  ``graph_components``/``weighted_distances`` (construct-time loop
-  restructure) — then the 46 oldest staged steady-state re-checks
-  (plus the ``merge_bucketed`` debut leading the changed block).
+- r9 greens (= ``R9_WINDOW``, kept below as history/overlap guard):
+  changed-first — ``merge_bucketed``/``dedup_span_removal``/
+  ``dedup_span_removal_incremental`` debuts, ``stream_user_counts``
+  (oracle-promoted), ``graph_components``/``weighted_distances``
+  (construct-time restructure) — then 44 staged steady-state
+  re-checks. 48/50 hash-green, 2 rows-only by documented design,
+  0 errors.
+- r10 window (THIS round, = the 50 names in ``R10_WINDOW``):
+  changed-first — the span-removal pair (keep-first rank windows
+  replaced by the mergeable min(struct) agg, VERDICT r9 #1; oracles
+  unchanged), ``token_cms`` (oracle-PROMOTED to the portable
+  md5-bucket counter table, VERDICT r9 #4) and the
+  ``bpe_encode_fixed`` debut (the encode kernel under a fixed merge
+  list, oracle-expressible as a rank-ordered replace chain) — then
+  the 46 oldest staged steady-state re-checks from the r10 plan.
 """
 
 from __future__ import annotations
@@ -438,6 +448,11 @@ register(
 )
 register("training_order", mixing.q_training_order, mixing.training_order_sql())
 register("bpe_encode", bpe.q_bpe_encode, None)  # iterative merge training
+# r10 debut: the encode KERNEL with a fixed merge list — oracle-expressible
+# (greedy merge ≡ rank-ordered replace chain, replayed verbatim in DuckDB),
+# so the serving half of BPE is hash-matched; only the trainer loop stays
+# rows-only (pure-Python parity)
+register("bpe_encode_fixed", bpe.q_bpe_encode_fixed, bpe.BPE_ENCODE_FIXED_SQL)
 register("interval_join", events.q_interval_join, events.INTERVAL_JOIN_SQL)
 register(
     "shipping_priority",
@@ -539,7 +554,9 @@ register(
     classifier.q_source_scorecard,
     classifier.source_scorecard_sql(),
 )
-register("token_cms", sketches.q_token_cms, None)  # hash-seeded counters
+# oracle-PROMOTED r10 (VERDICT r9 #4): counters now use the portable
+# md5-prefix bucket, so DuckDB rebuilds the depth×width table bit-identically
+register("token_cms", sketches.q_token_cms, sketches.TOKEN_CMS_SQL)
 register(
     "dedup_incremental_exact",
     dedup.q_dedup_incremental_exact,
@@ -1235,26 +1252,40 @@ _missing = [n for n in R9_WINDOW if n not in _PENDING]
 if _missing:
     raise RuntimeError(f"R9_WINDOW names not defined: {_missing}")
 
-for _name in R9_WINDOW:
-    _rq = _PENDING.pop(_name)
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-for _name, _rq in _PENDING.items():
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-_PENDING.clear()
-
 # =============================================================================
-# R10 WINDOW PLAN — staged so next round's rotation is a one-line swap
-# (rename to R10_WINDOW, flush on it, move R9's names into history).
-# Oldest-green-first: the 3 names R9's changed-first swaps displaced,
-# then the queries whose last driver row is r6 (source order), then the
-# oldest r7 rows (source order; 37 of the 49 fit — the rest open r11).
-# Any query materially changed in r10 jumps to the front, displacing the
-# newest names here to r11.
+# R10 WINDOW — the 50 names the driver's correctness harness records THIS
+# round. Two blocks, per the standing changed-queries-first rule:
+#
+# 1. R10_CHANGED (4): the span-removal pair — materially changed in r10
+#    (keep-first rank windows replaced by the mergeable
+#    min(struct(doc_id, start)) reduction riding the gram-df agg,
+#    VERDICT r9 #1; the DuckDB oracles are algebraically unchanged and
+#    late-r9's shared SQL template, 99a63d5, gets its driver re-check
+#    too), ``token_cms`` (oracle-PROMOTED: counters rebuilt on the
+#    portable md5-prefix bucket so the depth×width table is
+#    bit-identical cross-engine — VERDICT r9 #4), and the r10 DEBUT
+#    ``bpe_encode_fixed`` (the BPE encode kernel under a FIXED merge
+#    list — greedy merge ≡ rank-ordered replace chain, replayed
+#    verbatim in DuckDB; needs its FIRST driver row). The span pair was
+#    in R9_WINDOW; changed-first overrides the no-repeat rule (the
+#    r8/r9 precedent).
+# 2. R10_STEADY (46): the staged steady-state sweep from last round's
+#    R10_WINDOW_PLAN, oldest-green-first. The 4 names the changed-first
+#    swaps displace (``knn_anchor``, ``degree_stats``,
+#    ``bfs_distances``, ``pricing_summary`` — the NEWEST greens in the
+#    staged list) move to the front of the r11 plan.
 # =============================================================================
 
-R10_WINDOW_PLAN = [
-    # displaced from the staged r9 list by the changed-first swaps and
-    # the merge_bucketed / dedup_span_removal* debuts (6)
+R10_CHANGED = [
+    "dedup_span_removal",
+    "dedup_span_removal_incremental",
+    "token_cms",
+    "bpe_encode_fixed",
+]
+
+R10_STEADY = [
+    # displaced from the staged r9 list by the r9 changed-first swaps and
+    # debuts (6)
     "dedup_segments", "stratified_sample", "semantic_dedup",
     "events_quantiles", "top_parts_per_nation", "triangle_counts",
     # last driver row r6, source order (10)
@@ -1269,18 +1300,70 @@ R10_WINDOW_PLAN = [
     "conversion_lag", "bfs_unbounded", "events_hopping", "stream_hopping",
     "temporal_join", "stream_enrich", "volume_shipping", "market_share",
     "product_profit",
-    # oldest r7 rows, source order (9 of 49; the rest — starting with
-    # top_parts_by_revenue and token_stats, displaced by the
-    # dedup_span_removal* debuts — open the r11 plan)
+    # oldest r7 rows, source order (5 of 43; knn_anchor / degree_stats /
+    # bfs_distances / pricing_summary displaced to the r11 plan by the
+    # r10 changed-first swaps)
     "recommend_people", "dedup_exact", "dedup_jaccard", "dedup_components",
-    "training_filter", "knn_anchor", "degree_stats", "bfs_distances",
-    "pricing_summary",
+    "training_filter",
 ]
 
-if len(R10_WINDOW_PLAN) != 50:
-    raise RuntimeError(f"R10_WINDOW_PLAN must name 50 queries, got {len(R10_WINDOW_PLAN)}")
-if set(R10_WINDOW_PLAN) & set(R9_WINDOW):
-    raise RuntimeError("r10 plan overlaps the r9 window (steady-state = oldest first)")
-_undefined = [n for n in R10_WINDOW_PLAN if n not in _registry_dict]
+R10_WINDOW = R10_CHANGED + R10_STEADY
+
+if len(R10_WINDOW) != 50:
+    raise RuntimeError(f"R10_WINDOW must name exactly 50 queries, got {len(R10_WINDOW)}")
+if len(set(R10_WINDOW)) != 50:
+    raise RuntimeError("R10_WINDOW contains duplicates")
+if set(R10_STEADY) & set(R9_WINDOW):
+    raise RuntimeError("r10 steady block overlaps the r9 window (steady-state = oldest first)")
+_missing = [n for n in R10_WINDOW if n not in _PENDING]
+if _missing:
+    raise RuntimeError(f"R10_WINDOW names not defined: {_missing}")
+
+for _name in R10_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()
+
+# =============================================================================
+# R11 WINDOW PLAN — staged so next round's rotation is a one-line swap
+# (rename to R11_WINDOW, flush on it, move R10's names into history).
+# Oldest-green-first: the 4 names R10's changed-first swaps displaced,
+# then every query whose last driver row is r7, in catalog source order
+# (43 names — the reference-surface families re-checked in r7's
+# regression block plus the r7 rows-only debuts), then the oldest r8
+# rows (source order; 3 fit). Any query materially changed in r11 jumps
+# to the front, displacing the newest names here to r12.
+# =============================================================================
+
+R11_WINDOW_PLAN = [
+    # displaced from the staged r10 list by the r10 changed-first swaps (4)
+    "knn_anchor", "degree_stats", "bfs_distances", "pricing_summary",
+    # last driver row r7, catalog source order (43)
+    "top_parts_by_revenue", "token_stats", "pii_scrub", "lang_id",
+    "node_names", "point_lookup", "exists_probe", "name_ci_lookup",
+    "max_id", "count_nodes", "top_acctbal", "edges_same_college",
+    "edge_counts_by_type", "edges_shares_interest", "merge_idempotent",
+    "edges_with_common", "ingest_students", "normalized_nodes",
+    "health_check", "create_user", "interests_transformed",
+    "two_name_relationship", "common_interests_pair", "fuzzy_search_lev",
+    "fuzzy_best_match", "lsh_neardup", "semantic_dedup_lsh",
+    "rolling_daily", "pq_search", "bpe_train", "temperature_sample",
+    "bpe_encode", "cluster_profile", "cluster_balanced_sample",
+    "cluster_outliers", "distinct_rollup", "table_profile",
+    "k_anonymity", "user_erasure",
+    # oldest r8 rows, source order (7; the rest open the r12 plan)
+    "events_hourly", "events_json", "events_cube", "sessionize",
+    "asof_join", "events_rollup_serve", "stream_hourly",
+]
+
+if len(R11_WINDOW_PLAN) != 50:
+    raise RuntimeError(f"R11_WINDOW_PLAN must name 50 queries, got {len(R11_WINDOW_PLAN)}")
+if len(set(R11_WINDOW_PLAN)) != 50:
+    raise RuntimeError("R11_WINDOW_PLAN contains duplicates")
+if set(R11_WINDOW_PLAN) & set(R10_WINDOW):
+    raise RuntimeError("r11 plan overlaps the r10 window (steady-state = oldest first)")
+_undefined = [n for n in R11_WINDOW_PLAN if n not in _registry_dict]
 if _undefined:
-    raise RuntimeError(f"R10_WINDOW_PLAN names not registered: {_undefined}")
+    raise RuntimeError(f"R11_WINDOW_PLAN names not registered: {_undefined}")

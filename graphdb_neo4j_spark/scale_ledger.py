@@ -78,24 +78,28 @@ _EXPLICIT: dict[str, Disposition] = {
     ),
     "dedup_span_removal_incremental": _d(
         "linear",
-        "r9 debut: batch-vs-history span removal (history-priority "
-        "keep-one). Same gram-df shuffle + rank-in-partition shape as "
-        "the one-shot form; only BATCH docs reach the islands/"
-        "reconstruction stages, and at scale history enters via a "
-        "persisted gram table (materialize-then-consume, documented). "
-        "10x sweep: 1.79 -> 4.22 s (2.35x) on the adversarial replica "
-        "with ~133x removal output",
+        "batch-vs-history span removal (history-priority keep-one). "
+        "r10: keep-one is a mergeable min(struct(is_batch, doc_id, "
+        "start)) carried by the explicitly two-level gram-df agg — no "
+        "per-gram rank window, no hot-gram straggler, no Expand; only "
+        "BATCH docs reach the islands/reconstruction stages, and at "
+        "scale history enters via the persisted gram store "
+        "(generation-partitioned, compactable). r9 10x sweep: 1.79 -> "
+        "4.22 s (2.35x) with ~133x removal output; r10 rewrite at "
+        "parity on the same replica (PLANS.md round-10 A/B)",
         twin=None,
     ),
     "dedup_span_removal": _d(
         "linear",
-        "r9 debut: the substring-dedup REMOVAL step (keep-one contract). "
-        "Cost = dedup_spans' gram-df shuffle + a rank within the same "
-        "partitions + doc-keyed islands/span-list windows + row-local "
-        "reconstruction (no token explode). 10× sweep: 1.89 -> 6.75 s "
-        "(3.57x) on the adversarial id-shifted replica where EVERY doc "
-        "is 10x-duplicated and removed-token output grows ~194x — time "
-        "sub-linear in output, inside the <=4x linear bar",
+        "the substring-dedup REMOVAL step (keep-one contract). Cost = "
+        "dedup_spans' two-level gram-df agg (which carries the global "
+        "first occurrence as min(struct) — r10 de-windowed, see "
+        "PLANS.md round-10) + doc-keyed islands/span-list windows + "
+        "row-local reconstruction (no token explode). r9 10x sweep: "
+        "1.89 -> 6.75 s (3.57x) with ~194x removal output, sub-linear "
+        "in output; r10 interleaved A/B on the same replica: parity on "
+        "wall, -7% med on the all-docs-boilerplate replica, 100 TB "
+        "single-task window sort eliminated",
         twin=None,
     ),
     "merge_bucketed": _d(
@@ -219,7 +223,8 @@ for _n in _POINT_PIPELINES:
 _LINEAR = [
     "ann_search", "asof_forward", "asof_join", "asset_features",
     "balance_ntiles", "basket_affinity", "big_orders", "bigram_logprob",
-    "bpe_encode", "bpe_token_stats", "brand_supplier_counts", "cdc_apply",
+    "bpe_encode", "bpe_encode_fixed", "bpe_token_stats",
+    "brand_supplier_counts", "cdc_apply",
     "cheapest_supplier_per_part", "cluster_balanced_sample",
     "cluster_medoids", "cluster_outliers", "cluster_profile",
     "conversion_lag", "corpus_drift", "cumulative_revenue",
