@@ -321,6 +321,52 @@ def main() -> None:
         for r, w in zip(attempts, walls)
     ]
 
+    # ---- min-vs-reference deltas (r10, VERDICT r9 #7) ----
+    # Compare this recording's per-query MIN against the newest COMMITTED
+    # clean reference recording (BENCH_r*_reference.json) so a verdict can
+    # separate code regressions from host drift in one line: dispersion
+    # min vs min is the noise-resistant channel (the r9 verdict spent a
+    # paragraph arguing three +8-12% medians were drift — this makes that
+    # call mechanical). Full table in BENCH_DETAIL.json; the lean line
+    # carries only the worst few ratios.
+    import glob as _glob
+
+    _refs = sorted(
+        _glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_r*_reference.json",
+            )
+        )
+    )
+    if _refs and chosen["sf"] == 0.1:
+        try:
+            with open(_refs[-1]) as f:
+                _ref = json.load(f)
+            _ours = {
+                q: d["min"] for q, d in chosen.get("dispersion", {}).items()
+            }
+            deltas = {}
+            for q, ref_t in _ref.get("queries", {}).items():
+                if q in _ours and ref_t > 0:
+                    deltas[q] = {
+                        "min": _ours[q],
+                        "ref": ref_t,
+                        "ratio": round(_ours[q] / ref_t, 3),
+                    }
+            chosen["min_vs_reference"] = {
+                "file": os.path.basename(_refs[-1]),
+                "deltas": deltas,
+            }
+            worst = sorted(
+                deltas.items(), key=lambda kv: -kv[1]["ratio"]
+            )[:3]
+            chosen["min_regressions"] = {
+                q: d["ratio"] for q, d in worst if d["ratio"] > 1.15
+            }
+        except (OSError, ValueError, KeyError) as e:
+            print(f"BENCH reference compare skipped ({e})", file=sys.stderr)
+
     # ---- two-channel output (r9) ----
     # The driver records only the LAST ~2000 chars of stdout: the r2 and
     # r8 artifacts both exceeded that and shipped UNPARSEABLE (truncated
@@ -357,8 +403,13 @@ def main() -> None:
     for flag in ("all_attempts_tainted", "tainted", "errors"):
         if chosen.get(flag):
             lean[flag] = chosen[flag]
+    if "min_regressions" in chosen:
+        # worst min-vs-committed-reference ratios (>1.15 only, ≤3): the
+        # one-line noise-vs-code channel; full table in BENCH_DETAIL.json
+        lean["min_regressions"] = chosen["min_regressions"]
     line = json.dumps(lean)
     if len(line) > 1900:  # belt-and-braces: never ship an unparseable line
+        lean.pop("min_regressions", None)
         lean.pop("attempts", None)
         line = json.dumps(lean)
     print(line)
