@@ -85,10 +85,19 @@ def _apply_merge(words: DataFrame, left: str, right: str) -> DataFrame:
 
 
 def train_bpe_merges(
-    docs: DataFrame, n_merges: int = N_MERGES
+    docs: DataFrame, n_merges: int = N_MERGES, checkpoint_every: int = 2
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges; returns [(left, right, count)] in
-    merge order."""
+    merge order.
+
+    The frontier is localCheckpoint'd every ``checkpoint_every`` merges
+    rather than every merge: the barrier costs a materialization of the
+    word-type table, and a single pending ``aggregate()`` fold on top of
+    a checkpoint is cheaper for the next pair-count pass than paying the
+    barrier again (interleaved 3-rep A/B at sf0.1, identical merge
+    lists: every-merge 3.10/3.50 s min/med → every-2 2.74/2.97 s, −12%
+    min; every-4 ties every-2, so the shortest lineage bound wins —
+    PLANS.md round-10). Cost stays word-TYPE-table-sized either way."""
     words = (
         word_type_counts(docs)
         .select(
@@ -97,7 +106,7 @@ def train_bpe_merges(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(n_merges):
+    for i in range(n_merges):
         top = (
             _pair_counts(words)
             .orderBy(F.desc("n"), F.asc("left"), F.asc("right"))
@@ -108,7 +117,9 @@ def train_bpe_merges(
             break
         left, right, n = top[0].left, top[0].right, top[0].n
         merges.append((left, right, n))
-        words = _apply_merge(words, left, right).localCheckpoint(eager=False)
+        words = _apply_merge(words, left, right)
+        if (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=False)
     return merges
 
 
