@@ -177,10 +177,12 @@ def run_corpus_pipeline(
 class CurationReport:
     batch_docs: int
     kept_docs: int
-    dropped_by_reason: dict[str, int]  # near_dup_history / low_quality
+    # near_dup_history / low_quality / span_emptied
+    dropped_by_reason: dict[str, int]
     drift_kl: float
     drift_new_token_rate: float
     split_counts: dict[str, int]  # train / eval over the kept docs
+    span_removed_tokens: int  # history-owned passage tokens cut from kept docs
 
     @property
     def dropped_docs(self) -> int:
@@ -207,19 +209,32 @@ def run_curation_pipeline(
        duplicate regardless of its quality score).
     3. quality gate    — ``q_quality_gate``: survivors keep only the top
        ``keep_frac`` by classifier score (budgeted, corpus-relative).
-    4. holdout split   — ``q_holdout_split``: kept docs get leakage-free
+    4. span removal    — ``clean_batch_with_gram_store``: duplicated
+       ≥width-token passages that HISTORY already owns are cut from the
+       kept batch (history holds every canonical copy; within-batch
+       keep-one applies to history-absent grams). Probes the persisted
+       gram store — here built from the parity-split history as its
+       cold-start ``history`` generation (the self-contained demo form;
+       a live deployment builds it once and only appends) — and a doc
+       emptied by the cut drops with reason ``span_emptied``.
+    5. holdout split   — ``q_holdout_split``: kept docs get leakage-free
        train/eval membership (pure doc_id function).
-    5. signature store — history + kept batch signatures land in
-       ``{out_base}/minhash_store`` (``mode=append`` for the batch), so
-       the NEXT batch probes without touching this one's text.
+    6. store appends   — history + kept batch signatures land in
+       ``{out_base}/minhash_store``, and the CLEANED kept batch's grams
+       fold into ``{out_base}/gram_store`` as a new stamped generation
+       (replay-guarded by the meta sidecar), so the NEXT batch probes
+       both stores without touching this one's text.
 
     Every batch doc is kept or attributed to exactly ONE drop reason —
     closed accounting, pytest-pinned.
     """
     from graphdb_neo4j_spark.llmdata.classifier import q_quality_gate
     from graphdb_neo4j_spark.llmdata.dedup import (
+        append_gram_store,
+        clean_batch_with_gram_store,
         q_dedup_incremental,
         split_history_batch,
+        write_gram_store,
         write_minhash_store,
     )
     from graphdb_neo4j_spark.llmdata.filterset import q_holdout_split
@@ -266,7 +281,36 @@ def run_curation_pipeline(
     kept = reasons.pop("keep", 0)
 
     keep_ids = verdicts.filter(F.col("verdict") == "keep").select("doc_id")
-    curated = docs.join(keep_ids, "doc_id", "left_semi")
+    kept_batch = docs.join(keep_ids, "doc_id", "left_semi")
+
+    # span removal vs the history gram store (staged: the accounting agg
+    # and the curated write both read the materialization). Cold-start
+    # store build from history text happens ONCE per deployment; the
+    # per-batch cost is the probe + the appended generation below.
+    gram_store = f"{out_base}/gram_store"
+    write_gram_store(hist, gram_store, generation="history")
+    clean_batch_with_gram_store(spark, gram_store, kept_batch).write.mode(
+        "overwrite"
+    ).parquet(f"{out_base}/span_removal.parquet")
+    cleaned = spark.read.parquet(f"{out_base}/span_removal.parquet")
+    span_removed_tokens = int(
+        cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
+    )
+    n_emptied = cleaned.filter(F.col("n_kept") == 0).count()
+    if n_emptied:
+        reasons["span_emptied"] = n_emptied
+        kept -= n_emptied
+
+    curated = kept_batch.join(
+        cleaned.filter(F.col("n_kept") > 0).select("doc_id", "clean_text"),
+        "doc_id",
+    ).select(
+        "doc_id",
+        F.col("clean_text").alias("text"),
+        "lang",
+        "source",
+        F.length("clean_text").cast("long").alias("n_chars"),
+    )
     split = q_holdout_split(spark, sf_dir).select("doc_id", "split")
     curated.join(split, "doc_id").write.mode("overwrite").parquet(
         f"{out_base}/curated/documents.parquet"
@@ -282,6 +326,14 @@ def run_curation_pipeline(
     store = f"{out_base}/minhash_store"
     write_minhash_store(hist, store)
     write_minhash_store(curated, store, mode="append")
+    # fold the CLEANED kept batch's grams in as a stamped generation: the
+    # next batch's span probe sums history + this batch without re-reading
+    # either text (replays of this batch id raise — meta-sidecar ledger)
+    append_gram_store(
+        spark.read.parquet(f"{out_base}/curated/documents.parquet"),
+        gram_store,
+        generation="kept-batch",
+    )
 
     return CurationReport(
         batch_docs=batch.count(),
@@ -290,4 +342,5 @@ def run_curation_pipeline(
         drift_kl=kl,
         drift_new_token_rate=new_rate,
         split_counts=split_counts,
+        span_removed_tokens=span_removed_tokens,
     )
