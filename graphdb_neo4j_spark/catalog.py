@@ -179,11 +179,19 @@ register(
     None,
     bench=True,  # the near-dup SCALE path — benched alongside its oracle form
 )
-register("dedup_simhash", lambda spark, sf: dedup.q_dedup_simhash(spark, sf), None)
+register(
+    "dedup_simhash",
+    lambda spark, sf: dedup.q_dedup_simhash(spark, sf),
+    dedup.dedup_simhash_sql(),  # oracle-PROMOTED r10: portable md5 bit source
+)
 
 from graphdb_neo4j_spark.llmdata import textstats
 
-register("winnowing_fingerprint", textstats.q_winnowing, None)  # engine hashing
+register(
+    "winnowing_fingerprint",
+    textstats.q_winnowing,
+    textstats.winnowing_sql(),  # oracle-PROMOTED r10: portable md5 kgram hash
+)
 
 # --- heavyweight analytics greens (stay inside the window) -------------------
 from graphdb_neo4j_spark.operators.recommend import recommend, recommend_oracle_sql
@@ -1269,11 +1277,12 @@ if _missing:
 #    verbatim in DuckDB; needs its FIRST driver row). The span pair was
 #    in R9_WINDOW; changed-first overrides the no-repeat rule (the
 #    r8/r9 precedent).
-# 2. R10_STEADY (46): the staged steady-state sweep from last round's
-#    R10_WINDOW_PLAN, oldest-green-first. The 4 names the changed-first
+# 2. R10_STEADY (44): the staged steady-state sweep from last round's
+#    R10_WINDOW_PLAN, oldest-green-first. The 6 names the changed-first
 #    swaps displace (``knn_anchor``, ``degree_stats``,
-#    ``bfs_distances``, ``pricing_summary`` — the NEWEST greens in the
-#    staged list) move to the front of the r11 plan.
+#    ``bfs_distances``, ``pricing_summary``, then ``dedup_components``,
+#    ``training_filter`` for the late-r10 promotions — the NEWEST greens
+#    in the staged list) move to the front of the r11 plan.
 # =============================================================================
 
 R10_CHANGED = [
@@ -1281,6 +1290,13 @@ R10_CHANGED = [
     "dedup_span_removal_incremental",
     "token_cms",
     "bpe_encode_fixed",
+    # late-r10 oracle promotions (VERDICT r9 #4, continued): both queries
+    # switched to the portable md5-prefix hash and gained DuckDB oracles —
+    # changed-first puts their FIRST hash rows in this window. They
+    # displace the two newest staged steady names (dedup_components,
+    # training_filter → front of the r11 plan).
+    "dedup_simhash",
+    "winnowing_fingerprint",
 ]
 
 R10_STEADY = [
@@ -1300,11 +1316,11 @@ R10_STEADY = [
     "conversion_lag", "bfs_unbounded", "events_hopping", "stream_hopping",
     "temporal_join", "stream_enrich", "volume_shipping", "market_share",
     "product_profit",
-    # oldest r7 rows, source order (5 of 43; knn_anchor / degree_stats /
+    # oldest r7 rows, source order (3 of 43; knn_anchor / degree_stats /
     # bfs_distances / pricing_summary displaced to the r11 plan by the
-    # r10 changed-first swaps)
-    "recommend_people", "dedup_exact", "dedup_jaccard", "dedup_components",
-    "training_filter",
+    # r10 changed-first swaps, dedup_components / training_filter by the
+    # late-r10 simhash/winnowing promotions)
+    "recommend_people", "dedup_exact", "dedup_jaccard",
 ]
 
 R10_WINDOW = R10_CHANGED + R10_STEADY
@@ -1338,7 +1354,8 @@ _PENDING.clear()
 # =============================================================================
 
 R11_WINDOW_PLAN = [
-    # displaced from the staged r10 list by the r10 changed-first swaps (4)
+    # displaced from the staged r10 list by the r10 changed-first swaps (6)
+    "dedup_components", "training_filter",
     "knn_anchor", "degree_stats", "bfs_distances", "pricing_summary",
     # last driver row r7, catalog source order (43)
     "top_parts_by_revenue", "token_stats", "pii_scrub", "lang_id",
@@ -1353,9 +1370,11 @@ R11_WINDOW_PLAN = [
     "bpe_encode", "cluster_profile", "cluster_balanced_sample",
     "cluster_outliers", "distinct_rollup", "table_profile",
     "k_anonymity", "user_erasure",
-    # oldest r8 rows, source order (7; the rest open the r12 plan)
+    # oldest r8 rows, source order (5; the rest open the r12 plan —
+    # events_rollup_serve / stream_hourly dropped by the late-r10
+    # simhash/winnowing displacements)
     "events_hourly", "events_json", "events_cube", "sessionize",
-    "asof_join", "events_rollup_serve", "stream_hourly",
+    "asof_join",
 ]
 
 if len(R11_WINDOW_PLAN) != 50:

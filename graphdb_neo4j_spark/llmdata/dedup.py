@@ -454,7 +454,7 @@ def q_dedup_minhash(
 # --- SimHash ----------------------------------------------------------------
 
 
-def simhash_signatures(toks: DataFrame) -> DataFrame:
+def simhash_signatures(toks: DataFrame, portable: bool = False) -> DataFrame:
     """64-bit SimHash per doc: for each bit position, +1 if the token
     hash has the bit set else −1; the signature bit is the sign of the sum.
 
@@ -463,10 +463,34 @@ def simhash_signatures(toks: DataFrame) -> DataFrame:
     row explosion is needed — the earlier posexplode form multiplied the
     token table ×64 before aggregating (89M intermediate rows at sf0.1).
     All expressions stay inside whole-stage codegen.
+
+    The 64 token-hash bits default to xxhash64 (one JVM hash — the
+    at-scale library form). ``portable=True`` draws them from two 32-bit
+    md5 prefixes instead (bits 0–31 from hex chars 9–16, bits 32–63 from
+    chars 1–8 — the same md5-prefix scheme the repo replays
+    bit-identically in DuckDB): SimHash needs only deterministic
+    independent bits, so the signatures — and every downstream
+    band/Hamming decision — become exactly replayable cross-engine. The
+    registered ``dedup_simhash`` uses it (oracle-promoted r10).
     """
-    hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+    if portable:
+        hashed = toks.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hi"),
+            F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
+            .cast("long")
+            .alias("lo"),
+        )
+        bit = lambda j: (  # noqa: E731 — bit j of the 64-bit (hi, lo) pair
+            f"shiftright(lo, {j}) & 1L" if j < 32 else f"shiftright(hi, {j - 32}) & 1L"
+        )
+    else:
+        hashed = toks.select("doc_id", F.xxhash64("tok").alias("h"))
+        bit = lambda j: f"shiftright(h, {j}) & 1L"  # noqa: E731
     aggs = [
-        F.sum(F.expr(f"CAST(shiftright(h, {j}) & 1L AS LONG)")).alias(f"ones{j}")
+        F.sum(F.expr(f"CAST({bit(j)} AS LONG)")).alias(f"ones{j}")
         for j in range(64)
     ] + [F.count("*").alias("n_toks")]
     per_doc = hashed.groupBy("doc_id").agg(*aggs)
@@ -488,11 +512,18 @@ def q_dedup_simhash(
 
     Runs on the same shingle features as the Jaccard/MinHash family — word
     unigrams on a small vocabulary give every doc a near-identical
-    signature (no discrimination) AND a hot-band candidate blowup."""
+    signature (no discrimination) AND a hot-band candidate blowup.
+
+    Oracle-promoted (r10) via the portable md5-prefix bit source
+    (:func:`simhash_signatures`): the DuckDB mirror
+    (:func:`dedup_simhash_sql`) rebuilds the same 64 per-bit popcounts and
+    compares bands/Hamming over an independently-shaped plan (four 16-bit
+    band columns, OR-of-bands candidate join) — hash-green means the whole
+    signature construction matches bit-for-bit cross-engine."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = prune_hot_tokens(doc_shingles(docs))
     # One row per doc; lineage-truncated for the same reason as MinHash.
-    sigs = simhash_signatures(toks).localCheckpoint(eager=False)
+    sigs = simhash_signatures(toks, portable=True).localCheckpoint(eager=False)
 
     bands = sigs.select(
         "doc_id",
@@ -525,6 +556,67 @@ def q_dedup_simhash(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_simhash_sql(
+    max_hamming: int = 6,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> str:
+    """DuckDB mirror of :func:`q_dedup_simhash` (portable bit source).
+
+    Deliberately different representation: the signature is kept as four
+    16-bit band integers (DuckDB's ``<<`` checks overflow, so the signed
+    64-bit assembly Spark uses is not expressible) — banding reads the
+    band columns directly and Hamming sums four per-band
+    ``bit_count(xor(...))``. Bit j of the 64 comes from the same two md5
+    prefixes as the Spark side: bits 0–31 from hex chars 9–16, 32–63 from
+    chars 1–8.
+    """
+
+    def _ones(j: int) -> str:
+        half = (
+            f"('0x' || substr(md5(tok), 9, 8))::BIGINT"
+            if j < 32
+            else f"('0x' || substr(md5(tok), 1, 8))::BIGINT"
+        )
+        return f"SUM(({half} >> {j % 32}) & 1) AS ones{j}"
+
+    ones_cols = ",\n           ".join(_ones(j) for j in range(64))
+
+    def _band(b: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN 2 * ones{16 * b + j} - n_toks > 0 "
+            f"THEN 1::BIGINT << {j} ELSE 0 END)"
+            for j in range(16)
+        )
+        return f"({terms}) AS band{b}"
+
+    band_cols = ",\n           ".join(_band(b) for b in range(4))
+    band_eq = " OR ".join(f"a.band{b} = b.band{b}" for b in range(4))
+    hamming = " + ".join(f"bit_count(xor(a.band{b}, b.band{b}))" for b in range(4))
+    return rf"""
+WITH {_shingle_toks_cte(width, max_df).strip()},
+perdoc AS (
+    SELECT doc_id,
+           {ones_cols},
+           COUNT(*) AS n_toks
+    FROM toks
+    GROUP BY doc_id
+),
+sigs AS (
+    SELECT doc_id,
+           {band_cols}
+    FROM perdoc
+)
+SELECT * FROM (
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST({hamming} AS INTEGER) AS hamming
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id AND ({band_eq})
+)
+WHERE hamming <= {max_hamming}
+"""
 
 
 # --- near-dup clustering (connected components) ------------------------------

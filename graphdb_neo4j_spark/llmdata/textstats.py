@@ -409,24 +409,35 @@ FROM documents
 
 
 def winnowing_fingerprints(
-    docs: DataFrame, k: int = 3, window: int = 4
+    docs: DataFrame, k: int = 3, window: int = 4, portable: bool = False
 ) -> DataFrame:
     """Winnowing (Schleimer et al., SIGMOD 2003): hash token k-grams, keep
     the minimum hash in each sliding window of ``window`` consecutive
     k-grams — a position-robust fingerprint set per document.
 
-    xxhash64 is engine-specific → registered rows-only; pytest checks
-    determinism and containment behavior.
+    The k-gram hash defaults to xxhash64 (one JVM hash — the at-scale
+    library form). ``portable=True`` switches to the md5-prefix scheme
+    the repo already replays bit-identically in DuckDB (Spark
+    ``conv(substr(md5(g),1,8),16,10)`` ≡ DuckDB
+    ``('0x'||substr(md5(g),1,8))::BIGINT``): winnowing depends only on
+    per-window argmin, no hash property beyond determinism, so the
+    fingerprint sets hash-match cross-engine — the registered
+    ``winnowing_fingerprint`` uses it (oracle-promoted r10). Window/lead
+    work is per-doc (bounded by document length), never corpus-wide.
     """
     toks = (
         docs.select("doc_id", F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"))
     )
     w_gram = Window.partitionBy("doc_id").orderBy("pos")
     kgram = F.concat_ws(" ", *[F.lead("tok", i).over(w_gram) for i in range(k)])
+    if portable:
+        h = F.conv(F.substring(F.md5("kgram"), 1, 8), 16, 10).cast("long")
+    else:
+        h = F.xxhash64("kgram")
     grams = (
         toks.select("doc_id", "pos", kgram.alias("kgram"))
         .filter(F.size(F.split(F.col("kgram"), " ")) == k)
-        .select("doc_id", "pos", F.xxhash64("kgram").alias("h"))
+        .select("doc_id", "pos", h.alias("h"))
     )
     w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
     fps = (
@@ -439,9 +450,50 @@ def winnowing_fingerprints(
     )
 
 
+def winnowing_sql(k: int = 3, window: int = 4) -> str:
+    """DuckDB mirror of :func:`winnowing_fingerprints` (portable hash).
+
+    Same stages, independently expressed: lead-built k-grams filtered to
+    full width, md5-prefix hash, ROWS-frame min per sliding window,
+    distinct fingerprints, then the sorted-set signature digest.
+    """
+    leads = ", ".join(f"lead(tok, {i}) OVER w" for i in range(1, k))
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(range(1, len(arr) + 1)) AS pos,
+           unnest(arr) AS tok
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+          FROM documents)
+),
+grams AS (
+    SELECT doc_id, pos, concat_ws(' ', tok, {leads}) AS kgram
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+hashed AS (
+    SELECT doc_id, pos,
+           ('0x' || substr(md5(kgram), 1, 8))::BIGINT AS h
+    FROM grams
+    WHERE len(string_split(kgram, ' ')) = {k}
+),
+fps AS (
+    SELECT DISTINCT doc_id,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp
+    FROM hashed
+)
+SELECT doc_id,
+       COUNT(*) AS n_fingerprints,
+       md5(string_agg(fp::VARCHAR, ',' ORDER BY fp)) AS fp_sig
+FROM fps
+GROUP BY doc_id
+"""
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return winnowing_fingerprints(docs)
+    return winnowing_fingerprints(docs, portable=True)
 
 
 # --- TF-IDF -----------------------------------------------------------------
