@@ -40,16 +40,33 @@ from graphdb_neo4j_spark.session import widen_scan
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-id assignment by exact normalized-text fingerprint:
-    (doc_id, fingerprint, canonical_id, is_duplicate)."""
+    (doc_id, fingerprint, canonical_id, is_duplicate).
+
+    The canonical id is a ``groupBy(fingerprint).agg(min)`` joined back,
+    NOT a ``min() OVER (PARTITION BY fingerprint)``: a window partition
+    is one task, so a boilerplate fingerprint duplicated across millions
+    of documents (exactly what exact dedup exists to catch) would
+    serialize into a single straggler at 100 TB. The group-by is a
+    mergeable two-phase partial aggregation (each map task collapses its
+    copies of a hot fingerprint to ONE row before the shuffle) and the
+    join-back is AQE-skew-splittable — the same de-windowing the span
+    family got in r10. The DuckDB oracle deliberately keeps the window
+    form (same answer via a different algorithm).
+    """
     docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
-    w = Window.partitionBy("fingerprint")
-    return fp.select(
+    # checkpointed: consumed by BOTH the agg and the join-back — without
+    # it each side would re-scan documents and re-hash the text (the
+    # window form's one-pass advantage, kept)
+    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint")).localCheckpoint(
+        eager=False
+    )
+    canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    return fp.join(canon, "fingerprint").select(
         "doc_id",
         "fingerprint",
-        F.min("doc_id").over(w).alias("canonical_id"),
-        (F.col("doc_id") != F.min("doc_id").over(w)).alias("is_duplicate"),
+        "canonical_id",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
     )
 
 
@@ -2140,32 +2157,35 @@ def q_dedup_representatives(
     :func:`q_dedup_components` (bucketed pair graph + label propagation —
     at 100 TB consume its materialized output instead, same contract as
     training_filter's ``components`` argument); the election itself adds
-    one broadcast-joinable quality lookup and ONE window over the
-    cluster-membership table (rows = clustered docs only, a sliver of the
-    corpus), partitioned on the component key — no global sort, no new
-    pair work. Ranking compares the same double expression tree both
-    engines compute, so the argmax is engine-stable; doc_id breaks ties.
+    one broadcast-joinable quality lookup and ONE mergeable argmax per
+    component — ``max_by(doc_id, (quality_score, −doc_id))``, a two-phase
+    partial aggregation joined back, NOT a per-component window: a
+    pathological cluster holding millions of byte-similar boilerplate
+    copies (exactly what dedup finds at 100 TB) would serialize a window
+    partition into one task, while the partial agg collapses each map
+    task's members to one candidate before the shuffle (r10
+    de-windowing, same as the span family and exact dedup). Ranking
+    compares the same double expression tree both engines compute, so
+    the argmax is engine-stable; doc_id breaks ties.
     """
-    from pyspark.sql.window import Window
-
     from graphdb_neo4j_spark.llmdata.textstats import q_quality_scores
 
     comp = q_dedup_components(spark, sf_dir, threshold, width, max_df).select(
         "doc_id", F.col("canonical_id").alias("component_id")
     )
     quality = q_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
-    w = Window.partitionBy("component_id").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
+    # checkpointed: the argmax and the join-back both consume it, and
+    # the upstream includes the full components computation
+    member = comp.join(quality, "doc_id").localCheckpoint(eager=False)
+    # argmax by (quality DESC, doc_id ASC) == max of (quality, -doc_id)
+    rep = member.groupBy("component_id").agg(
+        F.expr("max_by(doc_id, struct(quality_score, -doc_id))").alias("rep_id")
     )
-    return (
-        comp.join(quality, "doc_id")
-        .withColumn("rep_id", F.first("doc_id").over(w))
-        .select(
-            "doc_id",
-            "component_id",
-            "rep_id",
-            (F.col("doc_id") == F.col("rep_id")).alias("keep"),
-        )
+    return member.join(rep, "component_id").select(
+        "doc_id",
+        "component_id",
+        "rep_id",
+        (F.col("doc_id") == F.col("rep_id")).alias("keep"),
     )
 
 

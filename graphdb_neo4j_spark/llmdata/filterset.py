@@ -246,20 +246,35 @@ def q_group_sample(
     independent) and keep the first ``k``; groups smaller than ``k``
     pass through whole.
 
-    Scale shape: ONE window partitioned by source (the per-group sort is
-    distributed across sources — no global sort, no single-partition
-    window); membership is a pure function of (doc_id, source), so
-    re-runs and incremental ingest never reshuffle a group's sample
-    except where new ids genuinely out-rank old ones.
+    Scale shape (r10): a per-source window alone is NOT scale-safe — a
+    window partition is one task, and a corpus can be 50% one source, so
+    "partitioned by source" degenerates to a near-global single-task
+    sort at 100 TB. The keep is top-k, so a salted two-level tournament
+    gives the identical answer with every window bounded: stage 1 ranks
+    within (source, doc_id % 64) — each salt bucket's local top-k
+    must contain every global top-k row — and stage 2 re-ranks the ≤
+    64·k survivors per source (a constant-size partition). Membership
+    stays a pure function of (doc_id, source): re-runs and incremental
+    ingest never reshuffle a group's sample except where new ids
+    genuinely out-rank old ones.
     """
     from pyspark.sql import Window
 
+    salts = 64
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     h = (F.col("doc_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    salt = F.pmod(F.col("doc_id"), F.lit(salts))
+    w_local = Window.partitionBy("source", "salt").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    w_global = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
     return (
-        docs.select("doc_id", "source", "lang", h.alias("h"))
-        .withColumn("rk", F.row_number().over(w))
+        docs.select("doc_id", "source", "lang", h.alias("h"), salt.alias("salt"))
+        .withColumn("lrk", F.row_number().over(w_local))
+        .filter(F.col("lrk") <= k)
+        .withColumn("rk", F.row_number().over(w_global))
         .filter(F.col("rk") <= k)
         .select("doc_id", "source", "lang", F.col("rk").cast("int").alias("rk"))
     )

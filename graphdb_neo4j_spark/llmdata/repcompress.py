@@ -42,7 +42,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -57,10 +57,21 @@ def text_fingerprint(text_col: str | Column = "text") -> Column:
 def exact_dup_members(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     """(id_col, rep) membership map: rep = min(id) over identical-``key``
     groups. localCheckpointed (lazy) — every consumer pattern reads it at
-    least twice (both expansion sides, plus the in-group generator)."""
+    least twice (both expansion sides, plus the in-group generator).
+
+    rep is a ``groupBy(key).agg(min)`` joined back, not a window: the
+    hot-key case (one fingerprint shared by millions of rows — the exact
+    input rep-compression exists for) would serialize a window partition
+    into one task, while the group-by collapses map-side and the
+    join-back is AQE-skew-splittable.
+    """
+    # keyed is checkpointed too: the agg and the join-back both consume
+    # it, and without materialization each would recompute the upstream
+    # fingerprint scan (the window form's one-pass advantage, kept)
+    keyed = df.select(id_col, key.alias("__dup_key")).localCheckpoint(eager=False)
+    reps = keyed.groupBy("__dup_key").agg(F.min(id_col).alias("rep"))
     return (
-        df.select(id_col, key.alias("__dup_key"))
-        .withColumn("rep", F.min(id_col).over(Window.partitionBy("__dup_key")))
+        keyed.join(reps, "__dup_key")
         .select(id_col, "rep")
         .localCheckpoint(eager=False)
     )
