@@ -1277,12 +1277,13 @@ if _missing:
 #    verbatim in DuckDB; needs its FIRST driver row). The span pair was
 #    in R9_WINDOW; changed-first overrides the no-repeat rule (the
 #    r8/r9 precedent).
-# 2. R10_STEADY (44): the staged steady-state sweep from last round's
-#    R10_WINDOW_PLAN, oldest-green-first. The 6 names the changed-first
+# 2. R10_STEADY (41): the staged steady-state sweep from last round's
+#    R10_WINDOW_PLAN, oldest-green-first. The 7 names the changed-first
 #    swaps displace (``knn_anchor``, ``degree_stats``,
-#    ``bfs_distances``, ``pricing_summary``, then ``dedup_components``,
-#    ``training_filter`` for the late-r10 promotions — the NEWEST greens
-#    in the staged list) move to the front of the r11 plan.
+#    ``bfs_distances``, ``pricing_summary``, then ``recommend_people``,
+#    ``product_profit``, ``market_share`` for the late-r10 promotions
+#    and de-windowing re-checks — the NEWEST non-changed greens in the
+#    staged list) move to the front of the r11 plan.
 # =============================================================================
 
 R10_CHANGED = [
@@ -1292,11 +1293,18 @@ R10_CHANGED = [
     "bpe_encode_fixed",
     # late-r10 oracle promotions (VERDICT r9 #4, continued): both queries
     # switched to the portable md5-prefix hash and gained DuckDB oracles —
-    # changed-first puts their FIRST hash rows in this window. They
-    # displace the two newest staged steady names (dedup_components,
-    # training_filter → front of the r11 plan).
+    # changed-first puts their FIRST hash rows in this window.
     "dedup_simhash",
     "winnowing_fingerprint",
+    # late-r10 hot-key de-windowing (the span-family `weak` class closed
+    # repo-wide): exact_dup_members' min-per-key rewrite is inherited by
+    # the components/training_filter chain, and dedup_representatives'
+    # argmax became a mergeable max_by — changed-first pulls all three
+    # back in. Net displacement vs the staged plan: recommend_people,
+    # product_profit, market_share → front of the r11 plan.
+    "dedup_components",
+    "training_filter",
+    "dedup_representatives",
 ]
 
 R10_STEADY = [
@@ -1314,13 +1322,13 @@ R10_STEADY = [
     "events_ohlc", "cdc_apply", "basket_affinity", "pareto_revenue",
     "top_supplier", "ship_latency", "sequence_match", "stream_ohlc",
     "conversion_lag", "bfs_unbounded", "events_hopping", "stream_hopping",
-    "temporal_join", "stream_enrich", "volume_shipping", "market_share",
-    "product_profit",
-    # oldest r7 rows, source order (3 of 43; knn_anchor / degree_stats /
+    "temporal_join", "stream_enrich", "volume_shipping",
+    # oldest r7 rows, source order (2 of 43; knn_anchor / degree_stats /
     # bfs_distances / pricing_summary displaced to the r11 plan by the
-    # r10 changed-first swaps, dedup_components / training_filter by the
-    # late-r10 simhash/winnowing promotions)
-    "recommend_people", "dedup_exact", "dedup_jaccard",
+    # r10 changed-first swaps, recommend_people / product_profit /
+    # market_share by the late-r10 de-windowing re-checks — dedup_exact
+    # and dedup_jaccard stay: both changed in the same sweep)
+    "dedup_exact", "dedup_jaccard",
 ]
 
 R10_WINDOW = R10_CHANGED + R10_STEADY
@@ -1354,8 +1362,8 @@ _PENDING.clear()
 # =============================================================================
 
 R11_WINDOW_PLAN = [
-    # displaced from the staged r10 list by the r10 changed-first swaps (6)
-    "dedup_components", "training_filter",
+    # displaced from the staged r10 list by the r10 changed-first swaps (7)
+    "recommend_people", "product_profit", "market_share",
     "knn_anchor", "degree_stats", "bfs_distances", "pricing_summary",
     # last driver row r7, catalog source order (43)
     "top_parts_by_revenue", "token_stats", "pii_scrub", "lang_id",
@@ -1370,11 +1378,10 @@ R11_WINDOW_PLAN = [
     "bpe_encode", "cluster_profile", "cluster_balanced_sample",
     "cluster_outliers", "distinct_rollup", "table_profile",
     "k_anonymity", "user_erasure",
-    # oldest r8 rows, source order (5; the rest open the r12 plan —
-    # events_rollup_serve / stream_hourly dropped by the late-r10
-    # simhash/winnowing displacements)
+    # oldest r8 rows, source order (4; the rest open the r12 plan —
+    # asof_join / events_rollup_serve / stream_hourly dropped by the
+    # late-r10 changed-first displacements)
     "events_hourly", "events_json", "events_cube", "sessionize",
-    "asof_join",
 ]
 
 if len(R11_WINDOW_PLAN) != 50:
