@@ -110,28 +110,40 @@ SELECT doc_id, source, bucket, rate_micro FROM b WHERE bucket < rate_micro
 # --- deterministic global training order --------------------------------------
 
 
-def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+ORDER_BUCKETS = 4096  # range buckets = enumeration parallelism knob
+
+
+def q_training_order(
+    spark: SparkSession, sf_dir: str, n_buckets: int = ORDER_BUCKETS
+) -> DataFrame:
     """(doc_id, pos) — a deterministic global shuffle of the corpus: the
-    0-based position of each document in the order a trainer should read
-    it. The shuffle key is the id-keyed LCG (uniform, reproducible), with
-    doc_id as the total-order tiebreak.
+    0-based position of each document in (key, doc_id) order, key = the
+    id-keyed LCG (uniform, reproducible), doc_id the total-order tiebreak.
 
     Scale shape — global enumeration WITHOUT a single-partition window:
     a naive ``row_number() OVER (ORDER BY key)`` funnels the corpus
-    through one task. Instead the key space is range-bucketed (256
-    ordered buckets), per-bucket counts (256 rows) get exclusive
-    prefix-sum offsets on a trivially small window, and the final
-    position is offset + row_number within the bucket — 256-way parallel,
-    the same distributed prefix-sum discipline as
-    ``textstats.q_sequence_pack``. The oracle states the same thing as
-    the one-line global window, which DuckDB can afford at sf0.01.
+    through one task. The key space is RANGE-bucketed into ``n_buckets``
+    equal-width slices (bucket = key // (M / n_buckets) — monotone in
+    key, exact because both are powers of two, uniform by LCG
+    uniformity), per-bucket counts get exclusive prefix-sum offsets on
+    an ``n_buckets``-row window (one tiny task), and the final position
+    is offset + row_number within the bucket — the same distributed
+    prefix-sum discipline as ``textstats.q_sequence_pack``. Monotone
+    buckets mean bucket-major order IS global (key, doc_id) order, so
+    the oracle is the semantic one-liner; ``n_buckets`` (default 4096)
+    caps the rank-window partition at corpus/4096 rows and is the knob
+    to raise at 100 TB (r10: the previous form used 256 HASH buckets —
+    same parallelism argument, but bucket-major order leaked ``key %
+    256`` into the output contract and each window task held corpus/256
+    rows).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     key = ((F.col("doc_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M)).alias(
         "key"
     )
+    bucket_width = _LCG_M // n_buckets
     keyed = docs.select("doc_id", key).withColumn(
-        "bucket", (F.col("key") % F.lit(256)).cast("int")
+        "bucket", F.expr(f"CAST(key DIV {bucket_width} AS INT)")
     )
     per_bucket = keyed.groupBy("bucket").agg(F.count("*").alias("cnt"))
     offsets = per_bucket.withColumn(
@@ -153,9 +165,8 @@ def q_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def training_order_sql() -> str:
     # The oracle is the semantic one-liner; the Spark plan's bucketed
-    # prefix-sum must be indistinguishable from it. Bucket-major order ==
-    # (bucket, key, doc_id) order; bucket = key % 256, so the oracle
-    # sorts by (key % 256, key, doc_id).
+    # prefix-sum must be indistinguishable from it. Range buckets are
+    # monotone in key, so bucket-major order == (key, doc_id) order.
     return f"""
 WITH keyed AS (
     SELECT doc_id,
@@ -163,7 +174,7 @@ WITH keyed AS (
     FROM documents
 )
 SELECT doc_id,
-       ROW_NUMBER() OVER (ORDER BY key % 256, key, doc_id) - 1 AS pos
+       ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS pos
 FROM keyed
 """
 

@@ -51,17 +51,26 @@ def test_training_order_is_a_permutation(spark, sf_dir):
 
 def test_training_order_matches_bruteforce(spark, sf_dir):
     """The bucketed prefix-sum enumeration equals the semantic one-liner:
-    sort by (key % 256, key, doc_id)."""
+    sort by (key, doc_id) — range buckets are monotone in key, so the
+    bucket decomposition must be invisible in the output."""
     docs = [r["doc_id"] for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id").collect()]
     key = {d: (d * mixing._LCG_A + mixing._LCG_C) % mixing._LCG_M for d in docs}
     expect = {
         d: i
-        for i, d in enumerate(
-            sorted(docs, key=lambda d: (key[d] % 256, key[d], d))
-        )
+        for i, d in enumerate(sorted(docs, key=lambda d: (key[d], d)))
     }
     got = {r["doc_id"]: r["pos"] for r in mixing.q_training_order(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_training_order_bucket_count_invisible(spark, sf_dir):
+    """n_buckets is a pure parallelism knob: 16 vs 4096 buckets give the
+    identical permutation."""
+    a = {r["doc_id"]: r["pos"]
+         for r in mixing.q_training_order(spark, sf_dir, n_buckets=16).collect()}
+    b = {r["doc_id"]: r["pos"]
+         for r in mixing.q_training_order(spark, sf_dir, n_buckets=4096).collect()}
+    assert a == b
 
 
 @pytest.fixture(scope="module")
