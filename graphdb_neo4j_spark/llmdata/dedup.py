@@ -491,14 +491,10 @@ def simhash_signatures(toks: DataFrame, portable: bool = False) -> DataFrame:
     registered ``dedup_simhash`` uses it (oracle-promoted r10).
     """
     if portable:
-        hashed = toks.select(
+        hashed = toks.select("doc_id", F.md5("tok").alias("m")).select(
             "doc_id",
-            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
-            .cast("long")
-            .alias("hi"),
-            F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10)
-            .cast("long")
-            .alias("lo"),
+            F.conv(F.substring("m", 1, 8), 16, 10).cast("long").alias("hi"),
+            F.conv(F.substring("m", 9, 8), 16, 10).cast("long").alias("lo"),
         )
         bit = lambda j: (  # noqa: E731 — bit j of the 64-bit (hi, lo) pair
             f"shiftright(lo, {j}) & 1L" if j < 32 else f"shiftright(hi, {j - 32}) & 1L"
