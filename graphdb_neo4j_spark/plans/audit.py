@@ -34,6 +34,10 @@ class PlanAudit:
     pushed_filters: list[str] = field(default_factory=list)
     partition_filters: list[str] = field(default_factory=list)
     scans: int = 0
+    # physical Window nodes ("Window [" — excludes WindowGroupLimit, the
+    # rank-limit pushdown helper): the hot-key straggler surface. The r10
+    # de-windowed operators pin this to their documented bounded count.
+    window_ops: int = 0
 
     @property
     def total_joins(self) -> int:
@@ -106,6 +110,7 @@ def audit(df: DataFrame, executed: bool = True) -> PlanAudit:
         pushed_filters=pushed,
         partition_filters=part,
         scans=plan.count("FileScan ") + plan.count("BatchScan "),
+        window_ops=plan.count("Window ["),
     )
 
 

@@ -158,6 +158,32 @@ def test_shuffle_budget(name, max_shuf, bcast_only, no_cart, spark, sf_dir):
         assert a.sort_merge_joins == 0, f"{name}: SMJ crept into the plan"
 
 
+# (query, exact physical Window count) — the r10 hot-key de-windowing
+# contracts. A window partition is ONE task, so these operators traded
+# unbounded-key windows for mergeable aggregations + join-backs; a
+# regression that re-introduces a window here re-opens the 100 TB
+# straggler and must fail loudly. The non-zero budgets are windows whose
+# partitions are BOUNDED by construction (group_sample: 64-salt local
+# rank + rank over ≤64·k survivors; training_order: n_buckets-row offset
+# prefix-sum + corpus/n_buckets in-bucket rank).
+WINDOW_CONTRACTS = [
+    ("dedup_exact", 0),
+    ("dedup_representatives", 0),
+    ("group_sample", 2),
+    ("training_order", 2),
+]
+
+
+@pytest.mark.parametrize("name,n_windows", WINDOW_CONTRACTS)
+def test_window_budget(name, n_windows, spark, sf_dir):
+    from graphdb_neo4j_spark.registry import all_queries
+
+    a = audit(_run(all_queries()[name].fn(spark, sf_dir)))
+    assert a.window_ops == n_windows, (
+        f"{name}: {a.window_ops} physical Window nodes (contract {n_windows})"
+    )
+
+
 def test_pareto_revenue_distributed_ntile(spark, sf_dir):
     """The decile must NOT come from a single-task sort over the
     per-customer aggregate: the serving plan reads the checkpointed
