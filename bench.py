@@ -11,8 +11,16 @@ and shipped unparseable. The FULL recording (canary slots, loadavg,
 per-query min/med dispersion, iterative construct/execute splits,
 per-attempt walls) is written to BENCH_DETAIL.json next to this file.
 
-Each query is executed to completion with a count() action (forces the full
-plan without driver-side result transfer dominating the timing).
+Each query is executed to completion with a CHECKSUM consumer (r11):
+``agg(sum(crc32(concat_ws(US, every column cast to string))))`` forces every
+output column through the plan without driver-side result transfer
+dominating the timing. The historical ``count()`` consumer let Catalyst
+PRUNE subtrees that don't affect cardinality — the r10 ``dedup_exact``
+episode: bench rows for the old window form priced scan+count only, and
+the honest join-included cost only appeared after a rewrite changed the
+plan (PLANS.md round-10/-11). ``SPARK_GRAFT_BENCH_CONSUMER=count``
+restores the legacy consumer for A/B; the round-11 count-vs-checksum
+sweep over all benched queries is recorded in PLANS.md.
 
 Load-contamination guard (round-6): BENCH_r05 was recorded on a host
 running concurrent heavy processes and read 1.77x BENCH_r04 with zero code
@@ -73,6 +81,26 @@ MAX_ATTEMPTS = 3
 # The budget is total bench wall; a retry launches only if the elapsed
 # time plus the measured cost of the last attempt fits inside it.
 TIME_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
+# "checksum" (default, r11): force every output column through the plan;
+# "count": the legacy consumer (Catalyst may prune subtrees — A/B only).
+CONSUMER = os.environ.get("SPARK_GRAFT_BENCH_CONSUMER", "checksum")
+
+
+def _consume(df) -> None:
+    """Run the query to completion under the selected consumer. The
+    checksum form prices the WHOLE declared plan: count() lets Catalyst
+    drop column-only work (windows, projections, even whole join branches
+    when cardinality is provable), so a benched plan could silently cost
+    less than any real consumer would pay (r10 dedup_exact episode)."""
+    if CONSUMER == "count":
+        df.count()
+        return
+    from pyspark.sql import functions as F
+
+    row_str = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in df.columns]
+    )
+    df.agg(F.sum(F.crc32(row_str))).collect()
 
 
 def main() -> None:
@@ -188,7 +216,7 @@ def main() -> None:
                 try:
                     df = fn(spark, sf_dir)
                     t1 = time.perf_counter()
-                    df.count()
+                    _consume(df)
                     t2 = time.perf_counter()
                     elapsed = t2 - t0
                     reps.append(elapsed)
@@ -242,6 +270,10 @@ def main() -> None:
             # recordings/rounds instead — measured clean-host floor ~0.10 s,
             # and a uniformly-slow run (total 113 s vs 81 s twin) read 0.121.
             "canary_min": round(min(canaries), 3),
+            # self-describing recordings: a checksum-consumed timing is
+            # not comparable to a count-consumed one for pruning-divergent
+            # plans (PLANS.md round-11 sweep)
+            "consumer": CONSUMER,
             "loadavg": {
                 "min": min(loadavgs),
                 "mean": round(sum(loadavgs) / len(loadavgs), 2),
@@ -346,24 +378,50 @@ def main() -> None:
             _ours = {
                 q: d["min"] for q, d in chosen.get("dispersion", {}).items()
             }
+            # host normalization (r11, VERDICT r10 #2): the raw ratio
+            # conflates code with host speed — r10's recording ran on a
+            # host ~30-48% slower than its committed reference
+            # (canary_min 0.073 → 0.108 within one day) and the raw
+            # channel flagged three untouched queries. The canary is the
+            # same JVM-only job in both recordings, so
+            # canary_min(now)/canary_min(ref) IS the host-speed ratio;
+            # ratio_norm divides it out. Flagging uses the NORMALIZED
+            # ratio; both ship so the raw channel stays auditable.
+            if _ref.get("consumer", "count") != CONSUMER:
+                # pruning-divergent plans change cost across consumers —
+                # flag rather than silently mixing regimes
+                chosen["consumer_mismatch_vs_reference"] = True
+            _ref_canary = _ref.get("canary_min") or 0
+            host_scale = (
+                round(chosen["canary_min"] / _ref_canary, 3)
+                if _ref_canary
+                else None
+            )
             deltas = {}
             for q, ref_t in _ref.get("queries", {}).items():
                 if q in _ours and ref_t > 0:
-                    deltas[q] = {
+                    d = {
                         "min": _ours[q],
                         "ref": ref_t,
                         "ratio": round(_ours[q] / ref_t, 3),
                     }
+                    if host_scale:
+                        d["ratio_norm"] = round(d["ratio"] / host_scale, 3)
+                    deltas[q] = d
             chosen["min_vs_reference"] = {
                 "file": os.path.basename(_refs[-1]),
+                "host_scale": host_scale,
                 "deltas": deltas,
             }
+            _key = "ratio_norm" if host_scale else "ratio"
             worst = sorted(
-                deltas.items(), key=lambda kv: -kv[1]["ratio"]
+                deltas.items(), key=lambda kv: -kv[1][_key]
             )[:3]
             chosen["min_regressions"] = {
-                q: d["ratio"] for q, d in worst if d["ratio"] > 1.15
+                q: d[_key] for q, d in worst if d[_key] > 1.15
             }
+            if host_scale:
+                chosen["min_regressions_host_scale"] = host_scale
         except (OSError, ValueError, KeyError) as e:
             print(f"BENCH reference compare skipped ({e})", file=sys.stderr)
 
@@ -400,13 +458,22 @@ def main() -> None:
         ],
         "detail": "BENCH_DETAIL.json",
     }
-    for flag in ("all_attempts_tainted", "tainted", "errors"):
+    for flag in (
+        "all_attempts_tainted",
+        "tainted",
+        "errors",
+        "consumer_mismatch_vs_reference",
+    ):
         if chosen.get(flag):
             lean[flag] = chosen[flag]
     if "min_regressions" in chosen:
-        # worst min-vs-committed-reference ratios (>1.15 only, ≤3): the
-        # one-line noise-vs-code channel; full table in BENCH_DETAIL.json
+        # worst min-vs-committed-reference ratios (>1.15 only, ≤3),
+        # canary-NORMALIZED when the reference carries canary_min (r11):
+        # the one-line noise-vs-code channel; full table (raw + norm)
+        # in BENCH_DETAIL.json
         lean["min_regressions"] = chosen["min_regressions"]
+        if "min_regressions_host_scale" in chosen:
+            lean["host_scale"] = chosen["min_regressions_host_scale"]
     line = json.dumps(lean)
     if len(line) > 1900:  # belt-and-braces: never ship an unparseable line
         lean.pop("min_regressions", None)

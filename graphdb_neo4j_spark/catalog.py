@@ -1264,7 +1264,7 @@ if _missing:
 # R10 WINDOW — the 50 names the driver's correctness harness records THIS
 # round. Two blocks, per the standing changed-queries-first rule:
 #
-# 1. R10_CHANGED (4): the span-removal pair — materially changed in r10
+# 1. R10_CHANGED (9): the span-removal pair — materially changed in r10
 #    (keep-first rank windows replaced by the mergeable
 #    min(struct(doc_id, start)) reduction riding the gram-df agg,
 #    VERDICT r9 #1; the DuckDB oracles are algebraically unchanged and
@@ -1277,7 +1277,8 @@ if _missing:
 #    verbatim in DuckDB; needs its FIRST driver row). The span pair was
 #    in R9_WINDOW; changed-first overrides the no-repeat rule (the
 #    r8/r9 precedent).
-# 2. R10_STEADY (41): the staged steady-state sweep from last round's
+# 2. R10_STEADY (41; the runtime length asserts below are authoritative):
+#    the staged steady-state sweep from last round's
 #    R10_WINDOW_PLAN, oldest-green-first. The 7 names the changed-first
 #    swaps displace (``knn_anchor``, ``degree_stats``,
 #    ``bfs_distances``, ``pricing_summary``, then ``recommend_people``,
@@ -1353,19 +1354,20 @@ _PENDING.clear()
 # =============================================================================
 # R11 WINDOW PLAN — staged so next round's rotation is a one-line swap
 # (rename to R11_WINDOW, flush on it, move R10's names into history).
-# Oldest-green-first: the 4 names R10's changed-first swaps displaced,
+# Oldest-green-first: the 7 names R10's changed-first swaps displaced,
 # then every query whose last driver row is r7, in catalog source order
-# (43 names — the reference-surface families re-checked in r7's
+# (39 names — the reference-surface families re-checked in r7's
 # regression block plus the r7 rows-only debuts), then the oldest r8
-# rows (source order; 3 fit). Any query materially changed in r11 jumps
-# to the front, displacing the newest names here to r12.
+# rows (source order; 4 fit). Any query materially changed in r11 jumps
+# to the front, displacing the newest names here to r12. (Counts are
+# narrative; the length/overlap asserts below are authoritative.)
 # =============================================================================
 
 R11_WINDOW_PLAN = [
     # displaced from the staged r10 list by the r10 changed-first swaps (7)
     "recommend_people", "product_profit", "market_share",
     "knn_anchor", "degree_stats", "bfs_distances", "pricing_summary",
-    # last driver row r7, catalog source order (43)
+    # last driver row r7, catalog source order (39)
     "top_parts_by_revenue", "token_stats", "pii_scrub", "lang_id",
     "node_names", "point_lookup", "exists_probe", "name_ci_lookup",
     "max_id", "count_nodes", "top_acctbal", "edges_same_college",

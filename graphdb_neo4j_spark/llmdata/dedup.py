@@ -1792,6 +1792,8 @@ def dedup_span_removal_incremental_sql(
 
 GRAM_STORE_META = "_gram_store_meta.json"
 _COMPACT_GENERATION = "__compact__"  # reserved; appends may not use it
+_GEN_COMMITTED = "_COMMITTED"  # per-generation data-commit marker
+_COMPACT_TMP = "_compact_tmp"  # compaction staging dir (invisible to Spark)
 
 
 def _gram_store_meta(path: str) -> dict | None:
@@ -1806,11 +1808,125 @@ def _gram_store_meta(path: str) -> dict | None:
 
 
 def _write_gram_store_meta(path: str, meta: dict) -> None:
+    """Atomically replace the sidecar (write-tmp + os.replace): the meta
+    write IS the store's commit point, so it must never be observable
+    half-written."""
     import json
     import os
 
-    with open(os.path.join(path, GRAM_STORE_META), "w") as f:
+    tmp = os.path.join(path, GRAM_STORE_META + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, GRAM_STORE_META))
+
+
+def _gram_store_generation_dirs(path: str) -> dict[str, str]:
+    """Visible ``generation=<id>/`` partition dirs → {id: abspath}."""
+    import glob
+    import os
+
+    return {
+        os.path.basename(g).split("=", 1)[1]: g
+        for g in glob.glob(f"{path}/generation=*")
+        if os.path.isdir(g)
+    }
+
+
+def _validate_gram_store(path: str, meta: dict | None) -> None:
+    """Crash-consistency gate, run before every probe/append/compact:
+    a crashed write or compaction must be DETECTED, never silently
+    probed (an orphan generation dir double-counts dfs; a half-deleted
+    compaction under-counts them). Pre-meta flat-layout stores (no
+    sidecar) are probed as-is — the documented legacy read path."""
+    import os
+
+    if meta is None:
+        return
+    if meta.get("pending_compact"):
+        raise ValueError(
+            f"gram store at {path} has an interrupted compaction "
+            f"(pending_compact in {GRAM_STORE_META}) — run "
+            f"repair_gram_store() to roll it forward"
+        )
+    dirs = _gram_store_generation_dirs(path)
+    active = meta.get("active", meta["generations"])
+    if set(dirs) != set(active):
+        raise ValueError(
+            f"gram store at {path} is data/meta inconsistent: on-disk "
+            f"generations {sorted(dirs)} != active {sorted(active)} "
+            f"(crashed write or compaction) — run repair_gram_store()"
+        )
+    missing = [g for g, d in dirs.items() if not os.path.exists(os.path.join(d, _GEN_COMMITTED))]
+    if missing:
+        raise ValueError(
+            f"gram store at {path} has active generations without a "
+            f"{_GEN_COMMITTED} marker (partial data write): {sorted(missing)} "
+            f"— the store is unrecoverable for those batches; rebuild or "
+            f"re-append them after repair_gram_store()"
+        )
+
+
+def repair_gram_store(path: str) -> list[str]:
+    """Mechanical recovery for a crashed write/compaction — the remedy
+    every ``_validate_gram_store`` error names. Returns the actions taken
+    (empty = store was already consistent). Safe to run on a healthy
+    store; requires a meta sidecar (pre-meta stores have no ledger to
+    repair against).
+
+    - Interrupted COMPACTION (``pending_compact`` set): roll FORWARD.
+      The staged ``_compact_tmp`` was fully committed before the flag was
+      set, so finishing is always safe: delete every pre-compaction
+      generation dir, rename the staging dir to
+      ``generation=__compact__``, set ``active`` and clear the flag. If
+      the staging dir is already gone the swap itself completed — only
+      the meta finalize remains.
+    - Interrupted WRITE (no flag): the append transaction commits at the
+      meta write, so any generation dir NOT in ``active`` is an
+      uncommitted orphan — delete it (the batch id never entered the
+      replay ledger, so the caller's retry is accepted). A stale
+      ``_compact_tmp`` from a crash before the flag was set is likewise
+      deleted (the store itself was never touched).
+    """
+    import os
+    import shutil
+
+    meta = _gram_store_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"no {GRAM_STORE_META} sidecar at {path} — pre-meta stores "
+            f"carry no ledger to repair against; rebuild with "
+            f"write_gram_store()"
+        )
+    actions: list[str] = []
+    tmp = os.path.join(path, _COMPACT_TMP)
+    if meta.get("pending_compact"):
+        if os.path.exists(tmp):
+            if not os.path.exists(os.path.join(tmp, _GEN_COMMITTED)):
+                # flag is set strictly AFTER the staging commit, so an
+                # uncommitted tmp under the flag means external tampering
+                raise ValueError(
+                    f"pending compaction at {path} but {_COMPACT_TMP} has no "
+                    f"{_GEN_COMMITTED} marker — refusing to guess; rebuild"
+                )
+            for g in _gram_store_generation_dirs(path).values():
+                shutil.rmtree(g)
+                actions.append(f"removed pre-compaction {os.path.basename(g)}")
+            os.rename(tmp, f"{path}/generation={_COMPACT_GENERATION}")
+            actions.append(f"installed generation={_COMPACT_GENERATION}")
+        meta["active"] = [_COMPACT_GENERATION]
+        meta.pop("pending_compact", None)
+        _write_gram_store_meta(path, meta)
+        actions.append("finalized compaction meta")
+        return actions
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+        actions.append(f"removed stale {_COMPACT_TMP}")
+    active = set(meta.get("active", meta["generations"]))
+    for gen, d in _gram_store_generation_dirs(path).items():
+        if gen not in active:
+            shutil.rmtree(d)
+            actions.append(f"removed uncommitted generation={gen}")
+    return actions
 
 
 def write_gram_store(
@@ -1835,18 +1951,47 @@ def write_gram_store(
 
     Every write stamps/updates a ``_gram_store_meta.json`` sidecar (the
     underscore prefix hides it from parquet discovery) recording the
-    build ``width``, the hash scheme, and every generation id ever
-    folded in. Appends validate against it: a width mismatch or a
-    replayed generation id (e.g. a retried batch after a partial
+    build ``width``, the hash scheme, every generation id ever folded
+    in (the replay ledger), and the ``active`` set of generation dirs
+    expected on disk. Appends validate against it: a width mismatch or
+    a replayed generation id (e.g. a retried batch after a partial
     failure, which would silently double-count dfs and over-remove
-    batch text) raises instead of corrupting the store. The sidecar is
-    written AFTER the data commit, so a crash between the two leaves a
-    last-generation data/meta mismatch that the next append of the same
-    id will fail on — inspect and delete the orphan partition directory;
-    a table format's commit log is the real fix at scale (SURVEY.md
-    §7.4-H1), same caveat as ``compact_partition``."""
+    batch text) raises instead of corrupting the store.
+
+    Crash consistency (mini commit log, SURVEY.md §7.4-H1's sandbox
+    stand-in for a table format): the generation's parquet data is
+    written first, then a ``_COMMITTED`` marker inside the dir, and the
+    ATOMIC sidecar replace (ledger += id, active += id) is the commit
+    point. A crash anywhere before the meta write leaves an orphan dir
+    that every probe/append DETECTS (``_validate_gram_store``) and
+    ``repair_gram_store`` deletes mechanically — the batch id never
+    entered the ledger, so the caller's retry is accepted. Appending to
+    a store with no sidecar raises: a pre-meta flat layout would end up
+    mixing root-level parquet with partition dirs (Spark rejects the
+    read) and a fresh one-entry ledger would silently drop replay
+    protection for everything folded in before."""
+    import os
+
     meta = _gram_store_meta(path)
-    if mode == "append" and meta is not None:
+    if mode == "append":
+        if meta is None:
+            root_parquet = [
+                p
+                for p in (os.listdir(path) if os.path.isdir(path) else [])
+                if p.endswith(".parquet")
+            ]
+            if root_parquet:
+                raise ValueError(
+                    f"gram store at {path} is a pre-meta flat layout "
+                    f"(root-level parquet, no {GRAM_STORE_META}); appending "
+                    f"generation dirs beside it would produce a mixed "
+                    f"layout Spark rejects and a ledger that forgot the "
+                    f"folded-in history — rebuild with mode='overwrite'"
+                )
+            raise ValueError(
+                f"no gram store sidecar at {path} — cold-start with "
+                f"write_gram_store(mode='overwrite') before appending"
+            )
         if meta["width"] != width:
             raise ValueError(
                 f"gram store at {path} was built with width={meta['width']}, "
@@ -1857,6 +2002,7 @@ def write_gram_store(
                 f"generation {generation!r} already folded into the gram store "
                 f"at {path} (replayed/retried append would double-count dfs)"
             )
+        _validate_gram_store(path, meta)
     if generation == _COMPACT_GENERATION:
         raise ValueError(f"generation id {_COMPACT_GENERATION!r} is reserved")
     arrs = docs.select(
@@ -1872,21 +2018,25 @@ def write_gram_store(
         ).alias("gram"),
     ).withColumn("gram", F.xxhash64("gram"))
     if mode == "overwrite":
-        import os
         import shutil
 
         if os.path.exists(path):
             shutil.rmtree(path)
         meta = None
+    gen_dir = f"{path}/generation={generation}"
     (
         grams.groupBy("gram")
         .agg(F.count_distinct("doc_id").alias("df"))
         .write.mode("overwrite")
-        .parquet(f"{path}/generation={generation}")
+        .parquet(gen_dir)
     )
+    # data commit marker, then the atomic meta replace = the commit point
+    with open(os.path.join(gen_dir, _GEN_COMMITTED), "w"):
+        pass
     if meta is None:
-        meta = {"width": width, "hash": "xxhash64", "generations": []}
+        meta = {"width": width, "hash": "xxhash64", "generations": [], "active": []}
     meta["generations"] = meta["generations"] + [generation]
+    meta["active"] = meta.get("active", meta["generations"][:-1]) + [generation]
     _write_gram_store_meta(path, meta)
 
 
@@ -1918,13 +2068,30 @@ def compact_gram_store(spark: SparkSession, path: str) -> int:
     (``sources/layout.py``). The meta sidecar's ``generations`` replay
     ledger is PRESERVED: compaction changes the data layout, not the
     set of batches folded in, so a post-compaction retry of an old
-    batch still fails."""
-    import glob
+    batch still fails.
+
+    Crash consistency (write-new-then-delete, VERDICT r10 #5): the
+    summed table is fully committed into the invisible staging dir
+    FIRST (data + ``_COMMITTED`` marker), then ``pending_compact`` is
+    set in the sidecar — the point of no return — and only then are the
+    old generation dirs deleted and the staging dir renamed in. A crash
+    before the flag leaves the store untouched (repair deletes the
+    stale staging dir); a crash after it is rolled FORWARD by
+    ``repair_gram_store`` (the staged data is already durable), and
+    every probe/append in between refuses the store instead of reading
+    a half-swapped layout."""
     import os
     import shutil
 
-    gens = sorted(glob.glob(f"{path}/generation=*"))
-    tmp = f"{path}/_compact_tmp"
+    meta = _gram_store_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"no {GRAM_STORE_META} sidecar at {path} — compaction needs the "
+            f"active-generation ledger; rebuild with write_gram_store()"
+        )
+    _validate_gram_store(path, meta)
+    gens = sorted(_gram_store_generation_dirs(path).values())
+    tmp = f"{path}/{_COMPACT_TMP}"
     (
         spark.read.parquet(path)
         .groupBy("gram")
@@ -1932,9 +2099,16 @@ def compact_gram_store(spark: SparkSession, path: str) -> int:
         .write.mode("overwrite")
         .parquet(tmp)
     )
+    with open(os.path.join(tmp, _GEN_COMMITTED), "w"):
+        pass
+    meta["pending_compact"] = True
+    _write_gram_store_meta(path, meta)
     for g in gens:
         shutil.rmtree(g)
     os.rename(tmp, f"{path}/generation={_COMPACT_GENERATION}")
+    meta["active"] = [_COMPACT_GENERATION]
+    meta.pop("pending_compact", None)
+    _write_gram_store_meta(path, meta)
     return len(gens)
 
 
@@ -1971,9 +2145,13 @@ def clean_batch_with_gram_store(
 
     Probes validate the store's ``_gram_store_meta.json``: a width
     mismatch raises (a store built at a different width would silently
-    yield a mostly-miss clean otherwise); a store with no sidecar
-    (pre-meta layout) is probed as-is."""
+    yield a mostly-miss clean otherwise), as does any crash residue —
+    an uncommitted generation dir or an interrupted compaction would
+    double- or under-count dfs (``repair_gram_store`` is the named
+    remedy); a store with no sidecar (pre-meta layout) is probed
+    as-is."""
     meta = _gram_store_meta(store)
+    _validate_gram_store(store, meta)
     if meta is not None and meta["width"] != width:
         raise ValueError(
             f"gram store at {store} was built with width={meta['width']}, "

@@ -195,6 +195,7 @@ def run_curation_pipeline(
     out_base: str,
     keep_frac: float = 0.6,
     max_drift_kl: float = 10.0,
+    batch_id: str = "batch-0",
 ) -> CurationReport:
     """The CONTINUOUS-ingest curation stack — what runs on every new batch
     once the corpus already exists (``run_corpus_pipeline`` is the cold-
@@ -221,9 +222,15 @@ def run_curation_pipeline(
        train/eval membership (pure doc_id function).
     6. store appends   — history + kept batch signatures land in
        ``{out_base}/minhash_store``, and the CLEANED kept batch's grams
-       fold into ``{out_base}/gram_store`` as a new stamped generation
-       (replay-guarded by the meta sidecar), so the NEXT batch probes
-       both stores without touching this one's text.
+       fold into ``{out_base}/gram_store`` as the ``batch_id``
+       generation (replay-guarded by the meta sidecar), so the NEXT
+       batch probes both stores without touching this one's text.
+
+    ``batch_id`` stamps this invocation's generation in the gram store:
+    the store's ``history`` generation is cold-started only when the
+    store is ABSENT, so successive calls with distinct batch ids
+    genuinely accumulate generations (and a replay of the same id
+    raises via the ledger — it is not masked by a rebuild).
 
     Every batch doc is kept or attributed to exactly ONE drop reason —
     closed accounting, pytest-pinned.
@@ -285,10 +292,15 @@ def run_curation_pipeline(
 
     # span removal vs the history gram store (staged: the accounting agg
     # and the curated write both read the materialization). Cold-start
-    # store build from history text happens ONCE per deployment; the
-    # per-batch cost is the probe + the appended generation below.
+    # store build from history text happens ONCE per deployment — only
+    # when the store is absent — so repeated per-batch invocations
+    # accumulate generations instead of rebuilding; the per-batch cost
+    # is the probe + the appended generation below.
+    from graphdb_neo4j_spark.llmdata.dedup import _gram_store_meta
+
     gram_store = f"{out_base}/gram_store"
-    write_gram_store(hist, gram_store, generation="history")
+    if _gram_store_meta(gram_store) is None:
+        write_gram_store(hist, gram_store, generation="history")
     clean_batch_with_gram_store(spark, gram_store, kept_batch).write.mode(
         "overwrite"
     ).parquet(f"{out_base}/span_removal.parquet")
@@ -326,13 +338,14 @@ def run_curation_pipeline(
     store = f"{out_base}/minhash_store"
     write_minhash_store(hist, store)
     write_minhash_store(curated, store, mode="append")
-    # fold the CLEANED kept batch's grams in as a stamped generation: the
-    # next batch's span probe sums history + this batch without re-reading
-    # either text (replays of this batch id raise — meta-sidecar ledger)
+    # fold the CLEANED kept batch's grams in as the caller's stamped
+    # generation: the next batch's span probe sums history + every prior
+    # batch without re-reading any text (a replay of this batch_id
+    # raises — meta-sidecar ledger — instead of double-counting dfs)
     append_gram_store(
         spark.read.parquet(f"{out_base}/curated/documents.parquet"),
         gram_store,
-        generation="kept-batch",
+        generation=batch_id,
     )
 
     return CurationReport(

@@ -80,7 +80,7 @@ def test_span_stage_state_and_text_integrity(spark, sf_correct, report):
     rep, out = report
     meta = dedup._gram_store_meta(f"{out}/gram_store")
     assert meta["width"] == dedup.SPAN_WIDTH
-    assert meta["generations"] == ["history", "kept-batch"]
+    assert meta["generations"] == ["history", "batch-0"]
     assert len(glob.glob(f"{out}/gram_store/generation=*")) == 2
     assert rep.span_removed_tokens >= 0
 
@@ -101,6 +101,21 @@ def test_span_stage_state_and_text_integrity(spark, sf_correct, report):
     dedup.write_gram_store(hist, hist_store, generation="history")
     again = dedup.clean_batch_with_gram_store(spark, hist_store, curated)
     assert again.filter(F.col("n_removed") > 0).count() == 0
+
+
+def test_gram_store_accumulates_across_batches(spark, sf_correct, report):
+    """Successive invocations with distinct batch ids must ACCUMULATE
+    gram-store generations (the history generation cold-starts only when
+    the store is absent — ADVICE r10), and a replayed batch id must raise
+    via the ledger instead of being masked by a store rebuild."""
+    from graphdb_neo4j_spark.llmdata import dedup
+
+    _, out = report
+    with pytest.raises(ValueError, match="already folded"):
+        pipeline.run_curation_pipeline(spark, sf_correct, out)  # batch-0 again
+    pipeline.run_curation_pipeline(spark, sf_correct, out, batch_id="batch-1")
+    meta = dedup._gram_store_meta(f"{out}/gram_store")
+    assert meta["generations"] == ["history", "batch-0", "batch-1"]
 
 
 def test_drift_gate_rejects_poisoned_batch(spark, tmp_path):
