@@ -1344,26 +1344,26 @@ _missing = [n for n in R10_WINDOW if n not in _PENDING]
 if _missing:
     raise RuntimeError(f"R10_WINDOW names not defined: {_missing}")
 
-for _name in R10_WINDOW:
-    _rq = _PENDING.pop(_name)
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-for _name, _rq in _PENDING.items():
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-_PENDING.clear()
-
 # =============================================================================
-# R11 WINDOW PLAN — staged so next round's rotation is a one-line swap
-# (rename to R11_WINDOW, flush on it, move R10's names into history).
+# R11 WINDOW — the 50 names the driver's correctness harness records THIS
+# round: the staged R11 plan executed VERBATIM, steady-state
+# oldest-green-first. No registration materially changed in r11 — the
+# round's code work was bench-harness instrumentation (checksum
+# consumer, canary-normalized ratios), gram-store crash-recovery
+# machinery (non-registered incremental paths, pytest-pinned), and the
+# rows-only ledger — so the changed-first block is EMPTY this round and
+# nothing is displaced to r12. (The r10 outlier adjudication re-measured
+# funnel_counts / bigram_logprob / knn_anchor without changing them —
+# PLANS.md round-11.)
 # Oldest-green-first: the 7 names R10's changed-first swaps displaced,
 # then every query whose last driver row is r7, in catalog source order
 # (39 names — the reference-surface families re-checked in r7's
 # regression block plus the r7 rows-only debuts), then the oldest r8
-# rows (source order; 4 fit). Any query materially changed in r11 jumps
-# to the front, displacing the newest names here to r12. (Counts are
-# narrative; the length/overlap asserts below are authoritative.)
+# rows (source order; 4 fit). (Counts are narrative; the length/overlap
+# asserts below are authoritative.)
 # =============================================================================
 
-R11_WINDOW_PLAN = [
+R11_WINDOW = [
     # displaced from the staged r10 list by the r10 changed-first swaps (7)
     "recommend_people", "product_profit", "market_share",
     "knn_anchor", "degree_stats", "bfs_distances", "pricing_summary",
@@ -1386,12 +1386,68 @@ R11_WINDOW_PLAN = [
     "events_hourly", "events_json", "events_cube", "sessionize",
 ]
 
-if len(R11_WINDOW_PLAN) != 50:
-    raise RuntimeError(f"R11_WINDOW_PLAN must name 50 queries, got {len(R11_WINDOW_PLAN)}")
-if len(set(R11_WINDOW_PLAN)) != 50:
-    raise RuntimeError("R11_WINDOW_PLAN contains duplicates")
-if set(R11_WINDOW_PLAN) & set(R10_WINDOW):
-    raise RuntimeError("r11 plan overlaps the r10 window (steady-state = oldest first)")
-_undefined = [n for n in R11_WINDOW_PLAN if n not in _registry_dict]
+if len(R11_WINDOW) != 50:
+    raise RuntimeError(f"R11_WINDOW must name 50 queries, got {len(R11_WINDOW)}")
+if len(set(R11_WINDOW)) != 50:
+    raise RuntimeError("R11_WINDOW contains duplicates")
+if set(R11_WINDOW) & set(R10_WINDOW):
+    raise RuntimeError("r11 window overlaps the r10 window (steady-state = oldest first)")
+_missing = [n for n in R11_WINDOW if n not in _PENDING]
+if _missing:
+    raise RuntimeError(f"R11_WINDOW names not defined: {_missing}")
+
+for _name in R11_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()
+
+# =============================================================================
+# R12 WINDOW PLAN — staged so next round's rotation is a one-line swap
+# (rename to R12_WINDOW, flush on it, move R11's names into history).
+# Oldest-green-first: the 3 names the late-r10 changed-first
+# displacements pushed out of the staged r11 plan (``asof_join``,
+# ``events_rollup_serve``, ``stream_hourly``), then every query whose
+# last driver row is r8, in R8_WINDOW source order (38 names), then the
+# oldest r9 rows (R9_STEADY source order; 9 fit). Any query materially
+# changed in r12 jumps to the front, displacing the newest names here
+# to r13. (Counts are narrative; the asserts below are authoritative.)
+# =============================================================================
+
+R12_WINDOW_PLAN = [
+    # displaced from the staged r11 plan by the late-r10 changed-first
+    # swaps (3)
+    "asof_join", "events_rollup_serve", "stream_hourly",
+    # last driver row r8, R8_WINDOW source order (38; stream_user_counts
+    # re-checked r9, dedup_simhash / winnowing_fingerprint r10, and
+    # events_hourly / events_json / events_cube / sessionize are in the
+    # r11 window)
+    "stream_sessions", "stream_asof", "stream_json", "nl_single_name",
+    "nl_two_name", "nl_codegen_count", "multimodal_stats", "image_meta",
+    "asset_features", "image_resize_plan", "frame_sample", "ann_search",
+    "embedding_norms", "ivf_search", "sketch_profile", "pagerank",
+    "pagerank_factored", "fuzzy_search_indel", "dedup_minhash",
+    "cosine_neardup", "bpe_token_stats", "sequence_pack",
+    "frequent_tokens", "contamination", "quality_scores",
+    "doc_fingerprint", "tfidf_top_terms", "doc_chunks", "stream_rollup",
+    "stream_anomaly", "stream_sessionize", "stream_funnel",
+    "stream_dedup", "stream_interval", "stream_transitions",
+    "dedup_incremental", "dedup_incremental_exact",
+    "dedup_incremental_minhash",
+    # oldest r9 rows, R9_STEADY source order (9)
+    "quality_classifier", "dedup_components_incremental",
+    "quality_classifier_hashed", "quality_gate", "bigram_logprob",
+    "corpus_drift", "events_anomaly", "shipping_priority",
+    "nation_revenue",
+]
+
+if len(R12_WINDOW_PLAN) != 50:
+    raise RuntimeError(f"R12_WINDOW_PLAN must name 50 queries, got {len(R12_WINDOW_PLAN)}")
+if len(set(R12_WINDOW_PLAN)) != 50:
+    raise RuntimeError("R12_WINDOW_PLAN contains duplicates")
+if set(R12_WINDOW_PLAN) & (set(R11_WINDOW) | set(R10_WINDOW)):
+    raise RuntimeError("r12 plan overlaps a recent window (steady-state = oldest first)")
+_undefined = [n for n in R12_WINDOW_PLAN if n not in _registry_dict]
 if _undefined:
-    raise RuntimeError(f"R11_WINDOW_PLAN names not registered: {_undefined}")
+    raise RuntimeError(f"R12_WINDOW_PLAN names not registered: {_undefined}")

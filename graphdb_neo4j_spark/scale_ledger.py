@@ -166,6 +166,42 @@ _EXPLICIT: dict[str, Disposition] = {
         "PushedFilters point probe (plan-pinned in tests); scan touches "
         "matching row groups only",
     ),
+    # -- r11 refresh: the four r10 de-windowed rewrites, re-swept at the
+    # 10× stand-in with the CHECKSUM consumer (min of 3; count() had
+    # been letting Catalyst prune the de-windowed agg/join-back out of
+    # the priced plan — PLANS.md round-11) --
+    "dedup_exact": _d(
+        "linear",
+        "r10 plan: canonical id = groupBy(fingerprint).agg(min) + "
+        "join-back, no per-fingerprint window; r11 10× re-sweep "
+        "(checksum-consumed): 1.13 -> 1.15 s for 10× rows — flat here "
+        "because the md5 groupBy is scan-dominated; hot-fingerprint "
+        "straggler structurally gone (5M-copies fixture win, PLANS.md "
+        "round-10)",
+    ),
+    "dedup_representatives": _d(
+        "linear",
+        "r10 plan: per-cluster argmax = mergeable max_by(doc_id, "
+        "struct(quality, -doc_id)) riding the components consumer; r11 "
+        "10× re-sweep (checksum): 7.15 -> 11.17 s (1.56×) while the "
+        "replica's replication lifts membership output 477 -> 50k rows "
+        "(~105×) — sub-linear in output, no rank window",
+    ),
+    "group_sample": _d(
+        "flat",
+        "r10 plan: salted two-level tournament (rank within (source, "
+        "doc_id%64), re-rank ≤64k survivors) — output is k·|sources| "
+        "regardless of corpus size; r11 10× re-sweep (checksum): "
+        "0.42 -> 0.44 s, flat, with the 5.5M-one-source adversarial win "
+        "recorded in PLANS.md round-10",
+    ),
+    "training_order": _d(
+        "linear",
+        "r10 plan: RANGE-bucketed interleave (bucket monotone in key -> "
+        "bucket-major IS global order, 4096-way parallel, no global "
+        "sort); r11 10× re-sweep (checksum): 0.47 -> 0.53 s (1.13×) for "
+        "10× rows",
+    ),
     "exists_probe": _d(
         "flat", "same pushed point-probe shape as point_lookup, LIMIT 1"
     ),
@@ -228,10 +264,10 @@ _LINEAR = [
     "cheapest_supplier_per_part", "cluster_balanced_sample",
     "cluster_medoids", "cluster_outliers", "cluster_profile",
     "conversion_lag", "corpus_drift", "cumulative_revenue",
-    "dedup_components", "dedup_components_incremental", "dedup_exact",
+    "dedup_components", "dedup_components_incremental",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash", "dedup_jaccard", "dedup_minhash",
-    "dedup_representatives", "dedup_segments", "dedup_simhash",
+    "dedup_segments", "dedup_simhash",
     "dedup_snm", "dedup_spans", "degree_stats", "distinct_rollup",
     "doc_chunks", "doc_fingerprint", "domain_stats", "dormant_customers",
     "dsir_weights", "edge_counts_by_type", "embedding_norms",
@@ -240,7 +276,7 @@ _LINEAR = [
     "events_json", "events_ohlc", "events_pivot", "events_quantiles",
     "events_rollup_serve", "events_unpivot", "forecast_revenue",
     "frame_sample", "frequent_tokens", "funnel_counts",
-    "fuzzy_search_indel", "fuzzy_search_lev", "gap_fill", "group_sample",
+    "fuzzy_search_indel", "fuzzy_search_lev", "gap_fill",
     "holdout_split", "image_meta", "image_resize_plan", "ingest_students",
     "integrity_check", "interests_transformed", "interval_join",
     "ivf_search", "k_anonymity", "knn_anchor", "knn_join", "lang_id",
@@ -260,7 +296,7 @@ _LINEAR = [
     "temperature_sample", "temporal_join", "tfidf_top_terms", "token_cms",
     "token_stats", "top_acctbal", "top_parts_by_revenue",
     "top_parts_per_nation", "top_return_customers", "top_supplier",
-    "training_filter", "training_order", "triangle_counts",
+    "training_filter", "triangle_counts",
     "unigram_logprob", "user_erasure", "user_profile", "value_histogram",
     "volume_shipping", "weighted_sample", "winnowing_fingerprint",
 ]
