@@ -1004,27 +1004,101 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
 """
 
 
-def write_minhash_store(
-    docs: DataFrame,
-    path: str,
-    width: int = SHINGLE_WIDTH,
-    max_df: int = MAX_TOKEN_DF,
-    mode: str = "overwrite",
-) -> None:
-    """Persist the MinHash state for ``docs``: ``sigs/`` (doc_id, h0..h15)
-    and ``buckets/`` (band_idx, band_sig, doc_id) partitioned by band_idx.
+MINHASH_STORE_META = "_minhash_store_meta.json"
+_MINHASH_TABLES = ("sigs", "buckets")
 
-    ``mode="append"`` is the incremental ingest path: a new batch's rows
-    append without rewriting history (both tables are append-only by
-    construction — signatures never change once computed).
-    """
-    th = prune_hot_tokens(doc_shingles(docs, width), max_df).select(
-        "doc_id", F.xxhash64("tok").alias("h")
-    )
-    sigs = minhash_signatures(th).localCheckpoint(eager=False)
-    sigs.write.mode(mode).parquet(f"{path}/sigs")
+
+def _minhash_store_meta(path: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path, MINHASH_STORE_META)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_minhash_store_meta(path: str, meta: dict) -> None:
+    """Atomic sidecar replace — the meta write IS the append's commit
+    point (same mini-commit-log protocol as the gram store)."""
+    import json
+    import os
+
+    tmp = os.path.join(path, MINHASH_STORE_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, MINHASH_STORE_META))
+
+
+def _validate_minhash_store(path: str, meta: dict | None) -> None:
+    """Crash-consistency gate before every probe/append: a half-committed
+    append (sigs landed, buckets did not — or either without its
+    ``_COMMITTED`` marker) would make the probe silently MISS the batch
+    (bucket join finds no rows) or emit duplicate pairs after a blind
+    retry; detection + ``repair_minhash_store`` replaces both failure
+    modes. Stores with no sidecar (pre-meta flat layout) probe as-is."""
+    import os
+
+    if meta is None:
+        return
+    active = set(meta["active"])
+    for table in _MINHASH_TABLES:
+        dirs = _gram_store_generation_dirs(os.path.join(path, table))
+        if set(dirs) != active:
+            raise ValueError(
+                f"minhash store at {path} is data/meta inconsistent: "
+                f"{table}/ holds generations {sorted(dirs)} != active "
+                f"{sorted(active)} (crashed append) — run "
+                f"repair_minhash_store()"
+            )
+        missing = [
+            g
+            for g, d in dirs.items()
+            if not os.path.exists(os.path.join(d, _GEN_COMMITTED))
+        ]
+        if missing:
+            raise ValueError(
+                f"minhash store at {path} has active {table} generations "
+                f"without a {_GEN_COMMITTED} marker (partial write): "
+                f"{sorted(missing)} — rebuild or re-append them after "
+                f"repair_minhash_store()"
+            )
+
+
+def repair_minhash_store(path: str) -> list[str]:
+    """Mechanical recovery for a crashed append: the transaction commits
+    at the meta write, so any generation dir (in EITHER table) whose id
+    is not in ``active`` is an uncommitted orphan — delete it; the batch
+    id never entered the replay ledger, so the caller's retry is
+    accepted. Returns the actions taken (empty = already consistent)."""
+    import os
+    import shutil
+
+    meta = _minhash_store_meta(path)
+    if meta is None:
+        raise ValueError(
+            f"no {MINHASH_STORE_META} sidecar at {path} — pre-meta stores "
+            f"carry no ledger to repair against; rebuild with "
+            f"write_minhash_store()"
+        )
+    actions: list[str] = []
+    active = set(meta["active"])
+    for table in _MINHASH_TABLES:
+        for gen, d in _gram_store_generation_dirs(
+            os.path.join(path, table)
+        ).items():
+            if gen not in active:
+                shutil.rmtree(d)
+                actions.append(f"removed uncommitted {table}/generation={gen}")
+    return actions
+
+
+def _band_sig_expr() -> "F.Column":
+    """The banded-signature array shared by store writes and probes —
+    bucketing is only meaningful if both sides band identically."""
     n_bands = N_HASHES // BAND_SIZE
-    bands = F.array(
+    return F.array(
         *[
             F.xxhash64(
                 F.concat_ws(
@@ -1038,12 +1112,116 @@ def write_minhash_store(
             for band in range(n_bands)
         ]
     )
-    (
-        sigs.select("doc_id", F.posexplode(bands).alias("band_idx", "band_sig"))
-        .write.mode(mode)
-        .partitionBy("band_idx")
-        .parquet(f"{path}/buckets")
+
+
+def write_minhash_store(
+    docs: DataFrame,
+    path: str,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+    mode: str = "overwrite",
+    generation: str = "g0",
+) -> None:
+    """Persist the MinHash state for ``docs``: ``sigs/`` (doc_id, h0..h15)
+    and ``buckets/`` (band_idx, band_sig, doc_id), each laid out as one
+    ``generation=<id>/`` partition directory per ingest batch.
+
+    ``mode="append"`` is the incremental ingest path: a new batch lands
+    as a NEW generation without rewriting history (signatures never
+    change once computed; generations hold disjoint doc_ids).
+
+    Crash consistency (the gram store's mini commit log, VERDICT r10
+    #5, applied to the second persisted store): both tables' generation
+    data commits first, then a ``_COMMITTED`` marker in each dir, and
+    the ATOMIC ``_minhash_store_meta.json`` replace (replay ledger +
+    ``active`` set + the signature parameters) is the commit point. The
+    half-committed-append hazard this closes is SILENT: sigs landed but
+    buckets didn't → the probe simply never finds the batch's bucket
+    rows; a blind retry of the old both-tables append → duplicate sig
+    rows → duplicate candidate pairs. Probes/appends validate layout
+    and parameters (a probe at a different shingle width / band shape
+    would miss every bucket); ``repair_minhash_store`` deletes orphan
+    generations so the caller's retry is accepted. Appending to a store
+    with no sidecar raises (a pre-meta flat layout would mix root-level
+    parquet with partition dirs and forget the replay ledger)."""
+    import os
+    import shutil
+
+    meta = _minhash_store_meta(path)
+    if mode == "append":
+        if meta is None:
+            sigs_dir = os.path.join(path, "sigs")
+            root_parquet = [
+                p
+                for p in (os.listdir(sigs_dir) if os.path.isdir(sigs_dir) else [])
+                if p.endswith(".parquet")
+            ]
+            if root_parquet:
+                raise ValueError(
+                    f"minhash store at {path} is a pre-meta flat layout "
+                    f"(root-level parquet in sigs/, no {MINHASH_STORE_META}); "
+                    f"appending generation dirs beside it would produce a "
+                    f"mixed layout Spark rejects — rebuild with "
+                    f"mode='overwrite'"
+                )
+            raise ValueError(
+                f"no minhash store sidecar at {path} — cold-start with "
+                f"write_minhash_store(mode='overwrite') before appending"
+            )
+        for param, val in (
+            ("width", width),
+            ("max_df", max_df),
+            ("n_hashes", N_HASHES),
+            ("band_size", BAND_SIZE),
+        ):
+            if meta[param] != val:
+                raise ValueError(
+                    f"minhash store at {path} was built with "
+                    f"{param}={meta[param]}, append requested {param}={val}"
+                )
+        if generation in meta["generations"]:
+            raise ValueError(
+                f"generation {generation!r} already folded into the minhash "
+                f"store at {path} (replayed/retried append would duplicate "
+                f"signature and bucket rows)"
+            )
+        _validate_minhash_store(path, meta)
+    if mode == "overwrite":
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        meta = None
+    th = prune_hot_tokens(doc_shingles(docs, width), max_df).select(
+        "doc_id", F.xxhash64("tok").alias("h")
     )
+    sigs = minhash_signatures(th).localCheckpoint(eager=False)
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs/generation={generation}")
+    (
+        sigs.select(
+            "doc_id", F.posexplode(_band_sig_expr()).alias("band_idx", "band_sig")
+        )
+        .write.mode("overwrite")
+        .partitionBy("band_idx")
+        .parquet(f"{path}/buckets/generation={generation}")
+    )
+    for table in _MINHASH_TABLES:
+        with open(
+            os.path.join(path, table, f"generation={generation}", _GEN_COMMITTED),
+            "w",
+        ):
+            pass
+    if meta is None:
+        meta = {
+            "width": width,
+            "max_df": max_df,
+            "n_hashes": N_HASHES,
+            "band_size": BAND_SIZE,
+            "hash": "xxhash64",
+            "generations": [],
+            "active": [],
+        }
+    meta["generations"] = meta["generations"] + [generation]
+    meta["active"] = meta["active"] + [generation]
+    _write_minhash_store_meta(path, meta)
 
 
 def probe_minhash_store(
@@ -1063,29 +1241,35 @@ def probe_minhash_store(
     Jaccard estimator), so history cost is one read of the candidate
     signature rows. est_jaccard quantizes to k/N_HASHES; the pytest
     contract pins recall against the exact cross-split pairs.
+
+    Probes validate the store's ``_minhash_store_meta.json``: a
+    width/max_df/banding mismatch raises (the probe's buckets would
+    silently miss every stored bucket otherwise), as does crash residue
+    (``repair_minhash_store`` is the named remedy); a store with no
+    sidecar (pre-meta flat layout) is probed as-is.
     """
+    meta = _minhash_store_meta(path)
+    _validate_minhash_store(path, meta)
+    if meta is not None:
+        for param, val in (
+            ("width", width),
+            ("max_df", max_df),
+            ("n_hashes", N_HASHES),
+            ("band_size", BAND_SIZE),
+        ):
+            if meta[param] != val:
+                raise ValueError(
+                    f"minhash store at {path} was built with "
+                    f"{param}={meta[param]}, probe requested {param}={val} — "
+                    f"a cross-parameter probe silently misses every bucket"
+                )
     th = prune_hot_tokens(doc_shingles(new_docs, width), max_df).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
     sigs = minhash_signatures(th).localCheckpoint(eager=False)
-    n_bands = N_HASHES // BAND_SIZE
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{band * BAND_SIZE + i}").cast("string")
-                        for i in range(BAND_SIZE)
-                    ],
-                )
-            )
-            for band in range(n_bands)
-        ]
-    )
     new_buckets = sigs.select(
         F.col("doc_id").alias("new_id"),
-        F.posexplode(bands).alias("band_idx", "band_sig"),
+        F.posexplode(_band_sig_expr()).alias("band_idx", "band_sig"),
     )
     stored = spark.read.parquet(f"{path}/buckets").select(
         F.col("doc_id").alias("hist_id"), "band_idx", "band_sig"

@@ -335,9 +335,15 @@ def run_curation_pipeline(
         .collect()
     }
 
+    # minhash store: same cold-start-once / append-per-batch contract as
+    # the gram store below (r11 — both persisted stores now share the
+    # commit-log protocol and replay ledger)
+    from graphdb_neo4j_spark.llmdata.dedup import _minhash_store_meta
+
     store = f"{out_base}/minhash_store"
-    write_minhash_store(hist, store)
-    write_minhash_store(curated, store, mode="append")
+    if _minhash_store_meta(store) is None:
+        write_minhash_store(hist, store, generation="history")
+    write_minhash_store(curated, store, mode="append", generation=batch_id)
     # fold the CLEANED kept batch's grams in as the caller's stamped
     # generation: the next batch's span probe sums history + every prior
     # batch without re-reading any text (a replay of this batch_id

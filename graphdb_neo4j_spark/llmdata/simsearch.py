@@ -659,7 +659,16 @@ def write_ann_index(emb: DataFrame, path: str, mode: str = "overwrite") -> None:
     (``PartitionFilters`` in the probe plan, pytest-pinned). A sidecar
     ``_ann_config.json`` records (planes, tables, seed, dim) so probes
     can't silently hash against a different geometry than the index
-    stores."""
+    stores.
+
+    Crash consistency (r11 note): unlike the gram/minhash stores
+    (``llmdata/dedup.py``), this index needs NO commit-log machinery —
+    a retried append only duplicates (vec_id, embedding) rows, which
+    ``probe_ann_index``'s ``dropDuplicates(["vec_id"])`` makes
+    value-invisible, and a torn append leaves some vectors absent from
+    some tables, which is an ordinary recall dip the multi-table design
+    already tolerates (the stores, by contrast, SUM dfs — duplicates
+    corrupt counts)."""
     import json
 
     ann_bucket_index(emb).write.mode(mode).partitionBy(

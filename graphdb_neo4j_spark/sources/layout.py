@@ -140,6 +140,9 @@ def read_events_partitioned(spark, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_COMPACT_MANIFEST = "_compact_manifest.json"
+
+
 def compact_partition(spark, path: str, day: str, target_files: int = 1) -> int:
     """Rewrite ONE day partition into ``target_files`` ts-sorted files;
     returns the file count before compaction.
@@ -147,18 +150,39 @@ def compact_partition(spark, path: str, day: str, target_files: int = 1) -> int:
     Partition-scoped on purpose: compaction must not touch live ingest on
     other days, and rewriting a bounded slice keeps the operation O(day),
     not O(table) — run it behind the watermark where the partition is
-    closed. The rewrite stages into ``_compact_tmp`` inside the partition
-    directory and swaps in atomically-enough for a single-writer batch
-    context (a table format's commit log is the real fix at scale;
-    SURVEY.md §7.4-H1 covers that seam).
+    closed.
+
+    Crash consistency (r11, the gram-store protocol applied here): the
+    rewrite stages into ``_compact_tmp`` (underscore — invisible to
+    parquet discovery), then an atomically-replaced
+    ``_compact_manifest.json`` records the exact old files to delete and
+    the staged→final renames — the point of no return — and only then
+    are new files moved in and old files removed. A crash before the
+    manifest leaves the partition untouched (stale tmp is swept on the
+    next call); a crash after it is rolled FORWARD deterministically by
+    :func:`repair_partition_compaction` (every step is idempotent
+    against the manifest). A new compaction refuses to run over an
+    unfinished one instead of guessing. A table format's commit log is
+    still the real fix at scale (SURVEY.md §7.4-H1); this is the
+    single-writer stand-in.
     """
     import glob
+    import json
     import os
     import shutil
 
     part_dir = f"{path}/d={day}"
-    before = len(glob.glob(f"{part_dir}/*.parquet"))
+    manifest_p = f"{part_dir}/{_COMPACT_MANIFEST}"
+    if os.path.exists(manifest_p):
+        raise ValueError(
+            f"unfinished compaction at {part_dir} ({_COMPACT_MANIFEST} "
+            f"present) — run repair_partition_compaction() first"
+        )
     tmp = f"{part_dir}/_compact_tmp"
+    if os.path.exists(tmp):  # pre-manifest crash residue: data untouched
+        shutil.rmtree(tmp)
+    old_files = sorted(glob.glob(f"{part_dir}/*.parquet"))
+    before = len(old_files)
     (
         spark.read.parquet(part_dir)
         .repartition(target_files)
@@ -166,9 +190,78 @@ def compact_partition(spark, path: str, day: str, target_files: int = 1) -> int:
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    for f in glob.glob(f"{part_dir}/*.parquet"):
+    # epoch the output names: with write-new-then-delete ordering, a
+    # RE-compaction's targets must never collide with the previous
+    # compaction's old files (the delete step would eat the new file)
+    import re
+
+    epochs = [
+        int(m.group(1))
+        for f in old_files
+        for m in [re.match(r"compacted-(\d+)-\d+\.parquet$", os.path.basename(f))]
+        if m
+    ]
+    epoch = (max(epochs) + 1) if epochs else 0
+    moves = [
+        (f, f"{part_dir}/compacted-{epoch:03d}-{i:05d}.parquet")
+        for i, f in enumerate(sorted(glob.glob(f"{tmp}/*.parquet")))
+    ]
+    manifest = {
+        "old_files": [os.path.basename(f) for f in old_files],
+        "moves": [[os.path.basename(s), os.path.basename(d)] for s, d in moves],
+    }
+    mtmp = manifest_p + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(mtmp, manifest_p)  # point of no return: roll forward from here
+    for src, dst in moves:
+        shutil.move(src, dst)
+    for f in old_files:
         os.remove(f)
-    for i, f in enumerate(sorted(glob.glob(f"{tmp}/*.parquet"))):
-        shutil.move(f, f"{part_dir}/compacted-{i:05d}.parquet")
     shutil.rmtree(tmp)
+    os.remove(manifest_p)
     return before
+
+
+def repair_partition_compaction(path: str, day: str) -> list[str]:
+    """Roll an interrupted :func:`compact_partition` forward from its
+    manifest: finish any staged→final moves whose source still exists,
+    delete any listed old files still present, then clear the staging
+    dir and the manifest. Idempotent; returns the actions taken (empty =
+    no unfinished compaction)."""
+    import json
+    import os
+    import shutil
+
+    part_dir = f"{path}/d={day}"
+    manifest_p = f"{part_dir}/{_COMPACT_MANIFEST}"
+    actions: list[str] = []
+    tmp = f"{part_dir}/_compact_tmp"
+    if not os.path.exists(manifest_p):
+        if os.path.exists(tmp):  # pre-manifest crash: partition untouched
+            shutil.rmtree(tmp)
+            actions.append("removed pre-manifest _compact_tmp")
+        return actions
+    with open(manifest_p) as f:
+        manifest = json.load(f)
+    for src, dst in manifest["moves"]:
+        src_p, dst_p = f"{tmp}/{src}", f"{part_dir}/{dst}"
+        if os.path.exists(src_p):
+            shutil.move(src_p, dst_p)
+            actions.append(f"completed move {dst}")
+        elif not os.path.exists(dst_p):
+            raise ValueError(
+                f"compaction at {part_dir} is unrecoverable: staged file "
+                f"{src} is gone but final {dst} is absent — restore from "
+                f"upstream"
+            )
+    for name in manifest["old_files"]:
+        p = f"{part_dir}/{name}"
+        if os.path.exists(p):
+            os.remove(p)
+            actions.append(f"removed old {name}")
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.remove(manifest_p)
+    actions.append("cleared manifest")
+    return actions

@@ -61,11 +61,11 @@ def test_minhash_store_append_is_incremental(spark, sf_correct, tmp_path):
     gen2 = hist.filter(F.col("doc_id") % 4 == 2)
     store = str(tmp_path / "store")
 
-    dedup.write_minhash_store(gen1, store)
+    dedup.write_minhash_store(gen1, store, generation="g1")
     sigs_before = {
         tuple(r) for r in spark.read.parquet(f"{store}/sigs").collect()
     }
-    dedup.write_minhash_store(gen2, store, mode="append")
+    dedup.write_minhash_store(gen2, store, mode="append", generation="g2")
     sigs_after = {tuple(r) for r in spark.read.parquet(f"{store}/sigs").collect()}
     assert sigs_before < sigs_after  # old rows unchanged, new rows added
 
@@ -322,3 +322,71 @@ def test_gram_store_crash_detection_and_repair(spark, sf_correct, tmp_path):
 
     # repair on a healthy store is a no-op
     assert dedup.repair_gram_store(store) == []
+
+
+def test_minhash_store_crash_detection_and_repair(spark, sf_correct, tmp_path):
+    """The minhash store shares the gram store's commit-log protocol
+    (r11): a half-committed append — sigs landed, buckets did not, or
+    either table without its marker — must be DETECTED by the next
+    probe/append (the old behavior was a silent probe miss, or duplicate
+    candidate pairs after a blind retry) and healed by
+    repair_minhash_store; parameter-mismatched probes and appends raise;
+    replayed generation ids raise."""
+    import os
+    import shutil
+
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    hist, batch = dedup.split_history_batch(docs)
+    gen1 = hist.filter(F.col("doc_id") % 4 == 0)
+    gen2 = hist.filter(F.col("doc_id") % 4 == 2)
+
+    store = str(tmp_path / "mstore")
+    dedup.write_minhash_store(gen1, store, generation="g1")
+    dedup.write_minhash_store(gen2, store, mode="append", generation="g2")
+    pairs = {
+        (r.hist_id, r.new_id)
+        for r in dedup.probe_minhash_store(spark, store, batch).collect()
+    }
+
+    # replay + parameter guards
+    with pytest.raises(ValueError, match="already folded"):
+        dedup.write_minhash_store(gen2, store, mode="append", generation="g2")
+    with pytest.raises(ValueError, match="width"):
+        dedup.probe_minhash_store(spark, store, batch, width=3)
+    with pytest.raises(ValueError, match="cold-start"):
+        dedup.write_minhash_store(
+            gen1, str(tmp_path / "absent"), mode="append", generation="g1"
+        )
+
+    # crash point: append wrote sigs (+ marker) but died before buckets —
+    # simulate by cloning g2's sigs dir under a new id (meta not updated)
+    shutil.copytree(
+        f"{store}/sigs/generation=g2", f"{store}/sigs/generation=g3"
+    )
+    with pytest.raises(ValueError, match="repair_minhash_store"):
+        dedup.probe_minhash_store(spark, store, batch)
+    with pytest.raises(ValueError, match="repair_minhash_store"):
+        dedup.write_minhash_store(gen1, store, mode="append", generation="g4")
+    actions = dedup.repair_minhash_store(store)
+    assert any("sigs/generation=g3" in a for a in actions)
+
+    # crash point: buckets dir exists but has no _COMMITTED marker
+    os.makedirs(f"{store}/buckets/generation=g5")
+    os.makedirs(f"{store}/sigs/generation=g5")
+    with pytest.raises(ValueError, match="repair_minhash_store"):
+        dedup.probe_minhash_store(spark, store, batch)
+    dedup.repair_minhash_store(store)
+    assert not os.path.exists(f"{store}/buckets/generation=g5")
+
+    # after repair the probe is byte-identical to the pre-crash answer
+    again = {
+        (r.hist_id, r.new_id)
+        for r in dedup.probe_minhash_store(spark, store, batch).collect()
+    }
+    assert again == pairs
+    assert dedup.repair_minhash_store(store) == []
+    meta = dedup._minhash_store_meta(store)
+    assert meta["generations"] == ["g1", "g2"]
+    assert meta["active"] == ["g1", "g2"]

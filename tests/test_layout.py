@@ -147,3 +147,114 @@ def test_compaction_preserves_rows_and_reduces_files(spark, sf_dir, tmp_path):
         layout.read_events_partitioned(spark, path).filter(F.col("d") != target).count()
         == other
     )  # untouched partitions stay untouched
+
+    # re-compaction must not collide with the previous epoch's output
+    # (write-new-then-delete would otherwise delete the new file)
+    layout.write_events_partitioned(
+        ev.filter(F.pmod("event_id", F.lit(4)) == 0), path, mode="append"
+    )
+    layout.compact_partition(spark, path, target)
+    assert {
+        tuple(r)
+        for r in layout.read_events_partitioned(spark, path)
+        .filter(F.col("d") == target)
+        .drop("d")
+        .collect()
+    } >= before_rows
+
+
+def test_compaction_crash_rolls_forward(spark, sf_dir, tmp_path):
+    """Kill-between-steps drill for compact_partition (r11): once the
+    manifest lands, every crash state rolls FORWARD via
+    repair_partition_compaction to the exact compacted result; before
+    the manifest, the partition is untouched and residue is swept."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    ev = load_events(spark, sf_dir)
+    path = str(tmp_path / "ingest")
+    for i in range(4):
+        layout.write_events_partitioned(
+            ev.filter(F.pmod("event_id", F.lit(4)) == i), path, mode="append"
+        )
+    target = sorted(
+        str(r["d"])
+        for r in layout.read_events_partitioned(spark, path).select("d").distinct().collect()
+    )[0]
+    part_dir = f"{path}/d={target}"
+    before_rows = {
+        tuple(r)
+        for r in layout.read_events_partitioned(spark, path)
+        .filter(F.col("d") == target)
+        .drop("d")
+        .collect()
+    }
+
+    # crash point A: staged tmp, no manifest — partition untouched;
+    # repair (or the next compaction) sweeps the residue
+    os.makedirs(f"{part_dir}/_compact_tmp")
+    actions = layout.repair_partition_compaction(path, target)
+    assert actions == ["removed pre-manifest _compact_tmp"]
+
+    # crash point B: manifest written, nothing else done — simulate by
+    # running the real compaction, then reverting to the on-manifest
+    # state (move staged files back out, restore the manifest)
+    old_files = sorted(os.path.basename(f) for f in glob.glob(f"{part_dir}/*.parquet"))
+    layout.compact_partition(spark, path, target)
+    new_files = glob.glob(f"{part_dir}/compacted-*.parquet")
+    assert old_files and new_files
+    os.makedirs(f"{part_dir}/_compact_tmp")
+    moves = []
+    for f in new_files:
+        base = os.path.basename(f)
+        shutil.move(f, f"{part_dir}/_compact_tmp/{base}")
+        moves.append([base, base])
+    # the "old files" of this simulated crash are gone already (the real
+    # compaction removed them) — roll-forward must tolerate that, so list
+    # one of them anyway plus the staged moves
+    with open(f"{part_dir}/{layout._COMPACT_MANIFEST}", "w") as f:
+        json.dump({"old_files": old_files, "moves": moves}, f)
+
+    # a new compaction refuses to run over the unfinished one
+    import pytest
+
+    with pytest.raises(ValueError, match="repair_partition_compaction"):
+        layout.compact_partition(spark, path, target)
+
+    actions = layout.repair_partition_compaction(path, target)
+    assert any("completed move" in a for a in actions)
+    assert not os.path.exists(f"{part_dir}/{layout._COMPACT_MANIFEST}")
+    after_rows = {
+        tuple(r)
+        for r in layout.read_events_partitioned(spark, path)
+        .filter(F.col("d") == target)
+        .drop("d")
+        .collect()
+    }
+    assert after_rows == before_rows
+
+    # crash point C: some moves done, some staged — partial roll-forward
+    new_files = sorted(glob.glob(f"{part_dir}/compacted-*.parquet"))
+    os.makedirs(f"{part_dir}/_compact_tmp", exist_ok=True)
+    base0 = os.path.basename(new_files[0])
+    shutil.move(new_files[0], f"{part_dir}/_compact_tmp/{base0}")
+    with open(f"{part_dir}/{layout._COMPACT_MANIFEST}", "w") as f:
+        json.dump(
+            {
+                "old_files": [],
+                "moves": [[os.path.basename(p), os.path.basename(p)] for p in new_files],
+            },
+            f,
+        )
+    layout.repair_partition_compaction(path, target)
+    assert {
+        tuple(r)
+        for r in layout.read_events_partitioned(spark, path)
+        .filter(F.col("d") == target)
+        .drop("d")
+        .collect()
+    } == before_rows
+    # idempotent / no-op on a healthy partition
+    assert layout.repair_partition_compaction(path, target) == []
