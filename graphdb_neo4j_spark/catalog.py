@@ -544,6 +544,9 @@ register(
     bench=True,
 )
 register("dedup_incremental_minhash", dedup.q_dedup_incremental_minhash, None)
+# r11 debut: per-batch-doc memorization rate vs history at gram
+# granularity — the profile read before span removal / decontamination
+register("gram_novelty", dedup.q_gram_novelty, dedup.gram_novelty_sql())
 register(
     "top_return_customers",
     olap.q_top_return_customers,
@@ -1346,15 +1349,20 @@ if _missing:
 
 # =============================================================================
 # R11 WINDOW — the 50 names the driver's correctness harness records THIS
-# round: the staged R11 plan executed VERBATIM, steady-state
-# oldest-green-first. No registration materially changed in r11 — the
-# round's code work was bench-harness instrumentation (checksum
-# consumer, canary-normalized ratios), gram-store crash-recovery
-# machinery (non-registered incremental paths, pytest-pinned), and the
-# rows-only ledger — so the changed-first block is EMPTY this round and
-# nothing is displaced to r12. (The r10 outlier adjudication re-measured
-# funnel_counts / bigram_logprob / knn_anchor without changing them —
-# PLANS.md round-11.)
+# round: the staged R11 plan with the changed-first rule applied.
+# Changed-first block (2 slots): the r11 DEBUT ``gram_novelty``
+# (per-batch-doc memorization rate vs history — needs its FIRST driver
+# row), and ``degree_stats`` — materially changed in r11
+# (shares_interest degree de-count_distinct'd into the a<b-halved
+# distinct-pair explode, −28% min; PLANS.md round-11) — which is
+# ALREADY in this window via the displaced-from-r10 block, so only the
+# debut displaces a staged name (``sessionize``, the newest, to the
+# front of the r12 plan). The rest of the round's code work was
+# bench-harness instrumentation (checksum consumer, canary-normalized
+# ratios), store crash-recovery machinery (non-registered incremental
+# paths, pytest-pinned), and the rows-only ledger. (The r10 outlier
+# adjudication re-measured funnel_counts / bigram_logprob / knn_anchor
+# without changing them — PLANS.md round-11.)
 # Oldest-green-first: the 7 names R10's changed-first swaps displaced,
 # then every query whose last driver row is r7, in catalog source order
 # (39 names — the reference-surface families re-checked in r7's
@@ -1364,6 +1372,8 @@ if _missing:
 # =============================================================================
 
 R11_WINDOW = [
+    # r11 DEBUT (first driver row)
+    "gram_novelty",
     # displaced from the staged r10 list by the r10 changed-first swaps (7)
     "recommend_people", "product_profit", "market_share",
     "knn_anchor", "degree_stats", "bfs_distances", "pricing_summary",
@@ -1380,10 +1390,11 @@ R11_WINDOW = [
     "bpe_encode", "cluster_profile", "cluster_balanced_sample",
     "cluster_outliers", "distinct_rollup", "table_profile",
     "k_anonymity", "user_erasure",
-    # oldest r8 rows, source order (4; the rest open the r12 plan —
-    # asof_join / events_rollup_serve / stream_hourly dropped by the
-    # late-r10 changed-first displacements)
-    "events_hourly", "events_json", "events_cube", "sessionize",
+    # oldest r8 rows, source order (3; sessionize displaced to the r12
+    # plan by the gram_novelty debut — and the rest opened the r12 plan
+    # when asof_join / events_rollup_serve / stream_hourly were dropped
+    # by the late-r10 changed-first displacements)
+    "events_hourly", "events_json", "events_cube",
 ]
 
 if len(R11_WINDOW) != 50:
@@ -1416,8 +1427,9 @@ _PENDING.clear()
 # =============================================================================
 
 R12_WINDOW_PLAN = [
-    # displaced from the staged r11 plan by the late-r10 changed-first
-    # swaps (3)
+    # displaced from the staged r11 plan by the r11 gram_novelty debut (1)
+    # and the late-r10 changed-first swaps (3)
+    "sessionize",
     "asof_join", "events_rollup_serve", "stream_hourly",
     # last driver row r8, R8_WINDOW source order (38; stream_user_counts
     # re-checked r9, dedup_simhash / winnowing_fingerprint r10, and
@@ -1435,11 +1447,11 @@ R12_WINDOW_PLAN = [
     "stream_dedup", "stream_interval", "stream_transitions",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash",
-    # oldest r9 rows, R9_STEADY source order (9)
+    # oldest r9 rows, R9_STEADY source order (8; nation_revenue opens
+    # the r13 pool, displaced by the sessionize carry-over)
     "quality_classifier", "dedup_components_incremental",
     "quality_classifier_hashed", "quality_gate", "bigram_logprob",
     "corpus_drift", "events_anomaly", "shipping_priority",
-    "nation_revenue",
 ]
 
 if len(R12_WINDOW_PLAN) != 50:

@@ -2386,6 +2386,98 @@ def clean_batch_with_gram_store(
     return _cut_spans(batch_arrs, hits)
 
 
+# --- gram novelty (memorization rate vs history) ------------------------------
+
+
+def q_gram_novelty(
+    spark: SparkSession, sf_dir: str, width: int = SPAN_WIDTH
+) -> DataFrame:
+    """Per-BATCH-doc novelty vs HISTORY at ``width``-gram granularity:
+    (doc_id, n_grams, n_seen, novelty_rate) for every batch doc with at
+    least one gram — the memorization/leakage profile a curation
+    pipeline reads BEFORE deciding what span removal or decontamination
+    should do (a doc that is 95% history grams is boilerplate or a
+    paraphrase mosaic; span removal only catches verbatim runs, and the
+    contamination query only checks a benchmark set; r11 debut).
+
+    ``n_grams`` counts the doc's DISTINCT grams, ``n_seen`` those
+    already present anywhere in history (parity split: history = even
+    doc_ids, batch = odd — the repo's incremental contract),
+    ``novelty_rate`` = 1 − n_seen/n_grams.
+
+    Scale shape: both gram sets are mergeable distincts (map-side
+    partial); the probe join's HISTORY side is unique per gram (a
+    distinct set), so join multiplicity is ≤1 — hot grams are shuffle
+    volume only, AQE-splittable, never a blowup. The per-doc rollup is
+    doc-keyed. In production the history side is the persisted gram
+    store (``hist_df >= 1`` ≡ seen; hashed keys) probed without
+    re-reading history text — this registered form is its exact
+    string-gram twin, same relationship the span family's ``hashed``
+    flag documents.
+    """
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    hist, batch = split_history_batch(docs)
+
+    def gram_set(df: DataFrame) -> DataFrame:
+        arrs = df.select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+        ).filter(F.size("arr") >= width)
+        return arrs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(arr) - {width}),"
+                    f" i -> array_join(slice(arr, i + 1, {width}), ' '))"
+                )
+            ).alias("gram"),
+        ).distinct()
+
+    hist_grams = gram_set(hist).select("gram").distinct()
+    probed = gram_set(batch).join(
+        hist_grams.withColumn("seen", F.lit(1)), "gram", "left"
+    )
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce("seen", F.lit(0))).cast("long").alias("n_seen"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.coalesce("seen", F.lit(0))) / F.count("*"),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
+def gram_novelty_sql(width: int = SPAN_WIDTH) -> str:
+    return rf"""
+WITH arrs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents
+  WHERE array_length(regexp_split_to_array(trim(text), '\s+'), 1) >= {width}
+),
+bg AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(arr[i : i + {width} - 1], ' ') AS gram
+  FROM (SELECT doc_id, arr,
+               unnest(range(1, array_length(arr, 1) - {width} + 2)) AS i
+        FROM arrs WHERE doc_id % 2 = 1)
+),
+hg AS (
+  SELECT DISTINCT array_to_string(arr[i : i + {width} - 1], ' ') AS gram
+  FROM (SELECT arr,
+               unnest(range(1, array_length(arr, 1) - {width} + 2)) AS i
+        FROM arrs WHERE doc_id % 2 = 0)
+)
+SELECT b.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(COALESCE(SUM(CASE WHEN h.gram IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_seen,
+       ROUND(1.0 - CAST(COALESCE(SUM(CASE WHEN h.gram IS NOT NULL THEN 1 END), 0)
+                        AS DOUBLE) / COUNT(*), 6) AS novelty_rate
+FROM bg b LEFT JOIN hg h USING (gram)
+GROUP BY b.doc_id
+"""
+
+
 # --- sorted-neighborhood dedup (SNM) -----------------------------------------
 
 SNM_WINDOW = 3  # compare each doc with its w successors in sort order

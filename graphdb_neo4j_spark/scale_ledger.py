@@ -202,6 +202,14 @@ _EXPLICIT: dict[str, Disposition] = {
         "sort); r11 10× re-sweep (checksum): 0.47 -> 0.53 s (1.13×) for "
         "10× rows",
     ),
+    "gram_novelty": _d(
+        "linear",
+        "r11 debut: two mergeable gram distincts + a join whose history "
+        "side is unique per gram (multiplicity ≤1 — hot grams are "
+        "shuffle volume only) + a doc-keyed rollup; 10× sweep "
+        "(checksum): 1.19 -> 1.94 s (1.63×) for 10× rows/output; "
+        "production probes the persisted gram store (hist_df >= 1)",
+    ),
     "exists_probe": _d(
         "flat", "same pushed point-probe shape as point_lookup, LIMIT 1"
     ),

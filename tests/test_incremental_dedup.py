@@ -324,6 +324,35 @@ def test_gram_store_crash_detection_and_repair(spark, sf_correct, tmp_path):
     assert dedup.repair_gram_store(store) == []
 
 
+def test_gram_novelty_planted_fixture(spark, tmp_path):
+    """Planted memorization levels: a batch doc that verbatim-copies a
+    history doc scores novelty 0, an all-new doc scores 1, and a doc
+    whose first half is a history passage lands strictly between — with
+    exact n_grams/n_seen accounting at width=3."""
+    hist_text = "h1 h2 h3 h4 h5 h6 h7 h8"
+    rows = [
+        (0, hist_text, "en", "s", len(hist_text)),  # history (even id)
+        (1, hist_text, "en", "s", len(hist_text)),  # verbatim copy
+        (3, "n1 n2 n3 n4 n5 n6 n7 n8", "en", "s", 23),  # all new
+        (5, "h1 h2 h3 h4 x1 x2 x3 x4", "en", "s", 23),  # half memorized
+        (7, "t1 t2", "en", "s", 5),  # too short for one gram: excluded
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_seen"], r["novelty_rate"])
+        for r in dedup.q_gram_novelty(spark, str(tmp_path), width=3).collect()
+    }
+    assert set(out) == {1, 3, 5}  # batch docs with >= 1 gram only
+    assert out[1] == (6, 6, 0.0)
+    assert out[3] == (6, 0, 1.0)
+    # doc 5: grams starting at h1..x2 (6 of them); only 'h1 h2 h3' and
+    # 'h2 h3 h4' exist in history
+    assert out[5] == (6, 2, round(1 - 2 / 6, 6))
+
+
 def test_minhash_store_crash_detection_and_repair(spark, sf_correct, tmp_path):
     """The minhash store shares the gram store's commit-log protocol
     (r11): a half-committed append — sigs landed, buckets did not, or
