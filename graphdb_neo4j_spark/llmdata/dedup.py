@@ -2447,6 +2447,54 @@ def q_gram_novelty(
     )
 
 
+def gram_novelty_with_store(
+    spark: SparkSession, store: str, batch: DataFrame, width: int = SPAN_WIDTH
+) -> DataFrame:
+    """Production form of :func:`q_gram_novelty`: the history side is the
+    PERSISTED gram store — (xxhash64 gram, df) generations — probed
+    without re-reading any history text (``hist_df >= 1`` ≡ seen), so a
+    per-batch novelty profile costs one batch gram pass + a
+    store-keyed join. Same store validation as
+    :func:`clean_batch_with_gram_store` (width / crash-residue guards).
+    Keys are hashed, so this is the registered query's ``hashed`` twin —
+    pytest pins the two identical on the parity split (xxhash64
+    collisions across a corpus' gram set are the same accepted risk the
+    span family documents)."""
+    meta = _gram_store_meta(store)
+    _validate_gram_store(store, meta)
+    if meta is not None and meta["width"] != width:
+        raise ValueError(
+            f"gram store at {store} was built with width={meta['width']}, "
+            f"novelty probe requested width={width} — a cross-width probe "
+            f"silently misses every gram"
+        )
+    hist_grams = spark.read.parquet(store).select("gram").distinct()
+    arrs = batch.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("arr")
+    ).filter(F.size("arr") >= width)
+    grams = (
+        arrs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(arr) - {width}),"
+                    f" i -> array_join(slice(arr, i + 1, {width}), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .withColumn("gram", F.xxhash64("gram"))
+        .distinct()
+    )
+    probed = grams.join(hist_grams.withColumn("seen", F.lit(1)), "gram", "left")
+    return probed.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.coalesce("seen", F.lit(0))).cast("long").alias("n_seen"),
+        F.round(
+            F.lit(1.0) - F.sum(F.coalesce("seen", F.lit(0))) / F.count("*"), 6
+        ).alias("novelty_rate"),
+    )
+
+
 def gram_novelty_sql(width: int = SPAN_WIDTH) -> str:
     return rf"""
 WITH arrs AS (

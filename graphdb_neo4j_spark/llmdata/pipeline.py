@@ -183,6 +183,14 @@ class CurationReport:
     drift_new_token_rate: float
     split_counts: dict[str, int]  # train / eval over the kept docs
     span_removed_tokens: int  # history-owned passage tokens cut from kept docs
+    # gram-novelty profile of the kept batch vs the history gram store,
+    # measured BEFORE span removal / the batch's own generation lands
+    # (r11): mean novelty_rate over kept docs with >= 1 gram, and how
+    # many sit at/below the memorization threshold — the signal that a
+    # "new" batch is actually history paraphrase mosaics that per-doc
+    # near-dup and verbatim span removal both under-report
+    novelty_mean: float | None = None
+    memorized_docs: int = 0  # kept docs with novelty_rate <= threshold
 
     @property
     def dropped_docs(self) -> int:
@@ -210,7 +218,13 @@ def run_curation_pipeline(
        duplicate regardless of its quality score).
     3. quality gate    — ``q_quality_gate``: survivors keep only the top
        ``keep_frac`` by classifier score (budgeted, corpus-relative).
-    4. span removal    — ``clean_batch_with_gram_store``: duplicated
+    4. novelty profile — ``gram_novelty_with_store``: mean gram-novelty
+       of the kept batch vs the history store + count of docs at/below
+       the memorization threshold, measured BEFORE the batch's own
+       generation lands (paraphrase-mosaic batches under-report in both
+       the near-dup and verbatim-span channels; this is the catch-all
+       dial). Report-only: it gates nothing, it informs the operator.
+    4b. span removal   — ``clean_batch_with_gram_store``: duplicated
        ≥width-token passages that HISTORY already owns are cut from the
        kept batch (history holds every canonical copy; within-batch
        keep-one applies to history-absent grams). Probes the persisted
@@ -301,6 +315,24 @@ def run_curation_pipeline(
     gram_store = f"{out_base}/gram_store"
     if _gram_store_meta(gram_store) is None:
         write_gram_store(hist, gram_store, generation="history")
+    # novelty profile of the kept batch vs the store AS-OF history —
+    # before the batch's own generation lands (which would read as
+    # memorization of itself) and before span removal mutates the text.
+    # A 2-scalar aggregate over the per-doc novelty table (bounded).
+    from graphdb_neo4j_spark.llmdata.dedup import gram_novelty_with_store
+
+    MEMORIZED_NOVELTY_MAX = 0.2
+    nov = gram_novelty_with_store(spark, gram_store, kept_batch)
+    nov_row = nov.agg(
+        F.avg("novelty_rate").alias("m"),
+        F.sum(
+            (F.col("novelty_rate") <= MEMORIZED_NOVELTY_MAX).cast("long")
+        ).alias("k"),
+    ).collect()[0]
+    novelty_mean = (
+        round(float(nov_row["m"]), 6) if nov_row["m"] is not None else None
+    )
+    memorized_docs = int(nov_row["k"] or 0)
     clean_batch_with_gram_store(spark, gram_store, kept_batch).write.mode(
         "overwrite"
     ).parquet(f"{out_base}/span_removal.parquet")
@@ -362,4 +394,6 @@ def run_curation_pipeline(
         drift_new_token_rate=new_rate,
         split_counts=split_counts,
         span_removed_tokens=span_removed_tokens,
+        novelty_mean=novelty_mean,
+        memorized_docs=memorized_docs,
     )

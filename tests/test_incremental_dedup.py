@@ -353,6 +353,33 @@ def test_gram_novelty_planted_fixture(spark, tmp_path):
     assert out[5] == (6, 2, round(1 - 2 / 6, 6))
 
 
+def test_gram_novelty_store_twin_equals_registered(spark, sf_correct, tmp_path):
+    """The persisted-store novelty probe (hashed keys) must be IDENTICAL
+    to the registered string-gram query on the parity split — the same
+    hashed-twin contract the span family pins."""
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    hist, batch = dedup.split_history_batch(docs)
+    store = str(tmp_path / "gram_store")
+    dedup.write_gram_store(hist, store)
+
+    via_store = sorted(
+        map(
+            tuple,
+            dedup.gram_novelty_with_store(spark, store, batch).collect(),
+        )
+    )
+    registered = sorted(
+        map(tuple, dedup.q_gram_novelty(spark, sf_correct).collect())
+    )
+    assert via_store == registered
+    assert via_store  # fixture has batch docs with >= 1 gram
+    # width guard mirrors the clean probe's
+    import pytest
+
+    with pytest.raises(ValueError, match="width"):
+        dedup.gram_novelty_with_store(spark, store, batch, width=7)
+
+
 def test_minhash_store_crash_detection_and_repair(spark, sf_correct, tmp_path):
     """The minhash store shares the gram store's commit-log protocol
     (r11): a half-committed append — sigs landed, buckets did not, or
