@@ -547,6 +547,11 @@ register("dedup_incremental_minhash", dedup.q_dedup_incremental_minhash, None)
 # r11 debut: per-batch-doc memorization rate vs history at gram
 # granularity — the profile read before span removal / decontamination
 register("gram_novelty", dedup.q_gram_novelty, dedup.gram_novelty_sql())
+# r11 debut: cross-source duplication burden matrix — near-dup pairs
+# attributed to the unordered source pair of their endpoints
+register(
+    "dup_source_matrix", dedup.q_dup_source_matrix, dedup.dup_source_matrix_sql()
+)
 register(
     "top_return_customers",
     olap.q_top_return_customers,
@@ -1350,14 +1355,15 @@ if _missing:
 # =============================================================================
 # R11 WINDOW — the 50 names the driver's correctness harness records THIS
 # round: the staged R11 plan with the changed-first rule applied.
-# Changed-first block (2 slots): the r11 DEBUT ``gram_novelty``
-# (per-batch-doc memorization rate vs history — needs its FIRST driver
-# row), and ``degree_stats`` — materially changed in r11
-# (shares_interest degree de-count_distinct'd into the a<b-halved
-# distinct-pair explode, −28% min; PLANS.md round-11) — which is
+# Changed-first block (3 slots): the r11 DEBUTS ``gram_novelty``
+# (per-batch-doc memorization rate vs history) and
+# ``dup_source_matrix`` (cross-source duplication burden) — both need
+# their FIRST driver rows — and ``degree_stats``, materially changed in
+# r11 (shares_interest degree de-count_distinct'd into the a<b-halved
+# distinct-pair explode, −28% min; PLANS.md round-11), which is
 # ALREADY in this window via the displaced-from-r10 block, so only the
-# debut displaces a staged name (``sessionize``, the newest, to the
-# front of the r12 plan). The rest of the round's code work was
+# debuts displace staged names (``sessionize`` and ``events_cube``,
+# the newest, to the front of the r12 plan). The rest of the round's code work was
 # bench-harness instrumentation (checksum consumer, canary-normalized
 # ratios), store crash-recovery machinery (non-registered incremental
 # paths, pytest-pinned), and the rows-only ledger. (The r10 outlier
@@ -1367,13 +1373,14 @@ if _missing:
 # then every query whose last driver row is r7, in catalog source order
 # (39 names — the reference-surface families re-checked in r7's
 # regression block plus the r7 rows-only debuts), then the oldest r8
-# rows (source order; 4 fit). (Counts are narrative; the length/overlap
-# asserts below are authoritative.)
+# rows (source order; 3 fit after the debut displacement). (Counts are
+# narrative; the length/overlap asserts below are authoritative.)
 # =============================================================================
 
 R11_WINDOW = [
-    # r11 DEBUT (first driver row)
+    # r11 DEBUTS (first driver rows)
     "gram_novelty",
+    "dup_source_matrix",
     # displaced from the staged r10 list by the r10 changed-first swaps (7)
     "recommend_people", "product_profit", "market_share",
     "knn_anchor", "degree_stats", "bfs_distances", "pricing_summary",
@@ -1390,11 +1397,11 @@ R11_WINDOW = [
     "bpe_encode", "cluster_profile", "cluster_balanced_sample",
     "cluster_outliers", "distinct_rollup", "table_profile",
     "k_anonymity", "user_erasure",
-    # oldest r8 rows, source order (3; sessionize displaced to the r12
-    # plan by the gram_novelty debut — and the rest opened the r12 plan
-    # when asof_join / events_rollup_serve / stream_hourly were dropped
-    # by the late-r10 changed-first displacements)
-    "events_hourly", "events_json", "events_cube",
+    # oldest r8 rows, source order (2; sessionize / events_cube
+    # displaced to the r12 plan by the two debuts — and the rest opened
+    # the r12 plan when asof_join / events_rollup_serve / stream_hourly
+    # were dropped by the late-r10 changed-first displacements)
+    "events_hourly", "events_json",
 ]
 
 if len(R11_WINDOW) != 50:
@@ -1427,9 +1434,9 @@ _PENDING.clear()
 # =============================================================================
 
 R12_WINDOW_PLAN = [
-    # displaced from the staged r11 plan by the r11 gram_novelty debut (1)
-    # and the late-r10 changed-first swaps (3)
-    "sessionize",
+    # displaced from the staged r11 plan by the r11 debuts (2) and the
+    # late-r10 changed-first swaps (3)
+    "events_cube", "sessionize",
     "asof_join", "events_rollup_serve", "stream_hourly",
     # last driver row r8, R8_WINDOW source order (38; stream_user_counts
     # re-checked r9, dedup_simhash / winnowing_fingerprint r10, and
@@ -1447,11 +1454,11 @@ R12_WINDOW_PLAN = [
     "stream_dedup", "stream_interval", "stream_transitions",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash",
-    # oldest r9 rows, R9_STEADY source order (8; nation_revenue opens
-    # the r13 pool, displaced by the sessionize carry-over)
+    # oldest r9 rows, R9_STEADY source order (7; shipping_priority and
+    # nation_revenue open the r13 pool, displaced by the carry-overs)
     "quality_classifier", "dedup_components_incremental",
     "quality_classifier_hashed", "quality_gate", "bigram_logprob",
-    "corpus_drift", "events_anomaly", "shipping_priority",
+    "corpus_drift", "events_anomaly",
 ]
 
 if len(R12_WINDOW_PLAN) != 50:

@@ -317,6 +317,81 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
 """
 
 
+def q_dup_source_matrix(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> DataFrame:
+    """Cross-source duplication burden matrix (r11 debut):
+    (source_a, source_b, n_pairs) — near-dup pairs from
+    :func:`dedup_jaccard_pairs` attributed to the UNORDERED source pair
+    of their endpoints. The curation diagnostic that tells you WHERE the
+    duplication lives: a heavy diagonal cell means a source re-crawls
+    itself (dedup within the source's ingest), a heavy off-diagonal
+    means two feeds overlap (drop or down-weight one side); per-doc
+    dedup output can't answer that without this rollup.
+
+    Scale shape: the pair set is the bucketed/rep-compressed jaccard
+    machinery's output (never all-pairs); source attribution is two
+    equi-joins of that pair set against the (doc_id, source) projection
+    — the pair side is the small one and broadcasts at test sf, AQE
+    handles it at scale — and the rollup is ≤ |sources|² groups with
+    map-side partials. Canonical ordering by (least, greatest) keeps the
+    matrix upper-triangular and hash-stable.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup_jaccard_pairs(docs, threshold, width, max_df)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("a"), F.col("source").alias("sa")),
+            "a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("b"), F.col("source").alias("sb")),
+            "b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+def dup_source_matrix_sql(
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+) -> str:
+    return rf"""
+WITH {_shingle_toks_cte(width, max_df).strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS n_inter
+    FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+    GROUP BY t1.doc_id, t2.doc_id
+),
+pairs AS (
+    SELECT a, b FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.a
+JOIN documents db ON db.doc_id = pairs.b
+GROUP BY 1, 2
+"""
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 N_HASHES = 16

@@ -202,6 +202,14 @@ _EXPLICIT: dict[str, Disposition] = {
         "sort); r11 10× re-sweep (checksum): 0.47 -> 0.53 s (1.13×) for "
         "10× rows",
     ),
+    "dup_source_matrix": _d(
+        "linear",
+        "r11 debut: dedup_jaccard_pairs' bucketed/rep-compressed pair "
+        "set (never all-pairs) + two pair-side joins onto the "
+        "(doc_id, source) projection + a ≤|sources|² rollup; 10× sweep "
+        "(checksum): 3.27 -> 6.70 s (2.05×) for 10× rows — tracks the "
+        "jaccard pair machinery it rides",
+    ),
     "gram_novelty": _d(
         "linear",
         "r11 debut: two mergeable gram distincts + a join whose history "

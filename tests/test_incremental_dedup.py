@@ -353,6 +353,31 @@ def test_gram_novelty_planted_fixture(spark, tmp_path):
     assert out[5] == (6, 2, round(1 - 2 / 6, 6))
 
 
+def test_dup_source_matrix_planted_overlap(spark, tmp_path):
+    """Planted cross-source duplication: feed A and feed B share one
+    verbatim doc, feed A re-crawls one of its own — the matrix must
+    attribute exactly one (A, B) pair and one (A, A) pair, and sources
+    with no near-dups must not appear."""
+    dup = " ".join(f"d{i}" for i in range(30))
+    self_dup = " ".join(f"s{i}" for i in range(30))
+    rows = [
+        (0, dup, "en", "feedA", len(dup)),
+        (1, dup, "en", "feedB", len(dup)),
+        (2, self_dup, "en", "feedA", len(self_dup)),
+        (3, self_dup, "en", "feedA", len(self_dup)),
+        (4, " ".join(f"u{i}" for i in range(30)), "en", "feedC", 100),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in dedup.q_dup_source_matrix(spark, str(tmp_path)).collect()
+    }
+    assert out == {("feedA", "feedB"): 1, ("feedA", "feedA"): 1}
+
+
 def test_gram_novelty_store_twin_equals_registered(spark, sf_correct, tmp_path):
     """The persisted-store novelty probe (hashed keys) must be IDENTICAL
     to the registered string-gram query on the parity split — the same
