@@ -79,8 +79,18 @@ def _interest_degrees(pairs: DataFrame, out: str = "shares_interest_deg") -> Dat
 
 def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node degree for every derived edge type + total degree —
-    the graph's structural profile in one pass family."""
-    nodes = customer_nodes(spark, sf_dir)
+    the graph's structural profile in one pass family.
+
+    The node table feeds ELEVEN consumers (4× valid+sizes pairs, the
+    spine, 5 join-backs); un-materialized, the executed plan re-ran the
+    customer⋈nation⋈region normalize pipeline 31 times (r11 audit —
+    invisible under the old count() bench consumer, which
+    join-eliminated every degree subtree). One lazy localCheckpoint
+    cuts that to ~4 source scans; wall parity at sf0.1 (interleaved
+    6.82 vs 6.52 s min — the scans are cheap at 15k rows) but at scale
+    30 redundant passes over the node pipeline is the difference, the
+    merge_bucketed structural-win-at-parity precedent."""
+    nodes = customer_nodes(spark, sf_dir).localCheckpoint(eager=False)
     cols = {etype.lower() + "_deg": attr for etype, attr in ATTRIBUTE_EDGE_TYPES.items()}
     parts = [
         _attr_degrees(nodes, attr, out) for out, attr in cols.items()

@@ -171,7 +171,23 @@ WINDOW_CONTRACTS = [
     ("dedup_representatives", 0),
     ("group_sample", 2),
     ("training_order", 2),
+    # r11: shares_interest degree is the a<b-halved distinct-pair
+    # explode — no rank window, no count_distinct Expand
+    ("degree_stats", 0),
 ]
+
+
+def test_degree_stats_scan_budget(spark, sf_dir):
+    """The node table feeds eleven consumers; the r11 lazy checkpoint
+    cut the executed plan from 31 source scans to 4 (PLANS.md
+    round-11). A regression that re-expands the normalize pipeline per
+    consumer re-opens 30 redundant passes over the graph at scale."""
+    from graphdb_neo4j_spark.plans.audit import audit
+    from graphdb_neo4j_spark.registry import all_queries
+
+    df = _run(all_queries()["degree_stats"].fn(spark, sf_dir))
+    a = audit(df)
+    assert a.scans <= 6, f"degree_stats re-scans its inputs: {a.scans} scans"
 
 
 @pytest.mark.parametrize("name,n_windows", WINDOW_CONTRACTS)
