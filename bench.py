@@ -86,6 +86,30 @@ TIME_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500"))
 CONSUMER = os.environ.get("SPARK_GRAFT_BENCH_CONSUMER", "checksum")
 
 
+def reference_regime_flags(ref: dict, consumer: str = None) -> dict:
+    """Classify a committed reference recording's consumer regime against
+    this run's (r12, VERDICT r11 #1). Returns the taint-flag dict to merge
+    into the artifact:
+
+    - stamp MISSING → ``{"reference_consumer_unknown": True}`` — a pre-r12
+      lean recording; its regime is unknowable, so warn-don't-flag (the old
+      ``.get("consumer", "count")`` default misread every checksum-era
+      recording as count-regime and fired the mismatch flag on EVERY run).
+    - stamp PRESENT and ≠ this run's → ``{"consumer_mismatch_vs_reference":
+      True}`` — a genuine cross-regime compare (count() lets Catalyst prune
+      subtrees checksum pays for; ratios are not comparable).
+    - stamp PRESENT and equal → ``{}``.
+    """
+    if consumer is None:
+        consumer = CONSUMER
+    ref_consumer = ref.get("consumer")
+    if ref_consumer is None:
+        return {"reference_consumer_unknown": True}
+    if ref_consumer != consumer:
+        return {"consumer_mismatch_vs_reference": True}
+    return {}
+
+
 def _consume(df) -> None:
     """Run the query to completion under the selected consumer. The
     checksum form prices the WHOLE declared plan: count() lets Catalyst
@@ -387,10 +411,16 @@ def main() -> None:
             # canary_min(now)/canary_min(ref) IS the host-speed ratio;
             # ratio_norm divides it out. Flagging uses the NORMALIZED
             # ratio; both ship so the raw channel stays auditable.
-            if _ref.get("consumer", "count") != CONSUMER:
-                # pruning-divergent plans change cost across consumers —
-                # flag rather than silently mixing regimes
-                chosen["consumer_mismatch_vs_reference"] = True
+            # Regime guard (r12 fix, VERDICT r11 #1): see
+            # reference_regime_flags — missing stamp warns, a genuinely
+            # different stamp flags.
+            chosen.update(reference_regime_flags(_ref))
+            if chosen.get("reference_consumer_unknown"):
+                print(
+                    "BENCH reference lacks a consumer stamp (pre-r12 "
+                    "recording); regime compare is advisory",
+                    file=sys.stderr,
+                )
             _ref_canary = _ref.get("canary_min") or 0
             host_scale = (
                 round(chosen["canary_min"] / _ref_canary, 3)
@@ -422,6 +452,15 @@ def main() -> None:
             }
             if host_scale:
                 chosen["min_regressions_host_scale"] = host_scale
+            # Cross-regime ratios compare different work (count() prunes
+            # subtrees checksum pays for) — suppress the flagging channel
+            # rather than emit unactionable "regressions"; the full delta
+            # table still ships in BENCH_DETAIL.json under the mismatch
+            # flag (ADVICE r11).
+            if chosen.get("consumer_mismatch_vs_reference"):
+                chosen["min_regressions_suppressed_cross_regime"] = (
+                    chosen.pop("min_regressions")
+                )
         except (OSError, ValueError, KeyError) as e:
             print(f"BENCH reference compare skipped ({e})", file=sys.stderr)
 
@@ -434,9 +473,45 @@ def main() -> None:
     # full recording — canary slots, loadavg, per-query dispersion,
     # iterative splits, attempt walls — is written to BENCH_DETAIL.json
     # next to this file, where the end-of-round commit preserves it.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    # Clobber guard (r12, VERDICT r11 #7): every bench invocation —
+    # including 1-second budget-capped shape checks — used to overwrite
+    # the committed recording, forcing a `git checkout` dance before each
+    # commit. If BENCH_DETAIL.json is git-tracked AND unmodified (i.e. it
+    # IS a deliberately committed recording), divert this run's detail to
+    # BENCH_DETAIL_latest.json unless SPARK_GRAFT_BENCH_DETAIL=overwrite
+    # explicitly opts in. A dirty or untracked file is working state and
+    # is overwritten as before.
+    if os.environ.get("SPARK_GRAFT_BENCH_DETAIL") != "overwrite":
+        try:
+            import subprocess
+
+            probe = subprocess.run(
+                ["git", "-C", repo_dir, "status", "--porcelain", "--",
+                 "BENCH_DETAIL.json"],
+                capture_output=True, text=True, timeout=10,
+            )
+            tracked = subprocess.run(
+                ["git", "-C", repo_dir, "ls-files", "--error-unmatch",
+                 "BENCH_DETAIL.json"],
+                capture_output=True, text=True, timeout=10,
+            )
+            if (
+                probe.returncode == 0
+                and not probe.stdout.strip()
+                and tracked.returncode == 0
+                and os.path.exists(detail_path)
+            ):
+                detail_path = os.path.join(repo_dir, "BENCH_DETAIL_latest.json")
+                print(
+                    "BENCH DETAIL: committed BENCH_DETAIL.json is git-clean; "
+                    "writing BENCH_DETAIL_latest.json instead "
+                    "(set SPARK_GRAFT_BENCH_DETAIL=overwrite to replace it)",
+                    file=sys.stderr,
+                )
+        except Exception:
+            pass  # no git / sandbox: plain overwrite, the legacy behavior
     try:
         with open(detail_path, "w") as f:
             json.dump(chosen, f)
@@ -452,17 +527,22 @@ def main() -> None:
         "sf": chosen["sf"],
         "canary_drift": chosen["canary_drift"],
         "canary_min": chosen["canary_min"],
+        # regime stamp (r12, VERDICT r11 #1): the lean line IS the format
+        # committed as BENCH_r*_reference.json, so it must carry its
+        # consumer or every future regime compare misreads it
+        "consumer": chosen["consumer"],
         "attempts": [
             {"drift": a["canary_drift"], "total": a["total"], "sel": a["selected"]}
             for a in chosen["attempts"]
         ],
-        "detail": "BENCH_DETAIL.json",
+        "detail": os.path.basename(detail_path),
     }
     for flag in (
         "all_attempts_tainted",
         "tainted",
         "errors",
         "consumer_mismatch_vs_reference",
+        "reference_consumer_unknown",
     ):
         if chosen.get(flag):
             lean[flag] = chosen[flag]
