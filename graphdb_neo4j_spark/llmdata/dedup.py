@@ -1117,7 +1117,12 @@ def _validate_minhash_store(path: str, meta: dict | None) -> None:
 
     if meta is None:
         return
-    active = set(meta["active"])
+    # Legacy (pre-commit-log) meta has a generations ledger but no
+    # `active` set and its dirs carry no _COMMITTED markers — grandfather
+    # it (dir-vs-ledger check still runs; marker check skipped), same as
+    # the gram store (ADVICE r11); repair_minhash_store() upgrades.
+    legacy = "active" not in meta
+    active = set(meta.get("active", meta.get("generations", [])))
     for table in _MINHASH_TABLES:
         dirs = _gram_store_generation_dirs(os.path.join(path, table))
         if set(dirs) != active:
@@ -1132,7 +1137,7 @@ def _validate_minhash_store(path: str, meta: dict | None) -> None:
             for g, d in dirs.items()
             if not os.path.exists(os.path.join(d, _GEN_COMMITTED))
         ]
-        if missing:
+        if missing and not legacy:
             raise ValueError(
                 f"minhash store at {path} has active {table} generations "
                 f"without a {_GEN_COMMITTED} marker (partial write): "
@@ -1158,7 +1163,7 @@ def repair_minhash_store(path: str) -> list[str]:
             f"write_minhash_store()"
         )
     actions: list[str] = []
-    active = set(meta["active"])
+    active = set(meta.get("active", meta.get("generations", [])))
     for table in _MINHASH_TABLES:
         for gen, d in _gram_store_generation_dirs(
             os.path.join(path, table)
@@ -1166,6 +1171,26 @@ def repair_minhash_store(path: str) -> list[str]:
             if gen not in active:
                 shutil.rmtree(d)
                 actions.append(f"removed uncommitted {table}/generation={gen}")
+    if "active" not in meta:
+        # Legacy upgrade (ADVICE r11), mirroring repair_gram_store():
+        # stamp markers on every ledgered dir, then backfill `active`
+        # via the atomic meta replace (idempotent if re-run).
+        for table in _MINHASH_TABLES:
+            for gen, d in _gram_store_generation_dirs(
+                os.path.join(path, table)
+            ).items():
+                marker = os.path.join(d, _GEN_COMMITTED)
+                if not os.path.exists(marker):
+                    with open(marker, "w"):
+                        pass
+                    actions.append(
+                        f"stamped {_GEN_COMMITTED} in {table}/generation={gen}"
+                    )
+        meta["active"] = sorted(
+            _gram_store_generation_dirs(os.path.join(path, _MINHASH_TABLES[0]))
+        )
+        _write_minhash_store_meta(path, meta)
+        actions.append("upgraded legacy meta (backfilled active)")
     return actions
 
 
@@ -2115,6 +2140,16 @@ def _validate_gram_store(path: str, meta: dict | None) -> None:
             f"generations {sorted(dirs)} != active {sorted(active)} "
             f"(crashed write or compaction) — run repair_gram_store()"
         )
+    if "active" not in meta:
+        # Legacy (pre-commit-log) meta: its appends never wrote
+        # _COMMITTED markers, so demanding them here misdiagnoses every
+        # healthy pre-r11 store as "partial data write" — and repair
+        # could not heal it (all dirs are in the ledger, so it took no
+        # action), bricking the store until a full rebuild (ADVICE r11).
+        # Grandfather: the dir-vs-ledger check above still ran; probe
+        # as-is. repair_gram_store() performs the explicit upgrade
+        # (stamp markers + backfill `active`).
+        return
     missing = [g for g, d in dirs.items() if not os.path.exists(os.path.join(d, _GEN_COMMITTED))]
     if missing:
         raise ValueError(
@@ -2185,6 +2220,23 @@ def repair_gram_store(path: str) -> list[str]:
         if gen not in active:
             shutil.rmtree(d)
             actions.append(f"removed uncommitted generation={gen}")
+    if "active" not in meta:
+        # Explicit LEGACY UPGRADE (ADVICE r11): a pre-commit-log meta has
+        # the generations ledger but no `active` set and no _COMMITTED
+        # markers. After the orphan sweep above, every remaining dir is
+        # ledgered — stamp the markers first, then backfill `active`
+        # (the atomic meta replace is the upgrade's commit point; a crash
+        # in between leaves a still-legacy store with some markers, which
+        # re-running this upgrade completes idempotently).
+        for gen, d in _gram_store_generation_dirs(path).items():
+            marker = os.path.join(d, _GEN_COMMITTED)
+            if not os.path.exists(marker):
+                with open(marker, "w"):
+                    pass
+                actions.append(f"stamped {_GEN_COMMITTED} in generation={gen}")
+        meta["active"] = sorted(_gram_store_generation_dirs(path))
+        _write_gram_store_meta(path, meta)
+        actions.append("upgraded legacy meta (backfilled active)")
     return actions
 
 

@@ -204,6 +204,7 @@ def run_curation_pipeline(
     keep_frac: float = 0.6,
     max_drift_kl: float = 10.0,
     batch_id: str = "batch-0",
+    memorized_gate_max: float | None = None,
 ) -> CurationReport:
     """The CONTINUOUS-ingest curation stack — what runs on every new batch
     once the corpus already exists (``run_corpus_pipeline`` is the cold-
@@ -223,7 +224,15 @@ def run_curation_pipeline(
        the memorization threshold, measured BEFORE the batch's own
        generation lands (paraphrase-mosaic batches under-report in both
        the near-dup and verbatim-span channels; this is the catch-all
-       dial). Report-only: it gates nothing, it informs the operator.
+       dial). Report-only by DEFAULT; pass ``memorized_gate_max`` to arm
+       it (r12, VERDICT r11 #5): kept docs whose novelty_rate is at or
+       below the threshold then drop with reason ``memorized`` BEFORE
+       span removal — the paraphrase-mosaic channel neither near-dup
+       (per-doc similarity) nor span removal (verbatim runs only)
+       catches. Docs too short to have a single width-gram have no
+       novelty row and pass through (nothing to memorize at gram
+       granularity). Accounting stays closed: ``memorized`` is its own
+       drop-reason row.
     4b. span removal   — ``clean_batch_with_gram_store``: duplicated
        ≥width-token passages that HISTORY already owns are cut from the
        kept batch (history holds every canonical copy; within-batch
@@ -333,6 +342,19 @@ def run_curation_pipeline(
         round(float(nov_row["m"]), 6) if nov_row["m"] is not None else None
     )
     memorized_docs = int(nov_row["k"] or 0)
+    if memorized_gate_max is not None:
+        # Armed gate (r12): the profile above stays measured on the FULL
+        # kept batch (so the telemetry is comparable whether or not the
+        # gate is on); the gate then drops at-or-below-threshold docs
+        # with their own reason before span removal sees them.
+        memorized_ids = nov.filter(
+            F.col("novelty_rate") <= memorized_gate_max
+        ).select("doc_id")
+        n_memorized = memorized_ids.count()
+        if n_memorized:
+            reasons["memorized"] = n_memorized
+            kept -= n_memorized
+            kept_batch = kept_batch.join(memorized_ids, "doc_id", "left_anti")
     clean_batch_with_gram_store(spark, gram_store, kept_batch).write.mode(
         "overwrite"
     ).parquet(f"{out_base}/span_removal.parquet")
@@ -375,16 +397,42 @@ def run_curation_pipeline(
     store = f"{out_base}/minhash_store"
     if _minhash_store_meta(store) is None:
         write_minhash_store(hist, store, generation="history")
-    write_minhash_store(curated, store, mode="append", generation=batch_id)
+    # The two per-store appends cannot commit atomically together (each
+    # store has its own commit log), so a crash between them leaves
+    # batch_id folded into one ledger but not the other — and a blind
+    # retry would die at the already-folded store's replay guard with the
+    # lagging store permanently uncompletable (ADVICE r11). The pipeline
+    # therefore makes each append idempotent AT ITS OWN LEDGER: skip a
+    # store whose generations already contain batch_id (that store's
+    # append committed on the previous attempt; the store-level replay
+    # guard still protects non-pipeline callers).
+    def _already_folded(meta: dict | None) -> bool:
+        return meta is not None and batch_id in meta.get("generations", [])
+
+    minhash_folded = _already_folded(_minhash_store_meta(store))
+    gram_folded = _already_folded(_gram_store_meta(gram_store))
+    if minhash_folded and gram_folded:
+        # full replay of a completed batch: still an error (the ledger
+        # contract — a double-curated batch would be silently
+        # double-counted downstream), same as the store-level guard
+        raise ValueError(
+            f"batch '{batch_id}' is already folded into both stores — "
+            f"use a new batch_id"
+        )
+    if not minhash_folded:
+        write_minhash_store(curated, store, mode="append", generation=batch_id)
     # fold the CLEANED kept batch's grams in as the caller's stamped
     # generation: the next batch's span probe sums history + every prior
     # batch without re-reading any text (a replay of this batch_id
-    # raises — meta-sidecar ledger — instead of double-counting dfs)
-    append_gram_store(
-        spark.read.parquet(f"{out_base}/curated/documents.parquet"),
-        gram_store,
-        generation=batch_id,
-    )
+    # raises above instead of double-counting dfs). The EXACTLY-ONE-
+    # folded case is a resumed crash between the two appends: skip the
+    # committed store, complete the lagging one.
+    if not gram_folded:
+        append_gram_store(
+            spark.read.parquet(f"{out_base}/curated/documents.parquet"),
+            gram_store,
+            generation=batch_id,
+        )
 
     return CurationReport(
         batch_docs=batch.count(),

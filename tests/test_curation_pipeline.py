@@ -181,3 +181,109 @@ def test_group_sample_exact_k_and_deterministic(spark, sf_correct):
     a = {tuple(r) for r in q_group_sample(spark, sf_correct, k=5).collect()}
     b = {tuple(r) for r in q_group_sample(spark, sf_correct, k=5).collect()}
     assert a == b  # reruns pick the identical sample
+
+
+def _write_mosaic_fixture(spark, path):
+    """History (even ids): two long distinct docs. Batch (odd ids): one
+    paraphrase-mosaic doc (a 48-token verbatim pull from a 60-token
+    history doc plus 8 fresh glue tokens — 15-gram novelty 8/42 ≈ 0.19
+    ≤ 0.2, measured BELOW the near-dup bar by the incremental dedup
+    operator itself, and span removal would keep its glue residue rather
+    than empty it) and one doc whose TOKENS are all history tokens but
+    whose gram ORDER is novel (alpha/beta interleave: novelty 1.0,
+    near-dup-free)."""
+    h0 = " ".join(f"alpha{i}" for i in range(60))
+    h2 = " ".join(f"beta{i}" for i in range(60))
+    mosaic = " ".join(f"alpha{i}" for i in range(48)) + " " + " ".join(
+        f"glue{i}" for i in range(8)
+    )
+    novel = " ".join(
+        f"alpha{i} beta{i}" for i in range(20)
+    )
+    rows = [
+        (0, h0, "en", "s", len(h0)),
+        (2, h2, "en", "s", len(h2)),
+        (1, mosaic, "en", "s", len(mosaic)),
+        (3, novel, "en", "s", len(novel)),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{path}/documents.parquet")
+
+
+def test_memorized_gate_drops_mosaic_batch(spark, tmp_path):
+    """Armed gate (r12, VERDICT r11 #5): a kept batch doc whose gram
+    novelty sits at/below the threshold drops with its own `memorized`
+    reason BEFORE span removal; accounting still closes; the default
+    (report-only) run keeps the mosaic's glue residue instead."""
+    _write_mosaic_fixture(spark, tmp_path)
+
+    # default: report-only — no `memorized` reason ever appears; the
+    # mosaic survives as span-cleaned glue residue
+    rep_off = pipeline.run_curation_pipeline(
+        spark, str(tmp_path), str(tmp_path / "off"), keep_frac=1.0, max_drift_kl=1e9
+    )
+    assert "memorized" not in rep_off.dropped_by_reason
+    assert rep_off.batch_docs == rep_off.kept_docs + rep_off.dropped_docs
+    off_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{tmp_path}/off/curated/documents.parquet"
+        ).collect()
+    }
+    assert 1 in off_ids  # glue residue kept: the gap the gate closes
+
+    rep_on = pipeline.run_curation_pipeline(
+        spark, str(tmp_path), str(tmp_path / "on"), keep_frac=1.0,
+        max_drift_kl=1e9, memorized_gate_max=0.2,
+    )
+    assert rep_on.dropped_by_reason.get("memorized") == 1
+    assert rep_on.batch_docs == rep_on.kept_docs + rep_on.dropped_docs
+    on_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(
+            f"{tmp_path}/on/curated/documents.parquet"
+        ).collect()
+    }
+    assert 1 not in on_ids  # the mosaic is gone entirely
+    assert 3 in on_ids  # the novel doc is untouched
+    # profile telemetry is measured pre-gate, so it is identical on/off
+    assert rep_on.memorized_docs == rep_off.memorized_docs
+    assert rep_on.novelty_mean == rep_off.novelty_mean
+
+
+def test_crash_between_store_appends_is_resumable(spark, tmp_path, monkeypatch):
+    """The two per-store appends commit independently; a crash between
+    them (minhash ledger has batch_id, gram ledger does not) must be
+    completable by a plain retry — the retry skips the committed store
+    and finishes the lagging one (ADVICE r11). A third run with the same
+    batch_id (both committed) still raises."""
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.llmdata import dedup
+
+    _write_mosaic_fixture(spark, tmp_path)
+    out = str(tmp_path / "out")
+
+    real_append = dedup.append_gram_store
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash between store appends")
+
+    monkeypatch.setattr(dedup, "append_gram_store", boom)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        pipeline.run_curation_pipeline(spark, str(tmp_path), out, keep_frac=1.0, max_drift_kl=1e9)
+    # half-committed: minhash ledger advanced, gram ledger did not
+    assert "batch-0" in dedup._minhash_store_meta(f"{out}/minhash_store")["generations"]
+    gmeta = dedup._gram_store_meta(f"{out}/gram_store")
+    assert "batch-0" not in gmeta["generations"]
+
+    monkeypatch.setattr(dedup, "append_gram_store", real_append)
+    rep = pipeline.run_curation_pipeline(spark, str(tmp_path), out, keep_frac=1.0, max_drift_kl=1e9)
+    assert rep.batch_docs == rep.kept_docs + rep.dropped_docs
+    assert "batch-0" in dedup._minhash_store_meta(f"{out}/minhash_store")["generations"]
+    assert "batch-0" in dedup._gram_store_meta(f"{out}/gram_store")["generations"]
+
+    with _pytest.raises(ValueError, match="already folded"):
+        pipeline.run_curation_pipeline(spark, str(tmp_path), out, keep_frac=1.0, max_drift_kl=1e9)

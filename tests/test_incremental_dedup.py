@@ -471,3 +471,103 @@ def test_minhash_store_crash_detection_and_repair(spark, sf_correct, tmp_path):
     meta = dedup._minhash_store_meta(store)
     assert meta["generations"] == ["g1", "g2"]
     assert meta["active"] == ["g1", "g2"]
+
+
+def _make_legacy(meta_path: str, store: str) -> None:
+    """Rewrite a store's sidecar to the pre-r11 (pre-commit-log) shape:
+    generations ledger only, no `active`, no _COMMITTED markers."""
+    import glob
+    import json
+    import os
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta.pop("active", None)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    for m in glob.glob(f"{store}/**/_COMMITTED", recursive=True):
+        os.remove(m)
+
+
+def test_legacy_gram_store_probes_and_upgrades(spark, sf_correct, tmp_path):
+    """A pre-r11 gram store (meta sidecar with a generations ledger but no
+    `active` set and no _COMMITTED markers) must (a) probe as-is — the
+    grandfathering intent — instead of raising 'partial data write' on
+    every use, and (b) be explicitly upgradable by repair_gram_store()
+    (stamp markers + backfill `active`), after which appends work
+    (ADVICE r11)."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    hist, batch = dedup.split_history_batch(docs)
+    gen1 = hist.filter(F.col("doc_id") % 4 == 0)
+    gen2 = hist.filter(F.col("doc_id") % 4 == 2)
+    store = str(tmp_path / "store")
+    dedup.write_gram_store(gen1, store, generation="g1")
+    expect = {
+        (r.doc_id, r.clean_text)
+        for r in dedup.clean_batch_with_gram_store(spark, store, batch).collect()
+    }
+
+    _make_legacy(os.path.join(store, dedup.GRAM_STORE_META), store)
+
+    # (a) grandfathered probe: no raise, identical answer
+    got = {
+        (r.doc_id, r.clean_text)
+        for r in dedup.clean_batch_with_gram_store(spark, store, batch).collect()
+    }
+    assert got == expect
+
+    # (b) explicit upgrade: markers stamped, `active` backfilled, idempotent
+    actions = dedup.repair_gram_store(store)
+    assert any("upgraded legacy meta" in a for a in actions)
+    assert os.path.exists(f"{store}/generation=g1/{dedup._GEN_COMMITTED}")
+    meta = dedup._gram_store_meta(store)
+    assert meta["active"] == ["g1"]
+    assert dedup.repair_gram_store(store) == []
+
+    # post-upgrade the store is a full commit-log citizen: append works
+    # and the strict marker validation path now runs
+    dedup.append_gram_store(gen2, store, generation="g2")
+    meta = dedup._gram_store_meta(store)
+    assert meta["active"] == ["g1", "g2"]
+    dedup.clean_batch_with_gram_store(spark, store, batch).count()
+
+
+def test_legacy_minhash_store_probes_and_upgrades(spark, sf_correct, tmp_path):
+    """Same grandfathering + upgrade contract for the MinHash store."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    hist, batch = dedup.split_history_batch(docs)
+    gen1 = hist.filter(F.col("doc_id") % 4 == 0)
+    gen2 = hist.filter(F.col("doc_id") % 4 == 2)
+    store = str(tmp_path / "store")
+    dedup.write_minhash_store(gen1, store, generation="g1")
+    expect = {
+        (r.hist_id, r.new_id)
+        for r in dedup.probe_minhash_store(spark, store, batch).collect()
+    }
+
+    _make_legacy(os.path.join(store, dedup.MINHASH_STORE_META), store)
+
+    got = {
+        (r.hist_id, r.new_id)
+        for r in dedup.probe_minhash_store(spark, store, batch).collect()
+    }
+    assert got == expect
+
+    actions = dedup.repair_minhash_store(store)
+    assert any("upgraded legacy meta" in a for a in actions)
+    for table in ("sigs", "buckets"):
+        assert os.path.exists(
+            f"{store}/{table}/generation=g1/{dedup._GEN_COMMITTED}"
+        )
+    meta = dedup._minhash_store_meta(store)
+    assert meta["active"] == ["g1"]
+    assert dedup.repair_minhash_store(store) == []
+
+    dedup.write_minhash_store(gen2, store, mode="append", generation="g2")
+    meta = dedup._minhash_store_meta(store)
+    assert meta["active"] == ["g1", "g2"]
+    dedup.probe_minhash_store(spark, store, batch).count()
