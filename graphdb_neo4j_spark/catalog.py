@@ -1414,26 +1414,26 @@ _missing = [n for n in R11_WINDOW if n not in _PENDING]
 if _missing:
     raise RuntimeError(f"R11_WINDOW names not defined: {_missing}")
 
-for _name in R11_WINDOW:
-    _rq = _PENDING.pop(_name)
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-for _name, _rq in _PENDING.items():
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-_PENDING.clear()
-
 # =============================================================================
-# R12 WINDOW PLAN — staged so next round's rotation is a one-line swap
-# (rename to R12_WINDOW, flush on it, move R11's names into history).
+# R12 WINDOW — the 50 names the driver's correctness harness records THIS
+# round: the staged r12 plan executed VERBATIM — the changed-first block
+# is EMPTY this round. r12's code work touched no registered query's
+# plan: the bench-harness regime-stamp fix (bench.py only), the
+# legacy-store grandfathering + pipeline append idempotency + the
+# opt-in memorized gate (non-registered incremental/pipeline paths,
+# pytest-pinned), and the VERDICT r11 #2 adjudication — which CLEARED
+# `pagerank_factored` and `ppmi_topk` as host drift with NO code change
+# (PLANS.md round-12), so neither re-enters out of turn.
 # Oldest-green-first: the 3 names the late-r10 changed-first
 # displacements pushed out of the staged r11 plan (``asof_join``,
-# ``events_rollup_serve``, ``stream_hourly``), then every query whose
-# last driver row is r8, in R8_WINDOW source order (38 names), then the
-# oldest r9 rows (R9_STEADY source order; 9 fit). Any query materially
-# changed in r12 jumps to the front, displacing the newest names here
-# to r13. (Counts are narrative; the asserts below are authoritative.)
+# ``events_rollup_serve``, ``stream_hourly``) plus the 2 the r11 debuts
+# displaced, then every query whose last driver row is r8, in
+# R8_WINDOW source order (38 names), then the oldest r9 rows
+# (R9_STEADY source order; 7 fit). (Counts are narrative; the asserts
+# below are authoritative.)
 # =============================================================================
 
-R12_WINDOW_PLAN = [
+R12_WINDOW = [
     # displaced from the staged r11 plan by the r11 debuts (2) and the
     # late-r10 changed-first swaps (3)
     "events_cube", "sessionize",
@@ -1461,12 +1461,64 @@ R12_WINDOW_PLAN = [
     "corpus_drift", "events_anomaly",
 ]
 
-if len(R12_WINDOW_PLAN) != 50:
-    raise RuntimeError(f"R12_WINDOW_PLAN must name 50 queries, got {len(R12_WINDOW_PLAN)}")
-if len(set(R12_WINDOW_PLAN)) != 50:
-    raise RuntimeError("R12_WINDOW_PLAN contains duplicates")
-if set(R12_WINDOW_PLAN) & (set(R11_WINDOW) | set(R10_WINDOW)):
-    raise RuntimeError("r12 plan overlaps a recent window (steady-state = oldest first)")
-_undefined = [n for n in R12_WINDOW_PLAN if n not in _registry_dict]
+if len(R12_WINDOW) != 50:
+    raise RuntimeError(f"R12_WINDOW must name 50 queries, got {len(R12_WINDOW)}")
+if len(set(R12_WINDOW)) != 50:
+    raise RuntimeError("R12_WINDOW contains duplicates")
+if set(R12_WINDOW) & (set(R11_WINDOW) | set(R10_WINDOW)):
+    raise RuntimeError("r12 window overlaps a recent window (steady-state = oldest first)")
+_missing = [n for n in R12_WINDOW if n not in _PENDING]
+if _missing:
+    raise RuntimeError(f"R12_WINDOW names not defined: {_missing}")
+
+for _name in R12_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()
+
+# =============================================================================
+# R13 WINDOW PLAN — staged so next round's rotation is a one-line swap
+# (rename to R13_WINDOW, flush on it, move R12's names into history).
+# Oldest-green-first: the remaining queries whose last driver row is r9
+# (R9_STEADY source order, 36 names — `shipping_priority` and
+# `nation_revenue`, displaced from the r12 plan by the late-r10
+# carry-overs, lead it), then the oldest r10 rows (R10_WINDOW source
+# order; 14 fit). Any query materially changed in r13 jumps to the
+# front, displacing the newest names here to r14. (Counts are
+# narrative; the asserts below are authoritative.)
+# =============================================================================
+
+R13_WINDOW_PLAN = [
+    # last driver row r9, R9_STEADY source order (36)
+    "shipping_priority", "nation_revenue",
+    "late_shipment_priority", "promo_revenue_disjunctive",
+    "top_return_customers", "order_priority_check", "dormant_customers",
+    "small_lot_revenue", "big_orders", "brand_supplier_counts",
+    "order_count_distribution", "lone_late_supplier",
+    "cheapest_supplier_per_part", "revenue_rollup", "balance_ntiles",
+    "cumulative_revenue", "node_similarity", "events_pivot",
+    "events_unpivot", "segment_overlap", "event_transitions",
+    "session_paths", "embedding_pca", "cluster_medoids", "bm25_search",
+    "hybrid_search", "gap_fill", "scd2_customers", "weighted_sample",
+    "decontaminated", "domain_stats", "repetition_scores",
+    "holdout_split", "unigram_logprob", "funnel_counts",
+    "retention_cohorts",
+    # oldest r10 rows, R10_WINDOW source order (14)
+    "dedup_span_removal", "dedup_span_removal_incremental", "token_cms",
+    "bpe_encode_fixed", "dedup_simhash", "winnowing_fingerprint",
+    "dedup_components", "training_filter", "dedup_representatives",
+    "dedup_segments", "stratified_sample", "semantic_dedup",
+    "events_quantiles", "top_parts_per_nation",
+]
+
+if len(R13_WINDOW_PLAN) != 50:
+    raise RuntimeError(f"R13_WINDOW_PLAN must name 50 queries, got {len(R13_WINDOW_PLAN)}")
+if len(set(R13_WINDOW_PLAN)) != 50:
+    raise RuntimeError("R13_WINDOW_PLAN contains duplicates")
+if set(R13_WINDOW_PLAN) & (set(R12_WINDOW) | set(R11_WINDOW)):
+    raise RuntimeError("r13 plan overlaps a recent window (steady-state = oldest first)")
+_undefined = [n for n in R13_WINDOW_PLAN if n not in _registry_dict]
 if _undefined:
-    raise RuntimeError(f"R12_WINDOW_PLAN names not registered: {_undefined}")
+    raise RuntimeError(f"R13_WINDOW_PLAN names not registered: {_undefined}")

@@ -207,8 +207,16 @@ _EXPLICIT: dict[str, Disposition] = {
         "r11 debut: dedup_jaccard_pairs' bucketed/rep-compressed pair "
         "set (never all-pairs) + two pair-side joins onto the "
         "(doc_id, source) projection + a ≤|sources|² rollup; 10× sweep "
-        "(checksum): 3.27 -> 6.70 s (2.05×) for 10× rows — tracks the "
-        "jaccard pair machinery it rides",
+        "(checksum): 3.27 -> 6.70 s (2.05×) for 10× rows. The "
+        "superlinear term behind the 2.05× is the candidate-PAIR count, "
+        "which grows with Σ_tok df_tok² over the shingle distribution "
+        "(each shingle shared by df docs contributes C(df,2) candidate "
+        "pairs) — near-linear while shingle dfs stay bounded, quadratic "
+        "in any shingle's df that grows with corpus size. The knob at "
+        "100×: ``max_df`` (MAX_TOKEN_DF, already a parameter) caps any "
+        "single shingle's df and hence its df² term — lower it if "
+        "boilerplate-heavy sources push hot-shingle dfs up with scale "
+        "(cost: near-dup recall through those hot shingles only)",
     ),
     "gram_novelty": _d(
         "linear",
