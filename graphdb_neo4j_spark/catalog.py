@@ -552,6 +552,12 @@ register("gram_novelty", dedup.q_gram_novelty, dedup.gram_novelty_sql())
 register(
     "dup_source_matrix", dedup.q_dup_source_matrix, dedup.dup_source_matrix_sql()
 )
+# r12 debut: eval-set contamination via near-duplicate pairs crossing the
+# holdout split — the within-corpus leakage audit `contamination` (external
+# benchmark, exact text) does not cover; names the offending train doc
+register(
+    "split_leakage", filterset.q_split_leakage, filterset.split_leakage_sql()
+)
 register(
     "top_return_customers",
     olap.q_top_return_customers,
@@ -1416,14 +1422,18 @@ if _missing:
 
 # =============================================================================
 # R12 WINDOW — the 50 names the driver's correctness harness records THIS
-# round: the staged r12 plan executed VERBATIM — the changed-first block
-# is EMPTY this round. r12's code work touched no registered query's
-# plan: the bench-harness regime-stamp fix (bench.py only), the
-# legacy-store grandfathering + pipeline append idempotency + the
-# opt-in memorized gate (non-registered incremental/pipeline paths,
-# pytest-pinned), and the VERDICT r11 #2 adjudication — which CLEARED
-# `pagerank_factored` and `ppmi_topk` as host drift with NO code change
-# (PLANS.md round-12), so neither re-enters out of turn.
+# round: the staged r12 plan with the changed-first rule applied.
+# Changed-first block (1 slot): the r12 DEBUT ``split_leakage``
+# (eval-set contamination via near-dup pairs crossing the holdout
+# split) needs its FIRST driver row; it displaces the newest staged
+# name (``events_anomaly``) to the front of the r13 plan. No other
+# registered query's plan changed in r12: the bench-harness
+# regime-stamp fix (bench.py only), the legacy-store grandfathering +
+# pipeline append idempotency + the opt-in memorized gate
+# (non-registered incremental/pipeline paths, pytest-pinned), and the
+# VERDICT r11 #2 adjudication — which CLEARED `pagerank_factored` and
+# `ppmi_topk` as host drift with NO code change (PLANS.md round-12),
+# so neither re-enters out of turn.
 # Oldest-green-first: the 3 names the late-r10 changed-first
 # displacements pushed out of the staged r11 plan (``asof_join``,
 # ``events_rollup_serve``, ``stream_hourly``) plus the 2 the r11 debuts
@@ -1434,6 +1444,8 @@ if _missing:
 # =============================================================================
 
 R12_WINDOW = [
+    # r12 DEBUT (first driver row)
+    "split_leakage",
     # displaced from the staged r11 plan by the r11 debuts (2) and the
     # late-r10 changed-first swaps (3)
     "events_cube", "sessionize",
@@ -1454,11 +1466,13 @@ R12_WINDOW = [
     "stream_dedup", "stream_interval", "stream_transitions",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash",
-    # oldest r9 rows, R9_STEADY source order (7; shipping_priority and
-    # nation_revenue open the r13 pool, displaced by the carry-overs)
+    # oldest r9 rows, R9_STEADY source order (6; shipping_priority and
+    # nation_revenue open the r13 pool, displaced by the carry-overs;
+    # events_anomaly — the newest staged name — displaced to the r13
+    # front by the split_leakage debut)
     "quality_classifier", "dedup_components_incremental",
     "quality_classifier_hashed", "quality_gate", "bigram_logprob",
-    "corpus_drift", "events_anomaly",
+    "corpus_drift",
 ]
 
 if len(R12_WINDOW) != 50:
@@ -1481,16 +1495,20 @@ _PENDING.clear()
 # =============================================================================
 # R13 WINDOW PLAN — staged so next round's rotation is a one-line swap
 # (rename to R13_WINDOW, flush on it, move R12's names into history).
-# Oldest-green-first: the remaining queries whose last driver row is r9
-# (R9_STEADY source order, 36 names — `shipping_priority` and
-# `nation_revenue`, displaced from the r12 plan by the late-r10
-# carry-overs, lead it), then the oldest r10 rows (R10_WINDOW source
-# order; 14 fit). Any query materially changed in r13 jumps to the
+# Oldest-green-first: `events_anomaly` (displaced from the r12 window
+# by the `split_leakage` debut), then the remaining queries whose last
+# driver row is r9 (R9_STEADY source order, 36 names —
+# `shipping_priority` and `nation_revenue`, displaced from the r12
+# plan by the late-r10 carry-overs, lead them), then the oldest r10
+# rows (R10_WINDOW source order; 13 fit — `top_parts_per_nation` opens
+# the r14 pool). Any query materially changed in r13 jumps to the
 # front, displacing the newest names here to r14. (Counts are
 # narrative; the asserts below are authoritative.)
 # =============================================================================
 
 R13_WINDOW_PLAN = [
+    # displaced from the r12 window by the split_leakage debut (1)
+    "events_anomaly",
     # last driver row r9, R9_STEADY source order (36)
     "shipping_priority", "nation_revenue",
     "late_shipment_priority", "promo_revenue_disjunctive",
@@ -1505,12 +1523,14 @@ R13_WINDOW_PLAN = [
     "decontaminated", "domain_stats", "repetition_scores",
     "holdout_split", "unigram_logprob", "funnel_counts",
     "retention_cohorts",
-    # oldest r10 rows, R10_WINDOW source order (14)
+    # oldest r10 rows, R10_WINDOW source order (13; top_parts_per_nation
+    # — the newest — opens the r14 pool, displaced by the carried
+    # events_anomaly)
     "dedup_span_removal", "dedup_span_removal_incremental", "token_cms",
     "bpe_encode_fixed", "dedup_simhash", "winnowing_fingerprint",
     "dedup_components", "training_filter", "dedup_representatives",
     "dedup_segments", "stratified_sample", "semantic_dedup",
-    "events_quantiles", "top_parts_per_nation",
+    "events_quantiles",
 ]
 
 if len(R13_WINDOW_PLAN) != 50:

@@ -173,6 +173,101 @@ FROM documents
 """
 
 
+def q_split_leakage(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    holdout_pct: int = HOLDOUT_PCT,
+) -> DataFrame:
+    """(train_id, eval_id, jaccard) — eval-set contamination via NEAR
+    DUPLICATES (r12 debut): every near-dup pair whose endpoints land on
+    OPPOSITE sides of the holdout split. The doc-level split is
+    leakage-free by construction (a doc is train xor eval), but a train
+    doc that near-duplicates an eval doc leaks the eval content anyway —
+    the audit a training pipeline runs before trusting its eval numbers.
+    Distinct from ``contamination`` (which checks an EXTERNAL benchmark
+    set by exact normalized text); this is within-corpus, similarity-
+    based, and names the offending train doc.
+
+    Scale shape: rides :func:`dedup_jaccard_pairs`' bucketed/
+    rep-compressed machinery (work Σ_shingle C(df,2), df capped by
+    ``max_df`` — never all-pairs); the split is a pure doc_id function
+    (zero-shuffle projection), attributed to the pair set by two
+    equi-joins where the pair side is the small one (broadcasts at test
+    sf, AQE at scale); the cross-split filter prunes before any rollup.
+    Remediation consumes this table directly: anti-join train_id out, or
+    move the pair's train side into eval.
+    """
+    from graphdb_neo4j_spark.llmdata.dedup import dedup_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dedup_jaccard_pairs(docs, threshold)
+    split = q_holdout_split(spark, sf_dir, holdout_pct).select("doc_id", "split")
+    labeled = (
+        pairs.join(
+            split.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a")),
+            "a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b")),
+            "b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    return labeled.select(
+        F.when(F.col("split_a") == "train", F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("train_id"),
+        F.when(F.col("split_a") == "eval", F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("eval_id"),
+        "jaccard",
+    )
+
+
+def split_leakage_sql(
+    threshold: float = 0.8, holdout_pct: int = HOLDOUT_PCT
+) -> str:
+    """DuckDB oracle: literal shingle self-join pairs (independent of the
+    rep-compressed Spark path) + the LCG split replayed in SQL."""
+    from graphdb_neo4j_spark.llmdata.dedup import (
+        MAX_TOKEN_DF,
+        SHINGLE_WIDTH,
+        _shingle_toks_cte,
+    )
+
+    return rf"""
+WITH {_shingle_toks_cte(SHINGLE_WIDTH, MAX_TOKEN_DF).strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS n_inter
+    FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok AND t1.doc_id < t2.doc_id
+    GROUP BY t1.doc_id, t2.doc_id
+),
+pairs AS (
+    SELECT a, b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+),
+splits AS (
+    SELECT doc_id,
+           CASE WHEN (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} % 100 < {holdout_pct}
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents
+)
+SELECT CASE WHEN s_a.split = 'train' THEN p.a ELSE p.b END AS train_id,
+       CASE WHEN s_a.split = 'eval' THEN p.a ELSE p.b END AS eval_id,
+       p.jaccard
+FROM pairs p
+JOIN splits s_a ON s_a.doc_id = p.a
+JOIN splits s_b ON s_b.doc_id = p.b
+WHERE s_a.split <> s_b.split
+"""
+
+
 # --- stratified sampling -----------------------------------------------------
 
 # Per-language keep rates (percent) for a training-mix rebalance: downweight

@@ -126,7 +126,12 @@ _EXPLICIT: dict[str, Disposition] = {
     "edges_same_college": _d(
         "output-quadratic-by-contract",
         "pair output grows ×100 for ×10 group sizes (4.50M→451M rows); "
-        "wall 29× = sub-linear in output (r7 sweep)",
+        "wall 29× = sub-linear in output (r7 sweep, count-consumed). "
+        "r12 re-sweep under the checksum consumer: 1.74 -> 104 s (60×) "
+        "— the consumer now honestly pays crc32+concat over all 451M "
+        "output rows, still sub-linear in the ×100 output; a real "
+        "consumer at 100 TB pays this or writes the pairs out, which "
+        "is the same bill",
     ),
     "edges_shares_interest": _d(
         "output-quadratic-by-contract",
@@ -229,6 +234,112 @@ _EXPLICIT: dict[str, Disposition] = {
     "exists_probe": _d(
         "flat", "same pushed point-probe shape as point_lookup, LIMIT 1"
     ),
+    # -- r12 refresh (VERDICT r11 #4): the checksum-repriced names whose
+    # cost lives in the GRAPH/EVENTS/TPC-H tables, re-swept at the FULL
+    # 10× stand-in (/tmp/sf1x now replicates all 10 tables, id-shift
+    # k*100M — PLANS.md round-12) under the checksum consumer, min of
+    # 2-3 reps. edges_same_college's refresh is folded into its
+    # output-quadratic row above. --
+    "degree_stats": _d(
+        "linear",
+        "r11 plan (a<b halving before the distinct machinery + 4-scan "
+        "localCheckpoint node pipeline); r12 10× sweep at the full "
+        "graph stand-in (checksum): 5.15 -> 20.07 s (3.9×) for 10× "
+        "nodes with 10× group sizes — the Σ df² undirected-pair "
+        "distinct is the term, within the ≤4× bar",
+    ),
+    "edge_counts_by_type": _d(
+        "linear",
+        "inherent Σ df² pair dedup (audited r8-r11); r12 10× sweep "
+        "(checksum, full graph stand-in): 3.54 -> 13.89 s (3.93×) — "
+        "within the ≤4× bar; the replica's ×10 group sizes are the "
+        "adversarial direction for this query",
+    ),
+    "ingest_students": _d(
+        "fixed-overhead",
+        "fixed onboarding jobs (max-id probe + two broadcast joins) "
+        "dominate; r12 10× sweep (checksum): 3.36 -> 4.51 s (1.34×) — "
+        "the data term underneath is linear in the ingested batch, not "
+        "the warehouse",
+    ),
+    "pricing_summary": _d(
+        "fixed-overhead",
+        "TPC-H Q1 scan + 6-group partial agg: map-side combine absorbs "
+        "10× lineitem before the exchange; r12 10× sweep (checksum): "
+        "1.12 -> 1.09 s (flat at these sizes; the scan term is linear)",
+    ),
+    "pii_scrub": _d(
+        "linear",
+        "join-free regexp-chain projection; r12 10× sweep (checksum): "
+        "0.58 -> 3.06 s — the 5.3× RATIO is the sub-second base "
+        "(overhead-dominated at sf0.1), the absolute 10× number is the "
+        "linear ~2 µs/row regex term emerging from under fixed "
+        "overhead; embarrassingly parallel at 100 TB",
+    ),
+    "dedup_span_removal": _d(
+        "linear",
+        "the substring-dedup REMOVAL step (keep-one contract), r10 "
+        "de-windowed plan; r12 10× sweep under the HONEST checksum "
+        "consumer (count() had pruned clean_text reconstruction, 3.6× "
+        "repricing): 1.75 -> 5.52 s (3.16×) with ~194× removal output "
+        "— sub-linear in output, within the ≤4× bar",
+    ),
+    "sessionize": _d(
+        "linear",
+        "per-user session windowing: one user-keyed shuffle + lag "
+        "window inside partitions; r12 10× sweep (checksum, full "
+        "events stand-in): 0.40 -> 0.69 s (1.74×) for 10× events",
+    ),
+    "events_hourly": _d(
+        "fixed-overhead",
+        "hour-bucket rollup, map-side partials absorb 10× events "
+        "(output = hours × types regardless of rows); r12 10× sweep "
+        "(checksum): 0.56 -> 0.79 s (1.41×)",
+    ),
+    "sequence_pack": _d(
+        "fixed-overhead",
+        "distributed prefix-sum pack (per-partition subtotal broadcast "
+        "+ within-partition cumsum, no global sort); r12 10× sweep "
+        "(checksum): 0.69 -> 0.99 s (1.43×) — r7's flat reading holds "
+        "under honest pricing",
+    ),
+    "product_profit": _d(
+        "fixed-overhead",
+        "part-filter prunes before the lineitem join (3 BHJ, 0 SMJ — "
+        "r6 audit); r12 10× sweep (checksum): 1.13 -> 0.99 s (flat)",
+    ),
+    "quality_classifier": _d(
+        "fixed-overhead",
+        "hashed-feature fit + score: constant-size sufficient stats, "
+        "one shuffle; r12 10× sweep (checksum): 0.91 -> 1.07 s (1.18×)",
+    ),
+    "volume_shipping": _d(
+        "linear",
+        "TPC-H Q7 broadcast cascade (5 BHJ, 0 SMJ — r6 audit holds); "
+        "r12 10× sweep (checksum): 0.92 -> 1.62 s (1.77×) for 10× "
+        "lineitem",
+    ),
+    "corpus_drift": _d(
+        "fixed-overhead",
+        "two unigram dists + KL: token partial-aggs absorb 10× docs; "
+        "r12 10× sweep (checksum): 1.15 -> 1.06 s (flat)",
+    ),
+    "promo_revenue_disjunctive": _d(
+        "fixed-overhead",
+        "scan + disjunctive-predicate agg, map-side partials; r12 10× "
+        "sweep (checksum): 0.64 -> 0.58 s (flat)",
+    ),
+    "split_leakage": _d(
+        "linear",
+        "r12 debut: rides dedup_jaccard_pairs' bucketed/rep-compressed "
+        "machinery (never all-pairs) + the zero-shuffle LCG split "
+        "projection + two pair-side equi-joins + a cross-split filter; "
+        "10× sweep (checksum): 4.48 -> 6.46 s (1.44×) while leakage "
+        "output grows 18 -> 24,481 (id-shifted replicas scatter copies "
+        "across splits — the adversarial direction) — pair-machinery-"
+        "bound and output-tolerant; inherits dup_source_matrix's "
+        "Σ df_tok² candidate-pair term and its ``max_df`` knob",
+    ),
 }
 
 # -- fixed-overhead families ------------------------------------------------
@@ -287,34 +398,34 @@ _LINEAR = [
     "brand_supplier_counts", "cdc_apply",
     "cheapest_supplier_per_part", "cluster_balanced_sample",
     "cluster_medoids", "cluster_outliers", "cluster_profile",
-    "conversion_lag", "corpus_drift", "cumulative_revenue",
+    "conversion_lag", "cumulative_revenue",
     "dedup_components", "dedup_components_incremental",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash", "dedup_jaccard", "dedup_minhash",
     "dedup_segments", "dedup_simhash",
-    "dedup_snm", "dedup_spans", "degree_stats", "distinct_rollup",
+    "dedup_snm", "dedup_spans", "distinct_rollup",
     "doc_chunks", "doc_fingerprint", "domain_stats", "dormant_customers",
-    "dsir_weights", "edge_counts_by_type", "embedding_norms",
+    "dsir_weights", "embedding_norms",
     "embedding_pca", "embedding_quantize", "event_transitions",
-    "events_anomaly", "events_cube", "events_hopping", "events_hourly",
+    "events_anomaly", "events_cube", "events_hopping", 
     "events_json", "events_ohlc", "events_pivot", "events_quantiles",
     "events_rollup_serve", "events_unpivot", "forecast_revenue",
     "frame_sample", "frequent_tokens", "funnel_counts",
     "fuzzy_search_indel", "fuzzy_search_lev", "gap_fill",
-    "holdout_split", "image_meta", "image_resize_plan", "ingest_students",
+    "holdout_split", "image_meta", "image_resize_plan",
     "integrity_check", "interests_transformed", "interval_join",
     "ivf_search", "k_anonymity", "knn_anchor", "knn_join", "lang_id",
     "late_shipment_priority", "lone_late_supplier", "lsh_neardup",
     "market_share", "mix_plan", "multimodal_stats", "name_ci_lookup",
     "nation_revenue", "node_names", "node_similarity", "normalized_nodes",
     "order_count_distribution", "order_priority_check", "pareto_revenue",
-    "pii_scrub", "ppmi_topk", "pq_search", "pricing_summary",
-    "product_profit", "promo_revenue_disjunctive", "quality_classifier",
+    "ppmi_topk", "pq_search", 
+    
     "quality_classifier_hashed", "quality_gate", "quality_scores",
     "recommend_people", "repetition_scores", "retention_cohorts",
     "revenue_rollup", "rolling_daily", "scd2_customers",
     "segment_overlap", "semantic_dedup_lsh", "sequence_match",
-    "sequence_pack", "session_paths", "sessionize", "ship_latency",
+    "session_paths", "ship_latency",
     "shipping_priority", "sketch_profile", "small_lot_revenue",
     "source_scorecard", "stratified_sample", "table_profile",
     "temperature_sample", "temporal_join", "tfidf_top_terms", "token_cms",
@@ -322,7 +433,7 @@ _LINEAR = [
     "top_parts_per_nation", "top_return_customers", "top_supplier",
     "training_filter", "triangle_counts",
     "unigram_logprob", "user_erasure", "user_profile", "value_histogram",
-    "volume_shipping", "weighted_sample", "winnowing_fingerprint",
+    "weighted_sample", "winnowing_fingerprint",
 ]
 
 DISPOSITIONS: dict[str, Disposition] = dict(_EXPLICIT)

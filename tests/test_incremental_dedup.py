@@ -571,3 +571,35 @@ def test_legacy_minhash_store_probes_and_upgrades(spark, sf_correct, tmp_path):
     meta = dedup._minhash_store_meta(store)
     assert meta["active"] == ["g1", "g2"]
     dedup.probe_minhash_store(spark, store, batch).count()
+
+
+def test_split_leakage_is_cross_split_restriction(spark, sf_correct):
+    """split_leakage (r12 debut) must be exactly the cross-split
+    restriction of the near-dup pair set, oriented train->eval: every
+    leakage row is a q_dedup_jaccard pair with endpoints on opposite
+    sides of the holdout split, and every such pair appears exactly
+    once with the sides correctly labeled."""
+    from graphdb_neo4j_spark.llmdata.filterset import (
+        q_holdout_split,
+        q_split_leakage,
+    )
+
+    split = {
+        r.doc_id: r.split for r in q_holdout_split(spark, sf_correct).collect()
+    }
+    pairs = {
+        (min(r.a, r.b), max(r.a, r.b)): r.jaccard
+        for r in dedup.q_dedup_jaccard(spark, sf_correct, threshold=0.8).collect()
+    }
+    expected = {
+        (a if split[a] == "train" else b, b if split[a] == "train" else a): j
+        for (a, b), j in pairs.items()
+        if split[a] != split[b]
+    }
+    got = {
+        (r.train_id, r.eval_id): r.jaccard
+        for r in q_split_leakage(spark, sf_correct, threshold=0.8).collect()
+    }
+    assert got == expected
+    for train_id, eval_id in got:
+        assert split[train_id] == "train" and split[eval_id] == "eval"
