@@ -564,6 +564,14 @@ register(
     olap.top_return_customers_sql(),
 )
 register("decontaminated", scrub.q_decontaminated, scrub.decontaminated_sql())
+# r12 debut: paraphrase-level benchmark contamination — short-shingle
+# Jaccard between the benchmark set and the corpus; the fuzzy complement
+# of the exact 13-gram `contamination` channel
+register(
+    "contamination_neardup",
+    scrub.q_contamination_neardup,
+    scrub.contamination_neardup_sql(),
+)
 register(
     "stream_anomaly",
     rollup_maintain.q_stream_anomaly,
@@ -1423,10 +1431,14 @@ if _missing:
 # =============================================================================
 # R12 WINDOW — the 50 names the driver's correctness harness records THIS
 # round: the staged r12 plan with the changed-first rule applied.
-# Changed-first block (1 slot): the r12 DEBUT ``split_leakage``
+# Changed-first block (2 slots): the r12 DEBUTS ``split_leakage``
 # (eval-set contamination via near-dup pairs crossing the holdout
-# split) needs its FIRST driver row; it displaces the newest staged
-# name (``events_anomaly``) to the front of the r13 plan. No other
+# split) and ``contamination_neardup`` (paraphrase-level benchmark
+# contamination) need their FIRST driver rows; they displace the two
+# newest staged names (``events_anomaly``, ``corpus_drift``) to the
+# front of the r13 plan. ``dedup_incremental`` — whose body moved
+# verbatim into the shared ``cross_split_jaccard_pairs`` helper both
+# debuts ride — is ALREADY in this window (r8 steady block). No other
 # registered query's plan changed in r12: the bench-harness
 # regime-stamp fix (bench.py only), the legacy-store grandfathering +
 # pipeline append idempotency + the opt-in memorized gate
@@ -1444,8 +1456,9 @@ if _missing:
 # =============================================================================
 
 R12_WINDOW = [
-    # r12 DEBUT (first driver row)
+    # r12 DEBUTS (first driver rows)
     "split_leakage",
+    "contamination_neardup",
     # displaced from the staged r11 plan by the r11 debuts (2) and the
     # late-r10 changed-first swaps (3)
     "events_cube", "sessionize",
@@ -1466,13 +1479,12 @@ R12_WINDOW = [
     "stream_dedup", "stream_interval", "stream_transitions",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash",
-    # oldest r9 rows, R9_STEADY source order (6; shipping_priority and
+    # oldest r9 rows, R9_STEADY source order (5; shipping_priority and
     # nation_revenue open the r13 pool, displaced by the carry-overs;
-    # events_anomaly — the newest staged name — displaced to the r13
-    # front by the split_leakage debut)
+    # events_anomaly and corpus_drift — the two newest staged names —
+    # displaced to the r13 front by the two debuts)
     "quality_classifier", "dedup_components_incremental",
     "quality_classifier_hashed", "quality_gate", "bigram_logprob",
-    "corpus_drift",
 ]
 
 if len(R12_WINDOW) != 50:
@@ -1500,15 +1512,16 @@ _PENDING.clear()
 # driver row is r9 (R9_STEADY source order, 36 names —
 # `shipping_priority` and `nation_revenue`, displaced from the r12
 # plan by the late-r10 carry-overs, lead them), then the oldest r10
-# rows (R10_WINDOW source order; 13 fit — `top_parts_per_nation` opens
-# the r14 pool). Any query materially changed in r13 jumps to the
+# rows (R10_WINDOW source order; 12 fit — `events_quantiles` and
+# `top_parts_per_nation` open the r14 pool). Any query materially
+# changed in r13 jumps to the
 # front, displacing the newest names here to r14. (Counts are
 # narrative; the asserts below are authoritative.)
 # =============================================================================
 
 R13_WINDOW_PLAN = [
-    # displaced from the r12 window by the split_leakage debut (1)
-    "events_anomaly",
+    # displaced from the r12 window by the two r12 debuts (2)
+    "events_anomaly", "corpus_drift",
     # last driver row r9, R9_STEADY source order (36)
     "shipping_priority", "nation_revenue",
     "late_shipment_priority", "promo_revenue_disjunctive",
@@ -1523,14 +1536,13 @@ R13_WINDOW_PLAN = [
     "decontaminated", "domain_stats", "repetition_scores",
     "holdout_split", "unigram_logprob", "funnel_counts",
     "retention_cohorts",
-    # oldest r10 rows, R10_WINDOW source order (13; top_parts_per_nation
-    # — the newest — opens the r14 pool, displaced by the carried
-    # events_anomaly)
+    # oldest r10 rows, R10_WINDOW source order (12; events_quantiles /
+    # top_parts_per_nation — the newest — open the r14 pool, displaced
+    # by the carried events_anomaly / corpus_drift)
     "dedup_span_removal", "dedup_span_removal_incremental", "token_cms",
     "bpe_encode_fixed", "dedup_simhash", "winnowing_fingerprint",
     "dedup_components", "training_filter", "dedup_representatives",
     "dedup_segments", "stratified_sample", "semantic_dedup",
-    "events_quantiles",
 ]
 
 if len(R13_WINDOW_PLAN) != 50:

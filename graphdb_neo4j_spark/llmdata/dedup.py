@@ -995,8 +995,45 @@ def q_dedup_incremental(
     member) pairs inherit the rep jaccard in both orientations, in-group
     hist×batch pairs are exactly 1.0.
     """
-    _validate_threshold(threshold)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cross_split_jaccard_pairs(
+        docs,
+        a_pred=lambda i: i % 2 == 0,
+        b_pred=lambda i: i % 2 == 1,
+        threshold=threshold,
+        width=width,
+        max_df=max_df,
+        out_a="hist_id",
+        out_b="new_id",
+    )
+
+
+def cross_split_jaccard_pairs(
+    docs: DataFrame,
+    a_pred,
+    b_pred,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+    out_a: str = "hist_id",
+    out_b: str = "new_id",
+) -> DataFrame:
+    """Oriented cross-split shingle-Jaccard pairs (``out_a``, ``out_b``,
+    ``jaccard``) between two disjoint doc populations given by the id
+    predicates ``a_pred``/``b_pred`` (each a Column→Column lambda) — the
+    r6 rep-compressed, orientation-direct machinery of
+    :func:`q_dedup_incremental`, extracted (r12) so the
+    benchmark-contamination form (:func:`~graphdb_neo4j_spark.llmdata.
+    scrub.q_contamination_neardup`: bench side × corpus side) rides the
+    identical plan instead of duplicating it.
+
+    One shingle pass feeds both sides; token df pruning uses the FULL
+    corpus (oracle semantics), exact-duplicate docs collapse to
+    representatives before the intersection join, and rep pairs expand
+    split-aware (cross-group pairs inherit the rep jaccard, in-group
+    cross-boundary pairs are exactly 1.0).
+    """
+    _validate_threshold(threshold)
     toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
         eager=False
     )
@@ -1007,21 +1044,17 @@ def q_dedup_incremental(
     # at the 10× stand-in)
     rtoks = toks.join(rc.representatives(member, "doc_id"), "doc_id", "left_semi")
     # orientation-direct rep join: a-side = reps whose group holds ANY
-    # history doc, b-side = reps whose group holds ANY batch doc — each
-    # ordered rep pair expands to exactly its (hist member, batch member)
+    # a-side doc, b-side = reps whose group holds ANY b-side doc — each
+    # ordered rep pair expands to exactly its (a member, b member)
     # outputs, so no symmetrize (a symmetrizing union would re-execute
     # the join subtree) and no within-side work
-    hist_reps = (
-        member.filter(F.col("doc_id") % 2 == 0).select("rep").distinct()
-    )
-    batch_reps = (
-        member.filter(F.col("doc_id") % 2 == 1).select("rep").distinct()
-    )
+    a_reps = member.filter(a_pred(F.col("doc_id"))).select("rep").distinct()
+    b_reps = member.filter(b_pred(F.col("doc_id"))).select("rep").distinct()
     ta = rtoks.join(
-        hist_reps.withColumnRenamed("rep", "doc_id"), "doc_id", "left_semi"
+        a_reps.withColumnRenamed("rep", "doc_id"), "doc_id", "left_semi"
     ).select(F.col("doc_id").alias("a"), "tok")
     tb = rtoks.join(
-        batch_reps.withColumnRenamed("rep", "doc_id"), "doc_id", "left_semi"
+        b_reps.withColumnRenamed("rep", "doc_id"), "doc_id", "left_semi"
     ).select(F.col("doc_id").alias("b"), "tok")
     inter = (
         ta.join(tb, "tok")
@@ -1034,25 +1067,25 @@ def q_dedup_incremental(
         rep_pairs,
         member,
         "doc_id",
-        out_a="hist_id",
-        out_b="new_id",
-        filter_a=lambda i: i % 2 == 0,
-        filter_b=lambda i: i % 2 == 1,
+        out_a=out_a,
+        out_b=out_b,
+        filter_a=a_pred,
+        filter_b=b_pred,
         ordered=False,
-    ).select("hist_id", "new_id", "jaccard")
+    ).select(out_a, out_b, "jaccard")
     # in-group: identical docs across the split boundary, jaccard 1.0
     # (zero-shingle docs stay outside the near-dup universe, as the
     # oracle has it)
     in_group = rc.expand_in_group_pairs(
         member,
         "doc_id",
-        a="hist_id",
-        b="new_id",
+        a=out_a,
+        b=out_b,
         universe=toks.select("doc_id").distinct(),
-        filter_a=lambda i: i % 2 == 0,
-        filter_b=lambda i: i % 2 == 1,
+        filter_a=a_pred,
+        filter_b=b_pred,
         ordered=False,
-    ).select("hist_id", "new_id", F.lit(1.0).alias("jaccard"))
+    ).select(out_a, out_b, F.lit(1.0).alias("jaccard"))
     return cross.unionByName(in_group)
 
 

@@ -157,6 +157,87 @@ GROUP BY g.doc_id
 """
 
 
+# Short CHAR shingles (the dedup family's w-shingling, narrower than its
+# 20-char near-dup default): a paraphrase keeps most 10-char windows
+# but loses whole 13-TOKEN grams. Threshold calibration against the
+# worst evader of the exact channel — to kill every 13-gram it must
+# change a token at least every 13, which destroys roughly
+# (tok_len + width − 1) / (13 · (tok_len + 1)) ≈ 15–25% of char windows
+# → shared fraction ~0.75–0.85 → Jaccard ≈ 0.6–0.75. The 0.5 bar sits
+# under that signature with margin, and is far above what unrelated
+# same-domain docs reach at whole-doc granularity.
+NEARDUP_CONTAM_WIDTH = 10
+NEARDUP_CONTAM_THRESHOLD = 0.5
+
+
+def q_contamination_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = NEARDUP_CONTAM_THRESHOLD,
+    width: int = NEARDUP_CONTAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+) -> DataFrame:
+    """(bench_id, corpus_id, jaccard) — PARAPHRASE-level benchmark
+    contamination (r12 debut): corpus docs whose ``width``-CHAR shingle
+    Jaccard against some benchmark doc clears ``threshold``. The fuzzy
+    complement of :func:`q_contamination`: the exact 13-token-gram check
+    misses a reworded benchmark item (one changed token kills every
+    overlapping 13-gram), while most short char windows survive light
+    rewording — that surviving-shingle mass IS the paraphrase signature
+    (calibration at the constants above). Both channels feed the same
+    remediation (anti-join ``corpus_id`` out, as ``q_decontaminated``
+    does for the exact channel).
+
+    Scale shape: rides the r6 rep-compressed orientation-direct
+    machinery (:func:`~graphdb_neo4j_spark.llmdata.dedup.
+    cross_split_jaccard_pairs`) with the bench/corpus predicates — work
+    is Σ_shingle df_bench·df_corpus (the benchmark side is tiny, so the
+    intersection join is benchmark-bound, never corpus-quadratic), with
+    the full-corpus ``max_df`` hot-shingle guard on top.
+    """
+    from graphdb_neo4j_spark.llmdata.dedup import cross_split_jaccard_pairs
+
+    return cross_split_jaccard_pairs(
+        _docs(spark, sf_dir),
+        a_pred=lambda i: i < bench_max_id,
+        b_pred=lambda i: i >= bench_max_id,
+        threshold=threshold,
+        width=width,
+        out_a="bench_id",
+        out_b="corpus_id",
+    )
+
+
+def contamination_neardup_sql(
+    threshold: float = NEARDUP_CONTAM_THRESHOLD,
+    width: int = NEARDUP_CONTAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+) -> str:
+    """DuckDB oracle: the literal bench×corpus shingle self-join —
+    independent of the rep-compressed Spark path."""
+    from graphdb_neo4j_spark.llmdata.dedup import (
+        MAX_TOKEN_DF,
+        _shingle_toks_cte,
+    )
+
+    return rf"""
+WITH {_shingle_toks_cte(width, MAX_TOKEN_DF).strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT t1.doc_id AS a, t2.doc_id AS b, COUNT(*) AS n_inter
+    FROM toks t1 JOIN toks t2 ON t1.tok = t2.tok
+    WHERE t1.doc_id < {bench_max_id} AND t2.doc_id >= {bench_max_id}
+    GROUP BY t1.doc_id, t2.doc_id
+)
+SELECT a AS bench_id, b AS corpus_id,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}
+"""
+
+
 def q_decontaminated(
     spark: SparkSession,
     sf_dir: str,

@@ -329,6 +329,18 @@ _EXPLICIT: dict[str, Disposition] = {
         "scan + disjunctive-predicate agg, map-side partials; r12 10× "
         "sweep (checksum): 0.64 -> 0.58 s (flat)",
     ),
+    "contamination_neardup": _d(
+        "linear",
+        "r12 debut: paraphrase-level benchmark contamination via the "
+        "shared cross_split_jaccard_pairs machinery with bench/corpus "
+        "predicates — the intersection join is Σ_shingle "
+        "df_bench·df_corpus, BENCHMARK-bound (the bench side is a "
+        "fixed small set), never corpus-quadratic, plus the full-"
+        "corpus max_df hot-shingle guard; 10× sweep (checksum): "
+        "3.65 -> 6.01 s (1.65×) while the replica lifts match output "
+        "3 -> 318 (id-shifted copies of bench docs read as exact-"
+        "contaminated corpus docs — the adversarial direction)",
+    ),
     "split_leakage": _d(
         "linear",
         "r12 debut: rides dedup_jaccard_pairs' bucketed/rep-compressed "

@@ -101,3 +101,52 @@ def test_domain_stats_on_crafted_urls(spark, tmp_path):
     assert got["example.com"] == (2, 3)  # docs 1 and 4; 3 mentions
     assert got["sub.example.org"] == (1, 1)  # lowercased host
     assert len(got) == 2  # doc 3 contributes nothing
+
+
+def test_contamination_neardup_catches_paraphrase_exact_misses(spark, tmp_path):
+    """The paraphrase channel's reason to exist (r12 debut): a benchmark
+    doc reworded once every ~12 tokens defeats the exact 13-TOKEN-gram
+    check (zero surviving 13-grams) but keeps most of its 10-CHAR
+    shingle Jaccard — contamination_neardup must flag it with the exact
+    value a pure-Python w-shingling reference computes, q_contamination
+    must not, and an unrelated doc must pass both."""
+    import re
+
+    from graphdb_neo4j_spark.llmdata.scrub import (
+        NEARDUP_CONTAM_WIDTH,
+        q_contamination,
+        q_contamination_neardup,
+    )
+
+    bench_toks = [f"word{i}" for i in range(30)]
+    para_toks = list(bench_toks)
+    para_toks[6], para_toks[18] = "xxxx6", "xxxx18"  # every 13-window hit
+    bench_text = " ".join(bench_toks)
+    para_text = " ".join(para_toks)
+    rows = [
+        (0, bench_text, "en", "bench", 0),
+        (100, para_text, "en", "s", 0),
+        (101, " ".join(f"zebra{i}" for i in range(30)), "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    exact = {r.doc_id for r in q_contamination(spark, str(tmp_path)).collect()}
+    assert 100 not in exact  # the evasion the exact channel admits
+
+    def shingles(text, w=NEARDUP_CONTAM_WIDTH):
+        t = re.sub(r"\s+", " ", text.strip().lower())
+        return {t[i : i + w] for i in range(len(t) - w + 1)}
+
+    sa, sb = shingles(bench_text), shingles(para_text)
+    expected_j = round(len(sa & sb) / len(sa | sb), 6)
+    assert expected_j >= 0.5, "fixture must clear the default threshold"
+
+    near = {
+        (r.bench_id, r.corpus_id): r.jaccard
+        for r in q_contamination_neardup(spark, str(tmp_path)).collect()
+    }
+    assert set(near) == {(0, 100)}
+    assert near[(0, 100)] == expected_j
