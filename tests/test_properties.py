@@ -565,3 +565,66 @@ def test_span_removal_incremental_matches_bruteforce(spark, docs):
         docs, width, min_df, priority=lambda d, i: (d % 2, d, i)
     )
     assert got == {d: v for d, v in ref.items() if d % 2 == 1}
+
+
+# --- cross-split jaccard machinery vs pure-Python reference (r12) -----------
+#
+# cross_split_jaccard_pairs became shared infrastructure in r12 (parity
+# incremental dedup + benchmark paraphrase contamination ride it), so its
+# semantics get a property pin: rep-compression, full-corpus df pruning,
+# orientation, in-group 1.0 settling, and the zero-shingle exclusion must
+# all agree with a direct set-algebra reference on arbitrary tiny corpora.
+
+_DOC = st.text(alphabet="ab c", min_size=0, max_size=24)
+
+
+def _shingle_ref(text, width):
+    import re
+
+    t = re.sub(r"\s+", " ", text.strip().lower())
+    return {t[i : i + width] for i in range(len(t) - width + 1)}
+
+
+def _cross_pairs_ref(texts, a_pred, b_pred, width, threshold, max_df):
+    sh = {i: _shingle_ref(t, width) for i, t in enumerate(texts)}
+    df = {}
+    for s in sh.values():
+        for tok in s:
+            df[tok] = df.get(tok, 0) + 1
+    sh = {i: {t for t in s if df[t] <= max_df} for i, s in sh.items()}
+    out = {}
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a == b or not a_pred(a) or not b_pred(b) or not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+@pytest.mark.parametrize(
+    "a_pred,b_pred",
+    [
+        (lambda i: i % 2 == 0, lambda i: i % 2 == 1),
+        (lambda i: i < 2, lambda i: i >= 2),
+    ],
+    ids=["parity", "threshold-split"],
+)
+@settings(max_examples=12, deadline=None)
+@given(texts=st.lists(_DOC, min_size=2, max_size=6))
+def test_cross_split_jaccard_matches_set_algebra(spark, a_pred, b_pred, texts):
+    from graphdb_neo4j_spark.llmdata.dedup import cross_split_jaccard_pairs
+
+    width, threshold, max_df = 3, 0.5, 3
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.xa, r.xb): r.jaccard
+        for r in cross_split_jaccard_pairs(
+            docs, a_pred, b_pred, threshold, width, max_df,
+            out_a="xa", out_b="xb",
+        ).collect()
+    }
+    assert got == _cross_pairs_ref(texts, a_pred, b_pred, width, threshold, max_df)
