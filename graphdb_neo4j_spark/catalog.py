@@ -572,6 +572,13 @@ register(
     scrub.q_contamination_neardup,
     scrub.contamination_neardup_sql(),
 )
+# r12 debut: the union remediation — docs clean on BOTH contamination
+# channels (zero exact 13-gram collisions AND under the paraphrase bar)
+register(
+    "decontaminated_full",
+    scrub.q_decontaminated_full,
+    scrub.decontaminated_full_sql(),
+)
 register(
     "stream_anomaly",
     rollup_maintain.q_stream_anomaly,
@@ -1431,12 +1438,13 @@ if _missing:
 # =============================================================================
 # R12 WINDOW — the 50 names the driver's correctness harness records THIS
 # round: the staged r12 plan with the changed-first rule applied.
-# Changed-first block (2 slots): the r12 DEBUTS ``split_leakage``
+# Changed-first block (3 slots): the r12 DEBUTS ``split_leakage``
 # (eval-set contamination via near-dup pairs crossing the holdout
-# split) and ``contamination_neardup`` (paraphrase-level benchmark
-# contamination) need their FIRST driver rows; they displace the two
-# newest staged names (``events_anomaly``, ``corpus_drift``) to the
-# front of the r13 plan. ``dedup_incremental`` — whose body moved
+# split), ``contamination_neardup`` (paraphrase-level benchmark
+# contamination), and ``decontaminated_full`` (the union remediation
+# over both contamination channels) need their FIRST driver rows; they
+# displace the three newest staged names (``events_anomaly``,
+# ``corpus_drift``, ``bigram_logprob``) to the front of the r13 plan. ``dedup_incremental`` — whose body moved
 # verbatim into the shared ``cross_split_jaccard_pairs`` helper both
 # debuts ride — is ALREADY in this window (r8 steady block). No other
 # registered query's plan changed in r12: the bench-harness
@@ -1459,6 +1467,7 @@ R12_WINDOW = [
     # r12 DEBUTS (first driver rows)
     "split_leakage",
     "contamination_neardup",
+    "decontaminated_full",
     # displaced from the staged r11 plan by the r11 debuts (2) and the
     # late-r10 changed-first swaps (3)
     "events_cube", "sessionize",
@@ -1479,12 +1488,12 @@ R12_WINDOW = [
     "stream_dedup", "stream_interval", "stream_transitions",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash",
-    # oldest r9 rows, R9_STEADY source order (5; shipping_priority and
+    # oldest r9 rows, R9_STEADY source order (4; shipping_priority and
     # nation_revenue open the r13 pool, displaced by the carry-overs;
-    # events_anomaly and corpus_drift — the two newest staged names —
-    # displaced to the r13 front by the two debuts)
+    # events_anomaly / corpus_drift / bigram_logprob — the three newest
+    # staged names — displaced to the r13 front by the three debuts)
     "quality_classifier", "dedup_components_incremental",
-    "quality_classifier_hashed", "quality_gate", "bigram_logprob",
+    "quality_classifier_hashed", "quality_gate",
 ]
 
 if len(R12_WINDOW) != 50:
@@ -1512,16 +1521,16 @@ _PENDING.clear()
 # driver row is r9 (R9_STEADY source order, 36 names —
 # `shipping_priority` and `nation_revenue`, displaced from the r12
 # plan by the late-r10 carry-overs, lead them), then the oldest r10
-# rows (R10_WINDOW source order; 12 fit — `events_quantiles` and
-# `top_parts_per_nation` open the r14 pool). Any query materially
-# changed in r13 jumps to the
+# rows (R10_WINDOW source order; 11 fit — `semantic_dedup`,
+# `events_quantiles` and `top_parts_per_nation` open the r14 pool).
+# Any query materially changed in r13 jumps to the
 # front, displacing the newest names here to r14. (Counts are
 # narrative; the asserts below are authoritative.)
 # =============================================================================
 
 R13_WINDOW_PLAN = [
-    # displaced from the r12 window by the two r12 debuts (2)
-    "events_anomaly", "corpus_drift",
+    # displaced from the r12 window by the three r12 debuts (3)
+    "events_anomaly", "corpus_drift", "bigram_logprob",
     # last driver row r9, R9_STEADY source order (36)
     "shipping_priority", "nation_revenue",
     "late_shipment_priority", "promo_revenue_disjunctive",
@@ -1536,13 +1545,13 @@ R13_WINDOW_PLAN = [
     "decontaminated", "domain_stats", "repetition_scores",
     "holdout_split", "unigram_logprob", "funnel_counts",
     "retention_cohorts",
-    # oldest r10 rows, R10_WINDOW source order (12; events_quantiles /
-    # top_parts_per_nation — the newest — open the r14 pool, displaced
-    # by the carried events_anomaly / corpus_drift)
+    # oldest r10 rows, R10_WINDOW source order (11; semantic_dedup /
+    # events_quantiles / top_parts_per_nation — the newest — open the
+    # r14 pool, displaced by the carried names)
     "dedup_span_removal", "dedup_span_removal_incremental", "token_cms",
     "bpe_encode_fixed", "dedup_simhash", "winnowing_fingerprint",
     "dedup_components", "training_filter", "dedup_representatives",
-    "dedup_segments", "stratified_sample", "semantic_dedup",
+    "dedup_segments", "stratified_sample",
 ]
 
 if len(R13_WINDOW_PLAN) != 50:

@@ -274,6 +274,63 @@ WHERE doc_id >= {bench_max_id}
 """
 
 
+def q_decontaminated_full(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = NGRAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+    neardup_threshold: float = NEARDUP_CONTAM_THRESHOLD,
+    neardup_width: int = NEARDUP_CONTAM_WIDTH,
+) -> DataFrame:
+    """The UNION remediation (r12): every non-benchmark doc clean on BOTH
+    contamination channels — zero exact 13-gram collisions AND below the
+    paraphrase shingle-Jaccard bar. ``q_decontaminated`` drops only the
+    verbatim channel; a reworded benchmark item survives it and still
+    poisons eval — this is the set a training pipeline should actually
+    train on once a benchmark list exists.
+
+    Plan shape: both flagged-id sets are small by construction (exact
+    collisions are rare; the fuzzy side is benchmark-bound), so their
+    union broadcasts into one LEFT ANTI; the docs scan stays
+    column-pruned to the output columns.
+    """
+    exact = q_contamination(spark, sf_dir, width, bench_max_id).select("doc_id")
+    fuzzy = (
+        q_contamination_neardup(
+            spark, sf_dir, neardup_threshold, neardup_width, bench_max_id
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    flagged = exact.unionByName(fuzzy).distinct()
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("doc_id") >= bench_max_id)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def decontaminated_full_sql(
+    width: int = NGRAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+    neardup_threshold: float = NEARDUP_CONTAM_THRESHOLD,
+    neardup_width: int = NEARDUP_CONTAM_WIDTH,
+) -> str:
+    return f"""
+WITH contaminated AS ({contamination_sql(width, bench_max_id).strip()})
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id >= {bench_max_id}
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND doc_id NOT IN (
+      SELECT corpus_id FROM (
+          {contamination_neardup_sql(neardup_threshold, neardup_width, bench_max_id).strip()}
+      ) fuzzy
+  )
+"""
+
+
 DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
 
 

@@ -341,6 +341,15 @@ _EXPLICIT: dict[str, Disposition] = {
         "3 -> 318 (id-shifted copies of bench docs read as exact-"
         "contaminated corpus docs — the adversarial direction)",
     ),
+    "decontaminated_full": _d(
+        "linear",
+        "r12 debut: the union remediation — exact-channel flagged ids ∪ "
+        "fuzzy-channel corpus ids broadcast into one LEFT ANTI over the "
+        "column-pruned docs scan; cost ≈ contamination + "
+        "contamination_neardup + one broadcast anti-join; 10× sweep "
+        "(checksum): 5.29 -> 13.06 s (2.47×) for 10× rows with drop "
+        "output 3 -> 318",
+    ),
     "split_leakage": _d(
         "linear",
         "r12 debut: rides dedup_jaccard_pairs' bucketed/rep-compressed "

@@ -150,3 +150,20 @@ def test_contamination_neardup_catches_paraphrase_exact_misses(spark, tmp_path):
     }
     assert set(near) == {(0, 100)}
     assert near[(0, 100)] == expected_j
+
+    # remediation forms: the exact-channel complement KEEPS the evader
+    # (the gap), the union remediation drops it; the unrelated doc and
+    # no benchmark doc appear in either
+    from graphdb_neo4j_spark.llmdata.scrub import (
+        q_decontaminated,
+        q_decontaminated_full,
+    )
+
+    exact_clean = {
+        r.doc_id for r in q_decontaminated(spark, str(tmp_path)).collect()
+    }
+    full_clean = {
+        r.doc_id for r in q_decontaminated_full(spark, str(tmp_path)).collect()
+    }
+    assert exact_clean == {100, 101}  # evader survives the verbatim channel
+    assert full_clean == {101}  # the union remediation closes the gap
