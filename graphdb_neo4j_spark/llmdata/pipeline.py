@@ -5,6 +5,8 @@ operators:
     JSONL → columnarize (corrupt-line quarantine)
           → hygiene counts (PII spans)
           → gates: quality ∧ language ∧ ¬exact-dup ∧ ¬near-dup
+          → (opt-in) decontamination: benchmark docs + exact-13-gram +
+            paraphrase-shingle contaminated survivors drop
           → keep-set parquet
           → duplicated-SPAN removal over the keep set (keep-one
             substring dedup — gates drop whole docs, this cleans the
@@ -44,7 +46,8 @@ class PipelineReport:
     ingested_rows: int
     corrupt_lines: int
     kept_docs: int
-    # quality / lang / exact_dup / near_dup / span_emptied
+    # quality / lang / exact_dup / near_dup / span_emptied /
+    # contaminated (opt-in decontamination gate, r12)
     dropped_by_reason: dict[str, int]
     docs_with_pii: int
     chunks: int
@@ -57,7 +60,10 @@ class PipelineReport:
 
 
 def run_corpus_pipeline(
-    spark: SparkSession, jsonl_path: str, out_base: str
+    spark: SparkSession,
+    jsonl_path: str,
+    out_base: str,
+    decontaminate_bench_max_id: int | None = None,
 ) -> PipelineReport:
     """Run the full corpus pipeline; artifacts land under ``out_base``:
 
@@ -76,6 +82,16 @@ def run_corpus_pipeline(
     chunks and token counts reflect the cleaned text. A doc emptied by
     the cut (its entire text was someone else's passage) is dropped with
     reason ``span_emptied``.
+
+    ``decontaminate_bench_max_id`` (r12, opt-in): when set, a
+    DECONTAMINATION gate runs after the training filter — gate
+    survivors that are benchmark docs themselves (doc_id below the
+    bound), exact 13-gram contaminated, or paraphrase-contaminated
+    (``q_contamination_neardup``) drop with reason ``contaminated``
+    before span removal and the train write (the union-remediation
+    semantics of ``q_decontaminated_full``, applied drop-not-report).
+    Default (None) keeps the historical behavior: no benchmark list, no
+    contamination gate.
     """
     raw_dir = f"{out_base}/raw"
     kept_dir = f"{out_base}/kept"
@@ -110,6 +126,36 @@ def run_corpus_pipeline(
 
     docs = spark.read.parquet(f"{raw_dir}/documents.parquet")
     keep_ids = verdicts.filter(F.col("keep")).select("doc_id")
+    if decontaminate_bench_max_id is not None:
+        from graphdb_neo4j_spark.llmdata.scrub import (
+            q_contamination,
+            q_contamination_neardup,
+        )
+
+        exact = q_contamination(
+            spark, raw_dir, bench_max_id=decontaminate_bench_max_id
+        ).select("doc_id")
+        fuzzy = (
+            q_contamination_neardup(
+                spark, raw_dir, bench_max_id=decontaminate_bench_max_id
+            )
+            .select(F.col("corpus_id").alias("doc_id"))
+            .distinct()
+        )
+        # the benchmark docs THEMSELVES are the worst contamination —
+        # they must never reach the train set either
+        bench_ids = docs.filter(
+            F.col("doc_id") < decontaminate_bench_max_id
+        ).select("doc_id")
+        flagged = exact.unionByName(fuzzy).unionByName(bench_ids).distinct()
+        decontaminated = keep_ids.join(
+            F.broadcast(flagged), "doc_id", "left_anti"
+        )
+        n_contaminated = kept - decontaminated.count()
+        if n_contaminated:
+            reasons["contaminated"] = n_contaminated
+            kept -= n_contaminated
+            keep_ids = decontaminated
     docs.join(keep_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
         f"{kept_dir}/documents.parquet"
     )

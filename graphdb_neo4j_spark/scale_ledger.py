@@ -273,7 +273,7 @@ _EXPLICIT: dict[str, Disposition] = {
         "join-free regexp-chain projection; r12 10× sweep (checksum): "
         "0.58 -> 3.06 s — the 5.3× RATIO is the sub-second base "
         "(overhead-dominated at sf0.1), the absolute 10× number is the "
-        "linear ~2 µs/row regex term emerging from under fixed "
+        "linear ~20 µs/row regex term emerging from under fixed "
         "overhead; embarrassingly parallel at 100 TB",
     ),
     "dedup_span_removal": _d(

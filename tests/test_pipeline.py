@@ -121,3 +121,44 @@ def test_pipeline_quarantines_corrupt_lines(spark, sf_dir, tmp_path):
     report = run_corpus_pipeline(spark, str(jsonl_path), str(tmp_path / "out2"))
     assert report.corrupt_lines == 2
     assert report.ingested_rows == docs.count()  # good rows unaffected
+
+
+def test_pipeline_decontamination_gate(spark, sf_dir, tmp_path):
+    """Opt-in decontamination gate (r12): with a benchmark bound set, no
+    train doc may be a benchmark doc or flagged by EITHER contamination
+    channel; dropped docs carry their own `contaminated` reason and the
+    accounting still closes. Default (None) behavior is pinned unchanged
+    by the other tests in this file."""
+    from graphdb_neo4j_spark.llmdata.scrub import (
+        q_contamination,
+        q_contamination_neardup,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jsonl_path = str(tmp_path / "dump")
+    write_documents_jsonl(docs, jsonl_path)
+    out = str(tmp_path / "out")
+    report = run_corpus_pipeline(
+        spark, jsonl_path, out, decontaminate_bench_max_id=32
+    )
+
+    assert report.kept_docs + report.dropped_docs == report.ingested_rows
+    assert set(report.dropped_by_reason) <= {
+        "quality", "lang", "exact_dup", "near_dup", "span_emptied",
+        "contaminated",
+    }
+
+    train_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/train/documents.parquet").collect()
+    }
+    assert train_ids, "gate must not empty the corpus at this SF"
+    assert not {i for i in train_ids if i < 32}  # no benchmark doc trains
+    exact_flagged = {
+        r.doc_id for r in q_contamination(spark, f"{out}/raw").collect()
+    }
+    fuzzy_flagged = {
+        r.corpus_id
+        for r in q_contamination_neardup(spark, f"{out}/raw").collect()
+    }
+    assert not (train_ids & (exact_flagged | fuzzy_flagged))
