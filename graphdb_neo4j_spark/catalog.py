@@ -558,6 +558,14 @@ register(
 register(
     "split_leakage", filterset.q_split_leakage, filterset.split_leakage_sql()
 )
+# r12 debut: the leakage REMEDIATION — holdout split with every near-dup
+# component containing an eval doc moved entirely to eval (the one-pass
+# fixpoint; pair-level moves would create new leakage transitively)
+register(
+    "holdout_split_repaired",
+    filterset.q_holdout_split_repaired,
+    filterset.holdout_split_repaired_sql(),
+)
 register(
     "top_return_customers",
     olap.q_top_return_customers,
@@ -1438,13 +1446,15 @@ if _missing:
 # =============================================================================
 # R12 WINDOW — the 50 names the driver's correctness harness records THIS
 # round: the staged r12 plan with the changed-first rule applied.
-# Changed-first block (3 slots): the r12 DEBUTS ``split_leakage``
+# Changed-first block (4 slots): the r12 DEBUTS ``split_leakage``
 # (eval-set contamination via near-dup pairs crossing the holdout
 # split), ``contamination_neardup`` (paraphrase-level benchmark
-# contamination), and ``decontaminated_full`` (the union remediation
-# over both contamination channels) need their FIRST driver rows; they
-# displace the three newest staged names (``events_anomaly``,
-# ``corpus_drift``, ``bigram_logprob``) to the front of the r13 plan. ``dedup_incremental`` — whose body moved
+# contamination), ``decontaminated_full`` (the union remediation over
+# both contamination channels), and ``holdout_split_repaired`` (the
+# leakage remediation: component-level move-to-eval fixpoint) need
+# their FIRST driver rows; they displace the four newest staged names
+# (``events_anomaly``, ``corpus_drift``, ``bigram_logprob``,
+# ``quality_gate``) to the front of the r13 plan. ``dedup_incremental`` — whose body moved
 # verbatim into the shared ``cross_split_jaccard_pairs`` helper both
 # debuts ride — is ALREADY in this window (r8 steady block). No other
 # registered query's plan changed in r12: the bench-harness
@@ -1468,6 +1478,7 @@ R12_WINDOW = [
     "split_leakage",
     "contamination_neardup",
     "decontaminated_full",
+    "holdout_split_repaired",
     # displaced from the staged r11 plan by the r11 debuts (2) and the
     # late-r10 changed-first swaps (3)
     "events_cube", "sessionize",
@@ -1488,12 +1499,13 @@ R12_WINDOW = [
     "stream_dedup", "stream_interval", "stream_transitions",
     "dedup_incremental", "dedup_incremental_exact",
     "dedup_incremental_minhash",
-    # oldest r9 rows, R9_STEADY source order (4; shipping_priority and
+    # oldest r9 rows, R9_STEADY source order (3; shipping_priority and
     # nation_revenue open the r13 pool, displaced by the carry-overs;
-    # events_anomaly / corpus_drift / bigram_logprob — the three newest
-    # staged names — displaced to the r13 front by the three debuts)
+    # events_anomaly / corpus_drift / bigram_logprob / quality_gate —
+    # the four newest staged names — displaced to the r13 front by the
+    # four debuts)
     "quality_classifier", "dedup_components_incremental",
-    "quality_classifier_hashed", "quality_gate",
+    "quality_classifier_hashed",
 ]
 
 if len(R12_WINDOW) != 50:
@@ -1521,16 +1533,16 @@ _PENDING.clear()
 # driver row is r9 (R9_STEADY source order, 36 names —
 # `shipping_priority` and `nation_revenue`, displaced from the r12
 # plan by the late-r10 carry-overs, lead them), then the oldest r10
-# rows (R10_WINDOW source order; 11 fit — `semantic_dedup`,
-# `events_quantiles` and `top_parts_per_nation` open the r14 pool).
-# Any query materially changed in r13 jumps to the
+# rows (R10_WINDOW source order; 10 fit — `stratified_sample`,
+# `semantic_dedup`, `events_quantiles` and `top_parts_per_nation` open
+# the r14 pool). Any query materially changed in r13 jumps to the
 # front, displacing the newest names here to r14. (Counts are
 # narrative; the asserts below are authoritative.)
 # =============================================================================
 
 R13_WINDOW_PLAN = [
-    # displaced from the r12 window by the three r12 debuts (3)
-    "events_anomaly", "corpus_drift", "bigram_logprob",
+    # displaced from the r12 window by the four r12 debuts (4)
+    "events_anomaly", "corpus_drift", "bigram_logprob", "quality_gate",
     # last driver row r9, R9_STEADY source order (36)
     "shipping_priority", "nation_revenue",
     "late_shipment_priority", "promo_revenue_disjunctive",
@@ -1545,13 +1557,13 @@ R13_WINDOW_PLAN = [
     "decontaminated", "domain_stats", "repetition_scores",
     "holdout_split", "unigram_logprob", "funnel_counts",
     "retention_cohorts",
-    # oldest r10 rows, R10_WINDOW source order (11; semantic_dedup /
-    # events_quantiles / top_parts_per_nation — the newest — open the
-    # r14 pool, displaced by the carried names)
+    # oldest r10 rows, R10_WINDOW source order (10; stratified_sample /
+    # semantic_dedup / events_quantiles / top_parts_per_nation — the
+    # newest — open the r14 pool, displaced by the carried names)
     "dedup_span_removal", "dedup_span_removal_incremental", "token_cms",
     "bpe_encode_fixed", "dedup_simhash", "winnowing_fingerprint",
     "dedup_components", "training_filter", "dedup_representatives",
-    "dedup_segments", "stratified_sample",
+    "dedup_segments",
 ]
 
 if len(R13_WINDOW_PLAN) != 50:

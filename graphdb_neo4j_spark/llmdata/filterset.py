@@ -268,6 +268,98 @@ WHERE s_a.split <> s_b.split
 """
 
 
+def q_holdout_split_repaired(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    holdout_pct: int = HOLDOUT_PCT,
+) -> DataFrame:
+    """(doc_id, split, moved) — the holdout split with near-dup leakage
+    REPAIRED (r12): every near-dup COMPONENT containing at least one
+    eval doc moves entirely to eval; all other docs keep their LCG
+    split. The remediation form of :func:`q_split_leakage`.
+
+    Component-level, not pair-level, because pair-level repair is not a
+    fixpoint: moving train doc t2 to eval (t2 ≈ eval doc e) creates a
+    NEW leakage pair with any train doc t1 ≈ t2 — the transitive
+    closure of "leaks" is exactly the near-dup component, so assigning
+    per component is the one-pass fixpoint (a recomputed
+    ``q_split_leakage`` over the repaired split is empty by
+    construction; pytest pins it). Eval absorbs rather than train:
+    moving docs INTO eval only ever removes training text (safe), while
+    pulling eval docs into train would train on eval content.
+
+    Scale shape: one join of the zero-shuffle LCG split onto the staged
+    component labels (``q_dedup_components`` — at 100 TB the parquet
+    artifact the corpus pipeline already materializes), a per-component
+    any-eval flag (mergeable max), and a broadcast-size join back —
+    components with an eval member are a small set by construction.
+    ``moved`` marks originally-train docs now in eval, so the training
+    pipeline can account the loss.
+    """
+    from graphdb_neo4j_spark.llmdata.dedup import q_dedup_components
+
+    split = q_holdout_split(spark, sf_dir, holdout_pct).select("doc_id", "split")
+    comp = q_dedup_components(spark, sf_dir, threshold).select(
+        "doc_id", "canonical_id"
+    )
+    labeled = split.join(comp, "doc_id", "left")
+    comp_eval = (
+        labeled.filter(F.col("canonical_id").isNotNull())
+        .groupBy("canonical_id")
+        .agg(
+            F.max((F.col("split") == "eval").cast("int")).alias("any_eval")
+        )
+    )
+    return (
+        labeled.join(comp_eval, "canonical_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("any_eval") == 1, F.lit("eval"))
+            .otherwise(F.col("split"))
+            .alias("split"),
+            (
+                (F.col("split") == "train")
+                & (F.coalesce(F.col("any_eval"), F.lit(0)) == 1)
+            ).alias("moved"),
+        )
+    )
+
+
+def holdout_split_repaired_sql(
+    threshold: float = 0.8, holdout_pct: int = HOLDOUT_PCT
+) -> str:
+    """DuckDB oracle: the recursive-CTE component labeling + the LCG
+    split replayed in SQL, any-eval verdict per component."""
+    from graphdb_neo4j_spark.llmdata.dedup import dedup_components_sql
+
+    return f"""
+WITH splits AS (
+    SELECT doc_id,
+           CASE WHEN (doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M} % 100 < {holdout_pct}
+                THEN 'eval' ELSE 'train' END AS split
+    FROM documents
+),
+comp AS (
+    SELECT doc_id, canonical_id FROM (
+        {dedup_components_sql(threshold).strip()}
+    ) c
+),
+cv AS (
+    SELECT c.canonical_id,
+           MAX(CASE WHEN s.split = 'eval' THEN 1 ELSE 0 END) AS any_eval
+    FROM comp c JOIN splits s USING (doc_id)
+    GROUP BY c.canonical_id
+)
+SELECT s.doc_id,
+       CASE WHEN cv.any_eval = 1 THEN 'eval' ELSE s.split END AS split,
+       (s.split = 'train' AND COALESCE(cv.any_eval, 0) = 1) AS moved
+FROM splits s
+LEFT JOIN comp c USING (doc_id)
+LEFT JOIN cv ON cv.canonical_id = c.canonical_id
+"""
+
+
 # --- stratified sampling -----------------------------------------------------
 
 # Per-language keep rates (percent) for a training-mix rebalance: downweight

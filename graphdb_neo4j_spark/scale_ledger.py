@@ -350,6 +350,18 @@ _EXPLICIT: dict[str, Disposition] = {
         "(checksum): 5.29 -> 13.06 s (2.47×) for 10× rows with drop "
         "output 3 -> 318",
     ),
+    "holdout_split_repaired": _d(
+        "linear",
+        "r12 debut: leakage remediation — zero-shuffle LCG split joined "
+        "onto component labels, per-component any-eval (mergeable max), "
+        "broadcast-size join back; the registered form computes "
+        "q_dedup_components INLINE (self-contained oracle twin, like "
+        "training_filter) while production reads the corpus pipeline's "
+        "staged components.parquet — the incremental cost over the "
+        "split itself is then one broadcast join; 10× sweep (checksum): "
+        "8.30 -> 13.76 s (1.66×), moved output 18 -> 21,675 "
+        "(id-shifted copies scatter across splits — adversarial)",
+    ),
     "split_leakage": _d(
         "linear",
         "r12 debut: rides dedup_jaccard_pairs' bucketed/rep-compressed "

@@ -603,3 +603,36 @@ def test_split_leakage_is_cross_split_restriction(spark, sf_correct):
     assert got == expected
     for train_id, eval_id in got:
         assert split[train_id] == "train" and split[eval_id] == "eval"
+
+
+def test_holdout_split_repaired_is_leakage_fixpoint(spark, sf_correct):
+    """The repaired split (r12 debut) must be a leakage FIXPOINT: no
+    near-dup pair may straddle it (component-level move-to-eval closes
+    the transitive chain pair-level repair would leave open), only
+    originally-train docs in eval-touched components are marked moved,
+    everyone else keeps the LCG split, and eval only ever GROWS."""
+    from graphdb_neo4j_spark.llmdata.filterset import (
+        q_holdout_split,
+        q_holdout_split_repaired,
+    )
+
+    base = {r.doc_id: r.split for r in q_holdout_split(spark, sf_correct).collect()}
+    repaired = {
+        r.doc_id: (r.split, r.moved)
+        for r in q_holdout_split_repaired(spark, sf_correct).collect()
+    }
+    assert set(repaired) == set(base)
+
+    pairs = {
+        (r.a, r.b)
+        for r in dedup.q_dedup_jaccard(spark, sf_correct, threshold=0.8).collect()
+    }
+    for a, b in pairs:  # fixpoint: no pair straddles the repaired split
+        assert repaired[a][0] == repaired[b][0], (a, b)
+
+    for doc_id, (split, moved) in repaired.items():
+        if moved:
+            assert base[doc_id] == "train" and split == "eval"
+        else:
+            assert split == base[doc_id]  # untouched docs keep the LCG split
+        assert not (base[doc_id] == "eval" and split == "train")  # eval only grows
