@@ -64,15 +64,32 @@ def run_corpus_pipeline(
     jsonl_path: str,
     out_base: str,
     decontaminate_bench_max_id: int | None = None,
+    resume: bool = False,
 ) -> PipelineReport:
     """Run the full corpus pipeline; artifacts land under ``out_base``:
 
     - ``{out_base}/raw/documents.parquet``   — columnarized input
+    - ``{out_base}/_pipeline_meta.json``     — ingest counts sidecar
     - ``{out_base}/components.parquet``      — near-dup component labels
+    - ``{out_base}/verdicts.parquet``        — per-doc gate verdicts
     - ``{out_base}/kept/documents.parquet``  — gate survivors (pre-clean)
     - ``{out_base}/span_removal.parquet``    — per-doc span-cut accounting
     - ``{out_base}/train/documents.parquet`` — the cleaned training set
     - ``{out_base}/chunks.parquet``          — sliding-window chunks
+
+    ``resume=True`` (r12) makes the staged-checkpoint claim literal: a
+    completed PREFIX of stages is skipped — each stage whose artifact
+    carries Spark's ``_SUCCESS`` marker (and, for the ingest stage, the
+    meta sidecar) is read instead of recomputed, and the first missing
+    or incomplete stage switches the rest of the run to recompute (a
+    recomputed stage invalidates every later artifact, so skipping is
+    prefix-only). Every report number derives from the staged artifacts
+    either way, so a resumed run returns the identical report a crashed
+    run would have. Resume assumes the same ``jsonl_path`` and
+    parameters as the crashed run — the stages are deterministic in
+    them. A half-written stage is safe: Spark only stamps ``_SUCCESS``
+    after its job commit, so a crash mid-write reads as incomplete and
+    recomputes (mode="overwrite" clears the residue).
 
     Returns the attrition accounting (every ingested doc is either kept
     or attributed to exactly one drop reason — checked by the caller's
@@ -93,24 +110,61 @@ def run_corpus_pipeline(
     Default (None) keeps the historical behavior: no benchmark list, no
     contamination gate.
     """
+    import json
+    import os
+
     raw_dir = f"{out_base}/raw"
     kept_dir = f"{out_base}/kept"
     train_dir = f"{out_base}/train"
+    meta_path = f"{out_base}/_pipeline_meta.json"
 
-    ingested, corrupt = jsonl_to_parquet(
-        spark, jsonl_path, f"{raw_dir}/documents.parquet"
-    )
+    def _done(path: str) -> bool:
+        # Spark stamps _SUCCESS only after the job commit, so its
+        # presence == the stage's write completed
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
 
-    # materialize-then-consume: the pair-graph stage (shingle join +
-    # iterative label propagation) runs ONCE and lands as a durable,
-    # resumable artifact; the filter — and any later consumer — reads the
+    # skipping is PREFIX-only: the first recomputed stage flips this off
+    # for every later stage (their artifacts may be stale derivatives)
+    prefix = bool(resume)
+
+    # stage: ingest (counts live in the sidecar — corrupt lines never
+    # land in the parquet, so they are not re-derivable from it)
+    if prefix and _done(f"{raw_dir}/documents.parquet") and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _meta = json.load(f)
+        ingested, corrupt = _meta["ingested_rows"], _meta["corrupt_lines"]
+    else:
+        prefix = False
+        ingested, corrupt = jsonl_to_parquet(
+            spark, jsonl_path, f"{raw_dir}/documents.parquet"
+        )
+        _tmp = meta_path + ".tmp"
+        with open(_tmp, "w") as f:
+            json.dump({"ingested_rows": ingested, "corrupt_lines": corrupt}, f)
+        os.replace(_tmp, meta_path)
+
+    # stage: components — materialize-then-consume: the pair-graph stage
+    # (shingle join + iterative label propagation) runs ONCE and lands as
+    # a durable artifact; the filter — and any later consumer — reads the
     # parquet instead of recomputing the most expensive stage inline
-    q_dedup_components(spark, raw_dir).write.mode("overwrite").parquet(
-        f"{out_base}/components.parquet"
-    )
-    components = spark.read.parquet(f"{out_base}/components.parquet")
+    comp_path = f"{out_base}/components.parquet"
+    if not (prefix and _done(comp_path)):
+        prefix = False
+        q_dedup_components(spark, raw_dir).write.mode("overwrite").parquet(
+            comp_path
+        )
+    components = spark.read.parquet(comp_path)
 
-    verdicts = q_training_filter(spark, raw_dir, components=components)
+    # stage: verdicts — staged (r12) both for resume and as the per-doc
+    # gate audit trail
+    verdicts_path = f"{out_base}/verdicts.parquet"
+    if not (prefix and _done(verdicts_path)):
+        prefix = False
+        q_training_filter(spark, raw_dir, components=components).write.mode(
+            "overwrite"
+        ).parquet(verdicts_path)
+    verdicts = spark.read.parquet(verdicts_path)
+
     reasons = {
         r["drop_reason"]: r["n"]
         for r in verdicts.groupBy("drop_reason")
@@ -125,51 +179,63 @@ def run_corpus_pipeline(
     ).count()
 
     docs = spark.read.parquet(f"{raw_dir}/documents.parquet")
-    keep_ids = verdicts.filter(F.col("keep")).select("doc_id")
-    if decontaminate_bench_max_id is not None:
-        from graphdb_neo4j_spark.llmdata.scrub import (
-            q_contamination,
-            q_contamination_neardup,
-        )
 
-        exact = q_contamination(
-            spark, raw_dir, bench_max_id=decontaminate_bench_max_id
-        ).select("doc_id")
-        fuzzy = (
-            q_contamination_neardup(
-                spark, raw_dir, bench_max_id=decontaminate_bench_max_id
+    # stage: kept (with the optional decontamination gate)
+    if not (prefix and _done(f"{kept_dir}/documents.parquet")):
+        prefix = False
+        keep_ids = verdicts.filter(F.col("keep")).select("doc_id")
+        if decontaminate_bench_max_id is not None:
+            from graphdb_neo4j_spark.llmdata.scrub import (
+                q_contamination,
+                q_contamination_neardup,
             )
-            .select(F.col("corpus_id").alias("doc_id"))
-            .distinct()
-        )
-        # the benchmark docs THEMSELVES are the worst contamination —
-        # they must never reach the train set either
-        bench_ids = docs.filter(
-            F.col("doc_id") < decontaminate_bench_max_id
-        ).select("doc_id")
-        flagged = exact.unionByName(fuzzy).unionByName(bench_ids).distinct()
-        decontaminated = keep_ids.join(
-            F.broadcast(flagged), "doc_id", "left_anti"
-        )
-        n_contaminated = kept - decontaminated.count()
-        if n_contaminated:
-            reasons["contaminated"] = n_contaminated
-            kept -= n_contaminated
-            keep_ids = decontaminated
-    docs.join(keep_ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
-        f"{kept_dir}/documents.parquet"
-    )
 
-    # duplicated-span removal over the KEPT corpus (staged: the gram-df
-    # pipeline runs once; the accounting agg and the train write both
-    # read the materialization). hashed=True is the at-scale form — the
-    # gram shuffle carries 8-byte xxhash64 keys, not ~width-token text
-    # (pytest pins the two forms identical; the text-keyed twin exists
-    # for the DuckDB oracle mirror)
-    q_dedup_span_removal(spark, kept_dir, hashed=True).write.mode(
-        "overwrite"
-    ).parquet(f"{out_base}/span_removal.parquet")
-    cleaned = spark.read.parquet(f"{out_base}/span_removal.parquet")
+            exact = q_contamination(
+                spark, raw_dir, bench_max_id=decontaminate_bench_max_id
+            ).select("doc_id")
+            fuzzy = (
+                q_contamination_neardup(
+                    spark, raw_dir, bench_max_id=decontaminate_bench_max_id
+                )
+                .select(F.col("corpus_id").alias("doc_id"))
+                .distinct()
+            )
+            # the benchmark docs THEMSELVES are the worst contamination —
+            # they must never reach the train set either
+            bench_ids = docs.filter(
+                F.col("doc_id") < decontaminate_bench_max_id
+            ).select("doc_id")
+            keep_ids = keep_ids.join(
+                F.broadcast(
+                    exact.unionByName(fuzzy).unionByName(bench_ids).distinct()
+                ),
+                "doc_id",
+                "left_anti",
+            )
+        docs.join(keep_ids, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(f"{kept_dir}/documents.parquet")
+    # contamination accounting derives from the ARTIFACT (kept-count vs
+    # verdict-keeps) so the fresh and resumed paths attribute identically
+    n_kept_artifact = spark.read.parquet(f"{kept_dir}/documents.parquet").count()
+    n_contaminated = kept - n_kept_artifact
+    if n_contaminated:
+        reasons["contaminated"] = n_contaminated
+        kept = n_kept_artifact
+
+    # stage: span removal over the KEPT corpus (the gram-df pipeline runs
+    # once; the accounting agg and the train write both read the
+    # materialization). hashed=True is the at-scale form — the gram
+    # shuffle carries 8-byte xxhash64 keys, not ~width-token text (pytest
+    # pins the two forms identical; the text-keyed twin exists for the
+    # DuckDB oracle mirror)
+    span_path = f"{out_base}/span_removal.parquet"
+    if not (prefix and _done(span_path)):
+        prefix = False
+        q_dedup_span_removal(spark, kept_dir, hashed=True).write.mode(
+            "overwrite"
+        ).parquet(span_path)
+    cleaned = spark.read.parquet(span_path)
     span_removed_tokens = int(
         cleaned.agg(F.sum("n_removed")).collect()[0][0] or 0
     )
@@ -178,26 +244,36 @@ def run_corpus_pipeline(
         reasons["span_emptied"] = n_emptied
         kept -= n_emptied
 
-    kept_docs = spark.read.parquet(f"{kept_dir}/documents.parquet")
-    (
-        kept_docs.join(
-            cleaned.filter(F.col("n_kept") > 0).select("doc_id", "clean_text"),
-            "doc_id",
+    # stage: train
+    if not (prefix and _done(f"{train_dir}/documents.parquet")):
+        prefix = False
+        kept_docs = spark.read.parquet(f"{kept_dir}/documents.parquet")
+        (
+            kept_docs.join(
+                cleaned.filter(F.col("n_kept") > 0).select(
+                    "doc_id", "clean_text"
+                ),
+                "doc_id",
+            )
+            .select(
+                "doc_id",
+                F.col("clean_text").alias("text"),
+                "lang",
+                "source",
+                F.length("clean_text").cast("long").alias("n_chars"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{train_dir}/documents.parquet")
         )
-        .select(
-            "doc_id",
-            F.col("clean_text").alias("text"),
-            "lang",
-            "source",
-            F.length("clean_text").cast("long").alias("n_chars"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{train_dir}/documents.parquet")
-    )
 
-    chunks = q_doc_chunks(spark, train_dir)
-    chunks.write.mode("overwrite").parquet(f"{out_base}/chunks.parquet")
-    n_chunks = spark.read.parquet(f"{out_base}/chunks.parquet").count()
+    # stage: chunks
+    chunks_path = f"{out_base}/chunks.parquet"
+    if not (prefix and _done(chunks_path)):
+        prefix = False
+        q_doc_chunks(spark, train_dir).write.mode("overwrite").parquet(
+            chunks_path
+        )
+    n_chunks = spark.read.parquet(chunks_path).count()
 
     kept_tokens = (
         q_token_stats(spark, train_dir).agg(F.sum("n_tokens")).collect()[0][0]

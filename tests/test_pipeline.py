@@ -162,3 +162,63 @@ def test_pipeline_decontamination_gate(spark, sf_dir, tmp_path):
         for r in q_contamination_neardup(spark, f"{out}/raw").collect()
     }
     assert not (train_ids & (exact_flagged | fuzzy_flagged))
+
+
+def test_pipeline_resume_skips_completed_prefix(spark, sf_dir, tmp_path, monkeypatch):
+    """resume=True (r12): a finished run re-invoked with resume must
+    return the IDENTICAL report without recomputing any stage (the
+    expensive ones are guarded by raising stubs), and a crash mid-run
+    must be completable by a resumed retry that skips the completed
+    prefix — the staged-checkpoint claim made literal."""
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.llmdata import pipeline as pl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jsonl_path = str(tmp_path / "dump")
+    write_documents_jsonl(docs, jsonl_path)
+
+    # reference: one clean full run in its own directory
+    ref = run_corpus_pipeline(spark, jsonl_path, str(tmp_path / "ref"))
+
+    # (a) full run, then resume over the SAME directory with the two
+    # expensive stages booby-trapped: nothing may recompute
+    out = str(tmp_path / "out")
+    first = run_corpus_pipeline(spark, jsonl_path, out)
+    assert first == ref
+
+    def boom(*a, **k):
+        raise AssertionError("stage recomputed despite completed artifact")
+
+    monkeypatch.setattr(pl, "q_dedup_components", boom)
+    monkeypatch.setattr(pl, "q_training_filter", boom)
+    monkeypatch.setattr(pl, "q_dedup_span_removal", boom)
+    monkeypatch.setattr(pl, "jsonl_to_parquet", boom)
+    resumed = run_corpus_pipeline(spark, jsonl_path, out, resume=True)
+    assert resumed == first
+    monkeypatch.undo()
+
+    # (b) crash drill: die inside span removal, then resume — the
+    # completed prefix (ingest, components, verdicts, kept) must be
+    # skipped (components guarded) and the report must equal the clean
+    # reference
+    out2 = str(tmp_path / "out2")
+
+    def crash(*a, **k):
+        raise RuntimeError("injected crash in span removal")
+
+    monkeypatch.setattr(pl, "q_dedup_span_removal", crash)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        run_corpus_pipeline(spark, jsonl_path, out2)
+    monkeypatch.undo()
+    monkeypatch.setattr(pl, "q_dedup_components", boom)
+    monkeypatch.setattr(pl, "jsonl_to_parquet", boom)
+    recovered = run_corpus_pipeline(spark, jsonl_path, out2, resume=True)
+    assert recovered == ref
+
+    # (c) resume on an EMPTY directory degrades to a plain full run
+    monkeypatch.undo()
+    fresh = run_corpus_pipeline(
+        spark, jsonl_path, str(tmp_path / "out3"), resume=True
+    )
+    assert fresh == ref
