@@ -22,6 +22,17 @@ def _run(df):
 
 # (query, max shuffle exchanges, joins must all be broadcast, no cartesian)
 CONTRACTS = [
+    # r12 debuts: all ride the rep-compressed jaccard machinery — pair
+    # side and split/flag sets broadcast; zero SMJ, zero cartesian
+    ("split_leakage", 5, True, True),
+    ("contamination_neardup", 7, True, True),
+    # both channels' flagged ids broadcast into one LEFT ANTI; the
+    # bench/corpus predicates PUSH to the parquet scans (audited)
+    ("decontaminated_full", 10, True, True),
+    # embeds connected_components — the iterative star-contraction's
+    # big-big joins are SMJ by design, so broadcast-only is off; the
+    # split/any-eval joins themselves broadcast
+    ("holdout_split_repaired", 23, False, True),
     ("quality_classifier", 1, True, True),
     ("quality_classifier_hashed", 1, True, True),
     ("events_anomaly", 2, True, True),
