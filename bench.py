@@ -110,6 +110,30 @@ def reference_regime_flags(ref: dict, consumer: str = None) -> dict:
     return {}
 
 
+def classify_min_regressions(chosen: dict) -> None:
+    """Route the ``min_regressions`` flag channel by reference regime
+    (mutates ``chosen``). Cross-regime ratios compare different work
+    (count() prunes subtrees checksum pays for), so:
+
+    - stamped mismatch → ``min_regressions_suppressed_cross_regime``
+      (ADVICE r11): hard flags would be unactionable.
+    - UNSTAMPED reference → ``min_regressions_advisory_unknown_regime``
+      (ADVICE r12): *possibly* cross-regime — same unactionable-ratio
+      problem, so advisory, not a hard flag.
+    - stamped and equal → ``min_regressions`` stays the flag channel.
+    """
+    if "min_regressions" not in chosen:
+        return
+    if chosen.get("consumer_mismatch_vs_reference"):
+        chosen["min_regressions_suppressed_cross_regime"] = chosen.pop(
+            "min_regressions"
+        )
+    elif chosen.get("reference_consumer_unknown"):
+        chosen["min_regressions_advisory_unknown_regime"] = chosen.pop(
+            "min_regressions"
+        )
+
+
 def _consume(df) -> None:
     """Run the query to completion under the selected consumer. The
     checksum form prices the WHOLE declared plan: count() lets Catalyst
@@ -220,6 +244,23 @@ def main() -> None:
             reps: list[float] = []
             best = None
             best_split: tuple[float, float] | None = None
+            # Unpriced warm-up rep for the construct-dominated iterative
+            # queries (r13, VERDICT r12 #1): their driver-side
+            # plan-construction loop JITs over the FIRST execution in a
+            # session (~2.2× steady state, measured in the r12
+            # adjudication of pagerank_factored), so a single-attempt
+            # driver recording priced exactly that first-rep ramp and
+            # flagged a phantom regression two rounds running. One
+            # discarded execution moves every priced rep to steady
+            # state; non-iterative queries skip it (their construct is
+            # one plan analysis, not a JIT-sensitive job loop).
+            if name in iterative:
+                try:
+                    _consume(fn(spark, sf_dir))
+                except Exception:
+                    pass  # the priced rep below reports the error path
+                spark.catalog.clearCache()
+                gc.collect()
             # Sub-second queries are hostage to VM noise: r8's verdict
             # chased 2x "regressions" on 0.2-1.2 s queries whose code was
             # byte-identical to r7. Give them a 3rd rep so the shipped min
@@ -457,10 +498,7 @@ def main() -> None:
             # rather than emit unactionable "regressions"; the full delta
             # table still ships in BENCH_DETAIL.json under the mismatch
             # flag (ADVICE r11).
-            if chosen.get("consumer_mismatch_vs_reference"):
-                chosen["min_regressions_suppressed_cross_regime"] = (
-                    chosen.pop("min_regressions")
-                )
+            classify_min_regressions(chosen)
         except (OSError, ValueError, KeyError) as e:
             print(f"BENCH reference compare skipped ({e})", file=sys.stderr)
 

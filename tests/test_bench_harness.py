@@ -54,3 +54,48 @@ def test_committed_reference_recordings_are_stamped():
         f"{os.path.basename(newest)} lacks a consumer stamp — the regime "
         "guard will report unknown on every run"
     )
+
+
+def test_min_regressions_advisory_when_reference_unstamped():
+    # ADVICE r12: unstamped reference → *possibly* cross-regime; hard
+    # flags would be unactionable, so they move to an advisory key.
+    chosen = {
+        "reference_consumer_unknown": True,
+        "min_regressions": {"q1": 1.4},
+    }
+    bench.classify_min_regressions(chosen)
+    assert "min_regressions" not in chosen
+    assert chosen["min_regressions_advisory_unknown_regime"] == {"q1": 1.4}
+
+
+def test_min_regressions_suppressed_on_stamped_mismatch():
+    chosen = {
+        "consumer_mismatch_vs_reference": True,
+        "min_regressions": {"q1": 1.4},
+    }
+    bench.classify_min_regressions(chosen)
+    assert "min_regressions" not in chosen
+    assert chosen["min_regressions_suppressed_cross_regime"] == {"q1": 1.4}
+
+
+def test_min_regressions_kept_same_regime():
+    chosen = {"min_regressions": {"q1": 1.4}}
+    bench.classify_min_regressions(chosen)
+    assert chosen["min_regressions"] == {"q1": 1.4}
+
+
+def test_bench_detail_latest_is_untracked():
+    # VERDICT r12 #3: the clobber-guard's diversion target must not be
+    # git-tracked, or every stray bench run dirties the working tree.
+    import subprocess
+
+    tracked = subprocess.run(
+        ["git", "-C", REPO, "ls-files", "--error-unmatch",
+         "BENCH_DETAIL_latest.json"],
+        capture_output=True, text=True,
+    )
+    assert tracked.returncode != 0, (
+        "BENCH_DETAIL_latest.json is git-tracked — stray bench runs will "
+        "dirty the tree (gitignore it; BENCH_DETAIL.json is the committed "
+        "recording)"
+    )
