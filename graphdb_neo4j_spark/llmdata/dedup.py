@@ -1208,6 +1208,34 @@ def repair_minhash_store(path: str) -> list[str]:
         # Legacy upgrade (ADVICE r11), mirroring repair_gram_store():
         # stamp markers on every ledgered dir, then backfill `active`
         # via the atomic meta replace (idempotent if re-run).
+        #
+        # Diverged-tables guard (ADVICE r12): a legacy store that crashed
+        # mid-append has the generation dir in ONE table only (sigs
+        # landed, buckets did not). Backfilling `active` from sigs alone
+        # would then stamp an active set buckets can never satisfy —
+        # _validate_minhash_store fails forever while a repair rerun
+        # (meta now has `active`, orphan sweep finds nothing) returns no
+        # actions: an unrecoverable loop. A one-table generation is a
+        # half-written append, so treat it exactly like an uncommitted
+        # orphan: sweep the odd dir, backfill from the INTERSECTION, and
+        # drop the swept id from the replay ledger so the caller's
+        # re-append is accepted (its data no longer exists).
+        dir_sets = {
+            table: set(
+                _gram_store_generation_dirs(os.path.join(path, table))
+            )
+            for table in _MINHASH_TABLES
+        }
+        common = set.intersection(*dir_sets.values())
+        for table in _MINHASH_TABLES:
+            for gen in sorted(dir_sets[table] - common):
+                shutil.rmtree(
+                    _gram_store_generation_dirs(os.path.join(path, table))[gen]
+                )
+                actions.append(
+                    f"removed half-written legacy {table}/generation={gen} "
+                    f"(absent from the other table)"
+                )
         for table in _MINHASH_TABLES:
             for gen, d in _gram_store_generation_dirs(
                 os.path.join(path, table)
@@ -1219,9 +1247,16 @@ def repair_minhash_store(path: str) -> list[str]:
                     actions.append(
                         f"stamped {_GEN_COMMITTED} in {table}/generation={gen}"
                     )
-        meta["active"] = sorted(
-            _gram_store_generation_dirs(os.path.join(path, _MINHASH_TABLES[0]))
-        )
+        meta["active"] = sorted(common)
+        dropped = [g for g in meta.get("generations", []) if g not in common]
+        if dropped:
+            meta["generations"] = [
+                g for g in meta["generations"] if g in common
+            ]
+            actions.append(
+                f"dropped half-written generations from the replay ledger "
+                f"(retry accepted): {sorted(dropped)}"
+            )
         _write_minhash_store_meta(path, meta)
         actions.append("upgraded legacy meta (backfilled active)")
     return actions

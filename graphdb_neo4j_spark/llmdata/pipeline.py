@@ -64,6 +64,7 @@ def run_corpus_pipeline(
     jsonl_path: str,
     out_base: str,
     decontaminate_bench_max_id: int | None = None,
+    decontaminate_embeddings_dir: str | None = None,
     resume: bool = False,
 ) -> PipelineReport:
     """Run the full corpus pipeline; artifacts land under ``out_base``:
@@ -109,6 +110,16 @@ def run_corpus_pipeline(
     semantics of ``q_decontaminated_full``, applied drop-not-report).
     Default (None) keeps the historical behavior: no benchmark list, no
     contamination gate.
+
+    ``decontaminate_embeddings_dir`` (r13, opt-in, VERDICT r12 #4): a
+    directory holding ``embeddings.parquet`` (vec_id = doc_id, the
+    corpus's embedding sidecar contract). When set alongside the bench
+    bound, the gate ALSO drops the SEMANTIC channel
+    (``q_contamination_semantic``): docs whose embedding sits within
+    the cosine bar of a benchmark embedding — the full-rewording case
+    both lexical channels miss. Docs without an embedding row pass the
+    semantic check. Ignored without ``decontaminate_bench_max_id``
+    (there is no benchmark to compare against).
     """
     import json
     import os
@@ -127,6 +138,35 @@ def run_corpus_pipeline(
     # for every later stage (their artifacts may be stale derivatives)
     prefix = bool(resume)
 
+    # Parameter guard (r13, ADVICE r12): the staged artifacts are
+    # deterministic in (jsonl_path, decontaminate_bench_max_id), so a
+    # resume is only valid when BOTH match the run that built the tree —
+    # resuming over a tree built WITHOUT the decontamination gate while
+    # passing a bench id would prefix-skip the kept stage and the gate
+    # would silently never run (contaminated docs reach train with no
+    # error and no 'contaminated' reason). The params are stamped into
+    # the meta sidecar at ingest; a stamped mismatch RAISES (the caller
+    # decides: resume=False recomputes over the same tree). A legacy
+    # sidecar without the stamp can't be validated — fall back to full
+    # recompute, which rewrites it stamped.
+    run_params = {
+        "jsonl_path": jsonl_path,
+        "decontaminate_bench_max_id": decontaminate_bench_max_id,
+        "decontaminate_embeddings_dir": decontaminate_embeddings_dir,
+    }
+    if prefix and os.path.exists(meta_path):
+        with open(meta_path) as f:
+            _stamped = json.load(f).get("params")
+        if _stamped is None:
+            prefix = False  # pre-r13 tree: unverifiable, recompute
+        elif _stamped != run_params:
+            raise ValueError(
+                f"resume=True with parameters different from the run that "
+                f"built {out_base}: stamped {_stamped} vs this call "
+                f"{run_params} — pass resume=False to recompute (the "
+                f"staged artifacts are derivatives of the stamped values)"
+            )
+
     # stage: ingest (counts live in the sidecar — corrupt lines never
     # land in the parquet, so they are not re-derivable from it)
     if prefix and _done(f"{raw_dir}/documents.parquet") and os.path.exists(meta_path):
@@ -140,7 +180,14 @@ def run_corpus_pipeline(
         )
         _tmp = meta_path + ".tmp"
         with open(_tmp, "w") as f:
-            json.dump({"ingested_rows": ingested, "corrupt_lines": corrupt}, f)
+            json.dump(
+                {
+                    "ingested_rows": ingested,
+                    "corrupt_lines": corrupt,
+                    "params": run_params,
+                },
+                f,
+            )
         os.replace(_tmp, meta_path)
 
     # stage: components — materialize-then-consume: the pair-graph stage
@@ -205,10 +252,20 @@ def run_corpus_pipeline(
             bench_ids = docs.filter(
                 F.col("doc_id") < decontaminate_bench_max_id
             ).select("doc_id")
+            flagged = exact.unionByName(fuzzy).unionByName(bench_ids)
+            if decontaminate_embeddings_dir is not None:
+                from graphdb_neo4j_spark.llmdata.scrub import (
+                    q_contamination_semantic,
+                )
+
+                semantic = q_contamination_semantic(
+                    spark,
+                    decontaminate_embeddings_dir,
+                    bench_max_id=decontaminate_bench_max_id,
+                ).select(F.col("corpus_id").alias("doc_id"))
+                flagged = flagged.unionByName(semantic)
             keep_ids = keep_ids.join(
-                F.broadcast(
-                    exact.unionByName(fuzzy).unionByName(bench_ids).distinct()
-                ),
+                F.broadcast(flagged.distinct()),
                 "doc_id",
                 "left_anti",
             )
@@ -380,6 +437,18 @@ def run_curation_pipeline(
     Every batch doc is kept or attributed to exactly ONE drop reason —
     closed accounting, pytest-pinned.
     """
+    # Reserved generation name (r13, ADVICE r12): the cold-start build
+    # stamps the stores' first generation "history", so a batch_id of
+    # "history" collides with it in the ledger — _already_folded would
+    # see it immediately after the cold-start write and silently skip
+    # the batch's append (or spuriously raise "already folded" on a
+    # pre-existing store). Reject it up front.
+    if batch_id == "history":
+        raise ValueError(
+            "batch_id 'history' is reserved for the stores' cold-start "
+            "generation — pick a distinct batch id"
+        )
+
     from graphdb_neo4j_spark.llmdata.classifier import q_quality_gate
     from graphdb_neo4j_spark.llmdata.dedup import (
         append_gram_store,

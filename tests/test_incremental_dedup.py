@@ -636,3 +636,43 @@ def test_holdout_split_repaired_is_leakage_fixpoint(spark, sf_correct):
         else:
             assert split == base[doc_id]  # untouched docs keep the LCG split
         assert not (base[doc_id] == "eval" and split == "train")  # eval only grows
+
+
+def test_legacy_minhash_store_diverged_tables_repairs(spark, sf_correct, tmp_path):
+    """ADVICE r12: a LEGACY minhash store whose sigs/ and buckets/
+    generation-dir sets diverged (pre-commit-log append crashed between
+    the two table writes: sigs for g2 landed, buckets did not) used to
+    upgrade into an unrecoverable loop — `active` was backfilled from
+    sigs alone, so validation failed forever on buckets while a repair
+    rerun returned no actions. The upgrade must instead treat the
+    one-table generation as a half-written append: sweep it, backfill
+    `active` from the intersection, drop it from the replay ledger, and
+    leave a store that validates and accepts the re-append."""
+    import os
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    hist, batch = dedup.split_history_batch(docs)
+    gen1 = hist.filter(F.col("doc_id") % 4 == 0)
+    gen2 = hist.filter(F.col("doc_id") % 4 == 2)
+    store = str(tmp_path / "store")
+    dedup.write_minhash_store(gen1, store, generation="g1")
+    dedup.write_minhash_store(gen2, store, mode="append", generation="g2")
+    _make_legacy(os.path.join(store, dedup.MINHASH_STORE_META), store)
+    # the diverged crash: buckets/ never got g2
+    shutil.rmtree(f"{store}/buckets/generation=g2")
+
+    actions = dedup.repair_minhash_store(store)
+    assert any("half-written" in a for a in actions)
+    assert any("upgraded legacy meta" in a for a in actions)
+    meta = dedup._minhash_store_meta(store)
+    assert meta["active"] == ["g1"]
+    assert meta["generations"] == ["g1"]  # retry of g2 is accepted
+    # idempotent — no repair loop
+    assert dedup.repair_minhash_store(store) == []
+    # the upgraded store validates on the probe path
+    dedup.probe_minhash_store(spark, store, batch).count()
+    # and the re-append of the swept generation is accepted
+    dedup.write_minhash_store(gen2, store, mode="append", generation="g2")
+    assert dedup._minhash_store_meta(store)["active"] == ["g1", "g2"]
+    dedup.probe_minhash_store(spark, store, batch).count()

@@ -222,3 +222,113 @@ def test_pipeline_resume_skips_completed_prefix(spark, sf_dir, tmp_path, monkeyp
         spark, jsonl_path, str(tmp_path / "out3"), resume=True
     )
     assert fresh == ref
+
+
+def test_pipeline_resume_param_mismatch_raises(spark, sf_dir, tmp_path):
+    """ADVICE r12: resume=True over a tree built with DIFFERENT
+    parameters must raise, not prefix-skip — resuming a no-gate tree
+    while passing a benchmark bound would silently never run the
+    decontamination gate. A legacy sidecar without the params stamp
+    cannot be validated: resume falls back to full recompute, so the
+    gate genuinely runs."""
+    import json
+
+    import pytest as _pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jsonl_path = str(tmp_path / "dump")
+    write_documents_jsonl(docs, jsonl_path)
+    out = str(tmp_path / "out")
+    run_corpus_pipeline(spark, jsonl_path, out)  # built WITHOUT the gate
+
+    with _pytest.raises(ValueError, match="parameters different"):
+        run_corpus_pipeline(
+            spark, jsonl_path, out, decontaminate_bench_max_id=32, resume=True
+        )
+
+    # legacy (pre-r13) sidecar: strip the stamp — resume must recompute
+    # rather than skip, so the gate's effect reaches the train set
+    meta_path = f"{out}/_pipeline_meta.json"
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta.pop("params")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    report = run_corpus_pipeline(
+        spark, jsonl_path, out, decontaminate_bench_max_id=32, resume=True
+    )
+    assert report.kept_docs + report.dropped_docs == report.ingested_rows
+    train_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{out}/train/documents.parquet").collect()
+    }
+    assert train_ids
+    assert not {i for i in train_ids if i < 32}  # the gate actually ran
+    # and the recomputed sidecar is stamped for future resumes
+    with open(meta_path) as f:
+        assert json.load(f)["params"]["decontaminate_bench_max_id"] == 32
+
+
+def test_curation_reserved_batch_id_rejected(spark, sf_dir, tmp_path):
+    """ADVICE r12: batch_id='history' collides with the stores'
+    cold-start generation name — rejected up front."""
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.llmdata.pipeline import run_curation_pipeline
+
+    with _pytest.raises(ValueError, match="reserved"):
+        run_curation_pipeline(
+            spark, sf_dir, str(tmp_path / "cur"), batch_id="history"
+        )
+
+
+def test_pipeline_semantic_decontamination_arm(spark, sf_dir, tmp_path):
+    """Opt-in SEMANTIC gate arm (r13, VERDICT r12 #4): with an embedding
+    sidecar supplied, a gate survivor whose embedding matches a
+    benchmark embedding drops with the `contaminated` reason even though
+    both lexical channels pass it; everything else is untouched and the
+    accounting still closes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    jsonl_path = str(tmp_path / "dump")
+    write_documents_jsonl(docs, jsonl_path)
+
+    # lexical-only gate run: the baseline train set
+    base = run_corpus_pipeline(
+        spark, jsonl_path, str(tmp_path / "base"), decontaminate_bench_max_id=32
+    )
+    train_base = {
+        r.doc_id
+        for r in spark.read.parquet(
+            f"{tmp_path}/base/train/documents.parquet"
+        ).collect()
+    }
+    victim = max(train_base)  # a doc the lexical channels keep
+
+    # embedding sidecar: the victim is a perfect semantic copy of bench
+    # doc 0; no other doc has an embedding row (they pass the channel)
+    e = [1.0, 0.0, 0.0, 0.0]
+    emb_dir = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(0, e, 0), (victim, e, 1)],
+        schema="vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{emb_dir}/embeddings.parquet")
+
+    sem = run_corpus_pipeline(
+        spark,
+        jsonl_path,
+        str(tmp_path / "sem"),
+        decontaminate_bench_max_id=32,
+        decontaminate_embeddings_dir=emb_dir,
+    )
+    train_sem = {
+        r.doc_id
+        for r in spark.read.parquet(
+            f"{tmp_path}/sem/train/documents.parquet"
+        ).collect()
+    }
+    assert victim not in train_sem
+    assert train_sem == train_base - {victim}
+    assert sem.dropped_by_reason["contaminated"] == (
+        base.dropped_by_reason["contaminated"] + 1
+    )
+    assert sem.kept_docs + sem.dropped_docs == sem.ingested_rows
