@@ -587,6 +587,21 @@ register(
     scrub.q_decontaminated_full,
     scrub.decontaminated_full_sql(),
 )
+# r13 debut: SEMANTIC benchmark contamination — bench×corpus embedding
+# cosine over the broadcast benchmark side; catches full rewording that
+# evades both lexical channels (exact 13-gram + paraphrase shingle)
+register(
+    "contamination_semantic",
+    scrub.q_contamination_semantic,
+    scrub.contamination_semantic_sql(),
+)
+# r13 debut: the THREE-channel remediation — docs clean on exact,
+# paraphrase, and semantic contamination; always ⊆ decontaminated_full
+register(
+    "decontaminated_semantic",
+    scrub.q_decontaminated_semantic,
+    scrub.decontaminated_semantic_sql(),
+)
 register(
     "stream_anomaly",
     rollup_maintain.q_stream_anomaly,

@@ -331,6 +331,154 @@ WHERE doc_id >= {bench_max_id}
 """
 
 
+# Embedding-cosine bar for the SEMANTIC contamination channel — same
+# threshold as the cosine near-dup family (`q_cosine_neardup` /
+# `q_semantic_dedup`), so "semantically contaminated" means exactly
+# "would co-cluster with a benchmark item under the corpus's semantic
+# dedup policy". Lexical channels can't reach this: a benchmark item
+# paraphrased beyond 10-char-shingle overlap shares no shingles and no
+# 13-grams, but its embedding still sits next to the original.
+SEMANTIC_CONTAM_THRESHOLD = 0.35
+
+
+def q_contamination_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+    bench_max_id: int = BENCH_MAX_ID,
+) -> DataFrame:
+    """(bench_id, corpus_id, cosine) — SEMANTIC benchmark contamination
+    (r13 debut, VERDICT r12 #4): corpus embeddings whose cosine against
+    some benchmark embedding clears ``threshold``. The third channel of
+    the decontamination family: ``contamination`` catches verbatim
+    13-grams, ``contamination_neardup`` catches light paraphrase (short
+    char shingles survive), and this catches full rewording — a
+    benchmark item rephrased beyond any lexical overlap but semantically
+    identical evades both lexical channels while its embedding stays
+    next to the original (pytest pins a crafted evader). Embedding rows
+    key documents by ``vec_id`` = ``doc_id`` (the corpus's embedding
+    sidecar contract, as in `semantic_dedup`).
+
+    Scale shape: the benchmark side is tiny by construction (benchmarks
+    are thousands of items, the corpus is billions), so it BROADCASTS —
+    one corpus scan, dot products codegen'd in the join (`_dot`:
+    zip_with multiply + aggregate, JVM-side), no shuffle of the corpus
+    and never a corpus×corpus stage. Work is |corpus|·|bench| dot
+    products, the same bound as the exact-kNN brute-force baseline over
+    a constant-size query set; an IVF/LSH-pruned probe (the `ivf_search`
+    machinery with benchmark items as queries) is the sub-linear path
+    when |bench| grows.
+    """
+    from graphdb_neo4j_spark.llmdata.simsearch import _dot
+
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    bench = emb.filter(F.col("vec_id") < bench_max_id).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("eb")
+    )
+    corpus = emb.filter(F.col("vec_id") >= bench_max_id).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("ec")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select(
+            "bench_id",
+            "corpus_id",
+            _dot(F.col("ec"), F.col("eb")).alias("cosine_raw"),
+        )
+        .filter(F.col("cosine_raw") >= threshold)  # filter raw, THEN round
+        .select("bench_id", "corpus_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
+def contamination_semantic_sql(
+    threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+    bench_max_id: int = BENCH_MAX_ID,
+) -> str:
+    """DuckDB oracle: the literal bench×corpus dot-product join
+    (embeddings are unit-norm, so cosine = dot — same contract as
+    `knn_anchor` / `cosine_neardup`)."""
+    return f"""
+SELECT e1.vec_id AS bench_id, e2.vec_id AS corpus_id,
+       ROUND(list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings e1
+JOIN embeddings e2
+  ON e1.vec_id < {bench_max_id} AND e2.vec_id >= {bench_max_id}
+WHERE list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= {threshold}
+"""
+
+
+def q_decontaminated_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = NGRAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+    neardup_threshold: float = NEARDUP_CONTAM_THRESHOLD,
+    neardup_width: int = NEARDUP_CONTAM_WIDTH,
+    semantic_threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+) -> DataFrame:
+    """The THREE-channel remediation (r13): every non-benchmark doc clean
+    on the exact 13-gram channel, the paraphrase shingle channel, AND
+    the semantic embedding channel — `q_decontaminated_full` plus the
+    rewording case it misses. Docs without an embedding row pass the
+    semantic check (nothing to measure; the anti-join semantics give
+    this for free), so the output is always a subset of
+    ``decontaminated_full``.
+
+    Plan shape: all three flagged-id sets are small by construction
+    (exact collisions rare, both similarity channels benchmark-bound),
+    so their union broadcasts into one LEFT ANTI; the docs scan stays
+    column-pruned to the output columns.
+    """
+    exact = q_contamination(spark, sf_dir, width, bench_max_id).select("doc_id")
+    fuzzy = (
+        q_contamination_neardup(
+            spark, sf_dir, neardup_threshold, neardup_width, bench_max_id
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    semantic = (
+        q_contamination_semantic(
+            spark, sf_dir, semantic_threshold, bench_max_id
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    flagged = exact.unionByName(fuzzy).unionByName(semantic).distinct()
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("doc_id") >= bench_max_id)
+        .join(F.broadcast(flagged), "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def decontaminated_semantic_sql(
+    width: int = NGRAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+    neardup_threshold: float = NEARDUP_CONTAM_THRESHOLD,
+    neardup_width: int = NEARDUP_CONTAM_WIDTH,
+    semantic_threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+) -> str:
+    return f"""
+WITH contaminated AS ({contamination_sql(width, bench_max_id).strip()})
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE doc_id >= {bench_max_id}
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND doc_id NOT IN (
+      SELECT corpus_id FROM (
+          {contamination_neardup_sql(neardup_threshold, neardup_width, bench_max_id).strip()}
+      ) fuzzy
+  )
+  AND doc_id NOT IN (
+      SELECT corpus_id FROM (
+          {contamination_semantic_sql(semantic_threshold, bench_max_id).strip()}
+      ) sem
+  )
+"""
+
+
 DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
 
 

@@ -350,6 +350,27 @@ _EXPLICIT: dict[str, Disposition] = {
         "(checksum): 5.29 -> 13.06 s (2.47×) for 10× rows with drop "
         "output 3 -> 318",
     ),
+    "contamination_semantic": _d(
+        "linear",
+        "r13 debut: SEMANTIC benchmark contamination — bench×corpus "
+        "embedding dot products with the benchmark side BROADCAST (a "
+        "benchmark is a fixed small set), one corpus scan, `_dot` "
+        "codegen'd JVM-side; work is |corpus|·|bench|, linear in the "
+        "corpus with no shuffle of it; IVF/LSH probe pruning "
+        "(`ivf_search` machinery) is the sub-linear path when |bench| "
+        "grows; 10× sweep (checksum): 0.92 -> 1.43 s (1.55×) with "
+        "match output 141 -> 1698 (id-shifted embedding copies read as "
+        "semantically contaminated — the adversarial direction)",
+    ),
+    "decontaminated_semantic": _d(
+        "linear",
+        "r13 debut: the three-channel remediation — exact ∪ paraphrase "
+        "∪ semantic flagged ids broadcast into one LEFT ANTI over the "
+        "column-pruned docs scan; cost ≈ decontaminated_full + "
+        "contamination_semantic; 10× sweep (checksum): 5.81 -> 14.99 s "
+        "(2.58×, tracks decontaminated_full's 2.47× plus the semantic "
+        "term) with output 4829 -> 48290 (exactly 10×)",
+    ),
     "holdout_split_repaired": _d(
         "linear",
         "r12 debut: leakage remediation — zero-shuffle LCG split joined "

@@ -167,3 +167,82 @@ def test_contamination_neardup_catches_paraphrase_exact_misses(spark, tmp_path):
     }
     assert exact_clean == {100, 101}  # evader survives the verbatim channel
     assert full_clean == {101}  # the union remediation closes the gap
+
+
+def test_contamination_semantic_catches_rewording_lexical_misses(spark, tmp_path):
+    """The semantic channel's reason to exist (r13 debut, VERDICT r12
+    #4): a benchmark item REWORDED wholesale shares no 13-token gram and
+    no 10-char shingle with the original — both lexical channels pass it
+    — but its embedding still sits next to the benchmark embedding.
+    Only contamination_semantic flags it; decontaminated_full (lexical
+    union) keeps it, decontaminated_semantic drops it; an unrelated doc
+    with an orthogonal embedding passes every channel."""
+    import re
+
+    from graphdb_neo4j_spark.llmdata.scrub import (
+        NEARDUP_CONTAM_WIDTH,
+        q_contamination,
+        q_contamination_neardup,
+        q_contamination_semantic,
+        q_decontaminated_full,
+        q_decontaminated_semantic,
+    )
+
+    bench_text = " ".join(f"alpha{i}" for i in range(30))
+    # full rewording: zero lexical overlap with the benchmark item
+    evader_text = " ".join(f"omega{i}" for i in range(30))
+    control_text = " ".join(f"zebra{i}" for i in range(30))
+    rows = [
+        (0, bench_text, "en", "bench", 0),
+        (100, evader_text, "en", "s", 0),
+        (101, control_text, "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    # embedding sidecar (vec_id = doc_id): the evader's embedding is the
+    # benchmark's (a perfect paraphrase); the control is orthogonal
+    e_bench = [1.0, 0.0, 0.0, 0.0]
+    e_control = [0.0, 1.0, 0.0, 0.0]
+    spark.createDataFrame(
+        [(0, e_bench, 0), (100, e_bench, 1), (101, e_control, 1)],
+        schema="vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    # both lexical channels pass the evader
+    exact = {r.doc_id for r in q_contamination(spark, str(tmp_path)).collect()}
+    assert 100 not in exact
+
+    def shingles(text, w=NEARDUP_CONTAM_WIDTH):
+        t = re.sub(r"\s+", " ", text.strip().lower())
+        return {t[i : i + w] for i in range(len(t) - w + 1)}
+
+    sa, sb = shingles(bench_text), shingles(evader_text)
+    assert len(sa & sb) / len(sa | sb) < 0.5, "fixture must evade the shingle bar"
+    near = {
+        r.corpus_id
+        for r in q_contamination_neardup(spark, str(tmp_path)).collect()
+    }
+    assert 100 not in near
+
+    # only the semantic channel flags it
+    sem = {
+        (r.bench_id, r.corpus_id): r.cosine
+        for r in q_contamination_semantic(spark, str(tmp_path)).collect()
+    }
+    assert set(sem) == {(0, 100)}
+    assert sem[(0, 100)] == 1.0
+
+    # remediation forms: the lexical union KEEPS the evader (the gap),
+    # the three-channel remediation closes it; the control survives both
+    full_clean = {
+        r.doc_id for r in q_decontaminated_full(spark, str(tmp_path)).collect()
+    }
+    sem_clean = {
+        r.doc_id
+        for r in q_decontaminated_semantic(spark, str(tmp_path)).collect()
+    }
+    assert full_clean == {100, 101}
+    assert sem_clean == {101}
+    assert sem_clean <= full_clean  # always a subset, by construction
