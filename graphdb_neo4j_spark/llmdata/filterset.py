@@ -273,6 +273,7 @@ def q_holdout_split_repaired(
     sf_dir: str,
     threshold: float = 0.8,
     holdout_pct: int = HOLDOUT_PCT,
+    max_moved_frac: float | None = None,
 ) -> DataFrame:
     """(doc_id, split, moved) — the holdout split with near-dup leakage
     REPAIRED (r12): every near-dup COMPONENT containing at least one
@@ -296,8 +297,37 @@ def q_holdout_split_repaired(
     components with an eval member are a small set by construction.
     ``moved`` marks originally-train docs now in eval, so the training
     pipeline can account the loss.
+
+    EVAL-ABSORPTION guard (r13, VERDICT r12 #5): any-eval absorption is
+    only safe while near-dup components are small. At a high dup rate a
+    single giant component containing ONE eval doc silently drains its
+    whole train membership into eval — at the 10× stand-in the repair
+    already moves ~4.6% of the corpus; a boilerplate-heavy crawl could
+    move most of it. ``max_moved_frac`` (opt-in) bounds the fraction of
+    originally-train docs the repair may move and RAISES above it — the
+    signal to switch policy (cap component size, drop-both instead of
+    move, or raise the dedup bar so mega-components dissolve upstream).
+    The check is a 2-scalar aggregate over the already-built plan
+    (:func:`q_holdout_repair_stats` is the registered report form).
+    Default None keeps the output contract unchanged.
     """
     from graphdb_neo4j_spark.llmdata.dedup import q_dedup_components
+
+    if max_moved_frac is not None:
+        stats = q_holdout_repair_stats(
+            spark, sf_dir, threshold, holdout_pct
+        ).collect()[0]
+        if stats["moved_frac"] is not None and (
+            stats["moved_frac"] > max_moved_frac
+        ):
+            raise ValueError(
+                f"holdout repair would move {stats['n_moved']} of "
+                f"{stats['n_train_before']} train docs to eval "
+                f"(moved_frac {stats['moved_frac']} > bound "
+                f"{max_moved_frac}) — a mega near-dup component is "
+                f"absorbing the training set; cap component size, use a "
+                f"drop-both policy, or dedup harder upstream"
+            )
 
     split = q_holdout_split(spark, sf_dir, holdout_pct).select("doc_id", "split")
     comp = q_dedup_components(spark, sf_dir, threshold).select(
@@ -357,6 +387,73 @@ SELECT s.doc_id,
 FROM splits s
 LEFT JOIN comp c USING (doc_id)
 LEFT JOIN cv ON cv.canonical_id = c.canonical_id
+"""
+
+
+def q_holdout_repair_stats(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.8,
+    holdout_pct: int = HOLDOUT_PCT,
+) -> DataFrame:
+    """One-row accounting for the leakage repair (r13 debut, VERDICT r12
+    #5): (n_docs, n_train_before, n_moved, moved_frac, n_eval_after) —
+    how much training text the any-eval absorption policy costs. This is
+    the report a pipeline operator reads BEFORE trusting the repaired
+    split: a moved_frac near zero is routine dedup fallout; a large one
+    means a mega near-dup component is draining train into eval and the
+    policy should change (see ``max_moved_frac`` on
+    :func:`q_holdout_split_repaired`, which enforces a bound by raising).
+
+    Everything derives from the repaired table itself (originally-train
+    = still-train + moved), so the stats stay consistent with the
+    artifact by construction. Scale shape: a single mergeable aggregate
+    (4 sums) over the repair plan — no extra join or shuffle beyond what
+    the repair already does.
+    """
+    rep = q_holdout_split_repaired(spark, sf_dir, threshold, holdout_pct)
+    agg = rep.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.col("moved").cast("long"))
+            + F.sum((F.col("split") == "train").cast("long"))
+        ).alias("n_train_before"),
+        F.sum(F.col("moved").cast("long")).alias("n_moved"),
+        F.sum((F.col("split") == "eval").cast("long")).alias("n_eval_after"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_train_before",
+        "n_moved",
+        F.when(
+            F.col("n_train_before") > 0,
+            F.round(F.col("n_moved") / F.col("n_train_before"), 6),
+        ).alias("moved_frac"),
+        "n_eval_after",
+    )
+
+
+def holdout_repair_stats_sql(
+    threshold: float = 0.8, holdout_pct: int = HOLDOUT_PCT
+) -> str:
+    return f"""
+WITH repaired AS (
+    {holdout_split_repaired_sql(threshold, holdout_pct).strip()}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train_before,
+       CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       CASE WHEN SUM(CASE WHEN moved THEN 1 ELSE 0 END)
+                 + SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+            THEN ROUND(CAST(SUM(CASE WHEN moved THEN 1 ELSE 0 END) AS DOUBLE)
+                       / (SUM(CASE WHEN moved THEN 1 ELSE 0 END)
+                          + SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)), 6)
+       END AS moved_frac,
+       CAST(SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_eval_after
+FROM repaired
 """
 
 

@@ -362,6 +362,16 @@ class CurationReport:
     drift_new_token_rate: float
     split_counts: dict[str, int]  # train / eval over the kept docs
     span_removed_tokens: int  # history-owned passage tokens cut from kept docs
+    # leakage audit (r13, VERDICT r12 #6): near-dup pairs of CURATED docs
+    # whose endpoints straddle the FINAL train/eval split, at the
+    # caller's audit threshold. None = audit not requested. The split is
+    # leakage-free only while upstream dedup is at least as strict as
+    # the audit bar — both are parameters, so the safety property is
+    # measured here, not assumed.
+    leakage_pairs: int | None = None
+    # docs whose final split differs from the plain LCG split because
+    # repair_leakage moved their near-dup component to eval
+    leakage_moved: int = 0
     # gram-novelty profile of the kept batch vs the history gram store,
     # measured BEFORE span removal / the batch's own generation lands
     # (r11): mean novelty_rate over kept docs with >= 1 gram, and how
@@ -384,6 +394,8 @@ def run_curation_pipeline(
     max_drift_kl: float = 10.0,
     batch_id: str = "batch-0",
     memorized_gate_max: float | None = None,
+    leakage_audit_threshold: float | None = None,
+    repair_leakage: bool = False,
 ) -> CurationReport:
     """The CONTINUOUS-ingest curation stack — what runs on every new batch
     once the corpus already exists (``run_corpus_pipeline`` is the cold-
@@ -420,8 +432,21 @@ def run_curation_pipeline(
        cold-start ``history`` generation (the self-contained demo form;
        a live deployment builds it once and only appends) — and a doc
        emptied by the cut drops with reason ``span_emptied``.
-    5. holdout split   — ``q_holdout_split``: kept docs get leakage-free
-       train/eval membership (pure doc_id function).
+    5. holdout split   — ``q_holdout_split``: kept docs get train/eval
+       membership (pure doc_id function). The DOC-level split is
+       leakage-free by construction, but near-dup leakage across it is
+       only absent while upstream dedup is at least as strict as the
+       caller's similarity bar — both are parameters, so
+       ``leakage_audit_threshold`` (r13, VERDICT r12 #6, opt-in)
+       MEASURES it: the report's ``leakage_pairs`` counts curated
+       near-dup pairs (at that threshold) whose endpoints straddle the
+       FINAL split, computed from the written artifact. With
+       ``repair_leakage=True`` the split is REPAIRED before the write —
+       any curated near-dup component containing an eval doc moves
+       entirely to eval (the ``q_holdout_split_repaired``
+       component-level fixpoint policy, applied to the curated batch),
+       ``leakage_moved`` counts the moved docs, and the audit then
+       reads zero by construction (pytest-pinned).
     6. store appends   — history + kept batch signatures land in
        ``{out_base}/minhash_store``, and the CLEANED kept batch's grams
        fold into ``{out_base}/gram_store`` as the ``batch_id``
@@ -569,16 +594,92 @@ def run_curation_pipeline(
         F.length("clean_text").cast("long").alias("n_chars"),
     )
     split = q_holdout_split(spark, sf_dir).select("doc_id", "split")
-    curated.join(split, "doc_id").write.mode("overwrite").parquet(
+    leakage_pairs: int | None = None
+    leakage_moved = 0
+    curated_split = curated.join(split, "doc_id")
+    if leakage_audit_threshold is not None:
+        from graphdb_neo4j_spark.llmdata.dedup import (
+            connected_components,
+            dedup_jaccard_pairs,
+        )
+
+        # pair graph over the CURATED text (what actually ships to
+        # train/eval) at the caller's bar — bucketed/rep-compressed,
+        # never all-pairs; staged so the repair and the audit read one
+        # materialization instead of re-running the shingle join
+        dedup_jaccard_pairs(
+            curated.select("doc_id", "text"), leakage_audit_threshold
+        ).select("a", "b").write.mode("overwrite").parquet(
+            f"{out_base}/leakage_pairs.parquet"
+        )
+        pairs = spark.read.parquet(f"{out_base}/leakage_pairs.parquet")
+        if repair_leakage:
+            # q_holdout_split_repaired's component-level any-eval
+            # fixpoint, applied to the curated batch: pair-level moves
+            # would leak transitively; whole components close the chain
+            comp = connected_components(pairs).withColumnRenamed(
+                "node", "doc_id"
+            )
+            labeled = curated_split.join(comp, "doc_id", "left")
+            comp_eval = (
+                labeled.filter(F.col("component").isNotNull())
+                .groupBy("component")
+                .agg(
+                    F.max((F.col("split") == "eval").cast("int")).alias(
+                        "any_eval"
+                    )
+                )
+            )
+            curated_split = (
+                labeled.join(comp_eval, "component", "left")
+                .withColumn(
+                    "split",
+                    F.when(F.col("any_eval") == 1, F.lit("eval")).otherwise(
+                        F.col("split")
+                    ),
+                )
+                .drop("component", "any_eval")
+            )
+    curated_split.write.mode("overwrite").parquet(
         f"{out_base}/curated/documents.parquet"
     )
+    final_curated = spark.read.parquet(f"{out_base}/curated/documents.parquet")
     split_counts = {
         r["split"]: r["n"]
-        for r in spark.read.parquet(f"{out_base}/curated/documents.parquet")
-        .groupBy("split")
+        for r in final_curated.groupBy("split")
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    if leakage_audit_threshold is not None:
+        # both numbers derive from the WRITTEN artifact (the split the
+        # consumer will actually read), same discipline as the other
+        # report fields
+        final_split = final_curated.select("doc_id", "split")
+        pairs = spark.read.parquet(f"{out_base}/leakage_pairs.parquet")
+        leakage_pairs = (
+            pairs.join(
+                final_split.select(
+                    F.col("doc_id").alias("a"), F.col("split").alias("split_a")
+                ),
+                "a",
+            )
+            .join(
+                final_split.select(
+                    F.col("doc_id").alias("b"), F.col("split").alias("split_b")
+                ),
+                "b",
+            )
+            .filter(F.col("split_a") != F.col("split_b"))
+            .count()
+        )
+        if repair_leakage:
+            leakage_moved = (
+                final_split.join(
+                    split.withColumnRenamed("split", "lcg_split"), "doc_id"
+                )
+                .filter(F.col("split") != F.col("lcg_split"))
+                .count()
+            )
 
     # minhash store: same cold-start-once / append-per-batch contract as
     # the gram store below (r11 — both persisted stores now share the
@@ -633,6 +734,8 @@ def run_curation_pipeline(
         drift_new_token_rate=new_rate,
         split_counts=split_counts,
         span_removed_tokens=span_removed_tokens,
+        leakage_pairs=leakage_pairs,
+        leakage_moved=leakage_moved,
         novelty_mean=novelty_mean,
         memorized_docs=memorized_docs,
     )

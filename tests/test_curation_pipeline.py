@@ -287,3 +287,76 @@ def test_crash_between_store_appends_is_resumable(spark, tmp_path, monkeypatch):
 
     with _pytest.raises(ValueError, match="already folded"):
         pipeline.run_curation_pipeline(spark, str(tmp_path), out, keep_frac=1.0, max_drift_kl=1e9)
+
+
+def test_leakage_audit_and_repair_in_curation(spark, tmp_path):
+    """Leakage audit stage (r13, VERDICT r12 #6): two curated batch docs
+    that near-duplicate each other at the audit bar (but are BELOW the
+    0.8 incremental-dedup bar, so dedup keeps both — the exact
+    looser-dedup-than-leakage-bar hole the audit exists to measure) land
+    on opposite LCG splits. The audit arm must count the pair; the
+    repair arm must move the component to eval, report the move, and
+    zero the audit — measured from the written artifact."""
+    # batch pair: doc 1 (train) ≈ doc 11 (eval) under the LCG split.
+    # Same-length token substitution every 14 tokens keeps every shared
+    # verbatim run at 13 tokens < SPAN_WIDTH=15 (span removal cuts
+    # nothing) while char-shingle Jaccard stays ~0.4 — above the 0.35
+    # audit bar, far below the 0.8 dedup bar.
+    toks_a = [f"w{i:02d}" for i in range(60)]
+    toks_b = list(toks_a)
+    for p in (7, 21, 35, 49):
+        toks_b[p] = f"x{p:02d}"
+    rows = [
+        (0, " ".join(f"g{i:02d}" for i in range(60)), "en", "s", 0),  # history
+        (2, " ".join(f"h{i:02d}" for i in range(60)), "en", "s", 0),  # history
+        (1, " ".join(toks_a), "en", "s", 0),   # batch, LCG train
+        (11, " ".join(toks_b), "en", "s", 0),  # batch, LCG eval
+        (3, " ".join(f"z{i:02d}" for i in range(60)), "en", "s", 0),  # batch
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    # audit only: the cross-split near-dup pair is MEASURED, split
+    # assignment itself unchanged
+    rep = pipeline.run_curation_pipeline(
+        spark, str(tmp_path), str(tmp_path / "audit"), keep_frac=1.0,
+        max_drift_kl=1e9, leakage_audit_threshold=0.35,
+    )
+    assert rep.leakage_pairs == 1
+    assert rep.leakage_moved == 0
+    assert rep.batch_docs == rep.kept_docs + rep.dropped_docs
+    audit_split = {
+        r.doc_id: r.split
+        for r in spark.read.parquet(
+            f"{tmp_path}/audit/curated/documents.parquet"
+        ).collect()
+    }
+    assert audit_split[1] == "train" and audit_split[11] == "eval"
+
+    # repair arm: the pair's component moves entirely to eval, the move
+    # is accounted, and a re-audit of the artifact reads zero
+    rep2 = pipeline.run_curation_pipeline(
+        spark, str(tmp_path), str(tmp_path / "rep"), keep_frac=1.0,
+        max_drift_kl=1e9, leakage_audit_threshold=0.35, repair_leakage=True,
+    )
+    assert rep2.leakage_pairs == 0
+    assert rep2.leakage_moved == 1  # doc 1: train -> eval
+    rep_split = {
+        r.doc_id: r.split
+        for r in spark.read.parquet(
+            f"{tmp_path}/rep/curated/documents.parquet"
+        ).collect()
+    }
+    assert rep_split[1] == "eval" and rep_split[11] == "eval"
+    assert rep_split[3] == audit_split[3]  # untouched doc keeps its split
+    assert sum(rep2.split_counts.values()) == rep2.kept_docs
+
+    # default: no audit requested, fields stay at their None/0 contract
+    rep3 = pipeline.run_curation_pipeline(
+        spark, str(tmp_path), str(tmp_path / "off"), keep_frac=1.0,
+        max_drift_kl=1e9,
+    )
+    assert rep3.leakage_pairs is None
+    assert rep3.leakage_moved == 0

@@ -676,3 +676,58 @@ def test_legacy_minhash_store_diverged_tables_repairs(spark, sf_correct, tmp_pat
     dedup.write_minhash_store(gen2, store, mode="append", generation="g2")
     assert dedup._minhash_store_meta(store)["active"] == ["g1", "g2"]
     dedup.probe_minhash_store(spark, store, batch).count()
+
+
+def test_holdout_repair_absorption_guard_and_stats(spark, tmp_path):
+    """Eval-absorption guard (r13, VERDICT r12 #5): a planted MEGA
+    near-dup component holding one eval doc drains its entire train
+    membership into eval — the stats row must account the loss exactly,
+    and max_moved_frac must raise on it while leaving the small-fallout
+    default unchanged."""
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.llmdata.filterset import (
+        _LCG_A,
+        _LCG_C,
+        _LCG_M,
+        q_holdout_repair_stats,
+        q_holdout_split_repaired,
+    )
+
+    def split_of(doc_id, pct=5):
+        return "eval" if (doc_id * _LCG_A + _LCG_C) % _LCG_M % 100 < pct else "train"
+
+    # mega-component: ids 0..59 share one text (one clique component);
+    # ids 100..139 are unique (untouched by the repair)
+    mega_text = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, mega_text, "en", "s", 0) for i in range(60)] + [
+        (100 + i, " ".join(f"u{100 + i}w{j}" for j in range(40)), "en", "s", 0)
+        for i in range(40)
+    ]
+    assert any(split_of(i) == "eval" for i in range(60)), (
+        "fixture must put at least one eval doc in the mega-component"
+    )
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    mega_train = [i for i in range(60) if split_of(i) == "train"]
+    uniq_train = [i for i in range(100, 140) if split_of(i) == "train"]
+    n_train_before = len(mega_train) + len(uniq_train)
+    expected_frac = round(len(mega_train) / n_train_before, 6)
+
+    stats = q_holdout_repair_stats(spark, str(tmp_path)).collect()[0]
+    assert stats["n_docs"] == 100
+    assert stats["n_train_before"] == n_train_before
+    assert stats["n_moved"] == len(mega_train)  # the whole clique moved
+    assert stats["moved_frac"] == expected_frac
+    assert stats["n_eval_after"] == 100 - len(uniq_train)
+
+    # the guard: the planted absorption exceeds a sane bound
+    assert expected_frac > 0.2
+    with _pytest.raises(ValueError, match="moved_frac"):
+        q_holdout_split_repaired(spark, str(tmp_path), max_moved_frac=0.2)
+    # a loose bound admits it, and the default stays guard-free
+    q_holdout_split_repaired(spark, str(tmp_path), max_moved_frac=0.99).count()
+    q_holdout_split_repaired(spark, str(tmp_path)).count()
