@@ -566,6 +566,14 @@ register(
     filterset.q_holdout_split_repaired,
     filterset.holdout_split_repaired_sql(),
 )
+# r13 debut: one-row accounting for the leakage repair — how much train
+# text the any-eval absorption moved (the eval-absorption guard's report
+# form; q_holdout_split_repaired(max_moved_frac=...) enforces a bound)
+register(
+    "holdout_repair_stats",
+    filterset.q_holdout_repair_stats,
+    filterset.holdout_repair_stats_sql(),
+)
 register(
     "top_return_customers",
     olap.q_top_return_customers,
@@ -1533,29 +1541,33 @@ _missing = [n for n in R12_WINDOW if n not in _PENDING]
 if _missing:
     raise RuntimeError(f"R12_WINDOW names not defined: {_missing}")
 
-for _name in R12_WINDOW:
-    _rq = _PENDING.pop(_name)
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-for _name, _rq in _PENDING.items():
-    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
-_PENDING.clear()
-
 # =============================================================================
-# R13 WINDOW PLAN — staged so next round's rotation is a one-line swap
-# (rename to R13_WINDOW, flush on it, move R12's names into history).
-# Oldest-green-first: `events_anomaly` (displaced from the r12 window
-# by the `split_leakage` debut), then the remaining queries whose last
-# driver row is r9 (R9_STEADY source order, 36 names —
-# `shipping_priority` and `nation_revenue`, displaced from the r12
-# plan by the late-r10 carry-overs, lead them), then the oldest r10
-# rows (R10_WINDOW source order; 10 fit — `stratified_sample`,
-# `semantic_dedup`, `events_quantiles` and `top_parts_per_nation` open
-# the r14 pool). Any query materially changed in r13 jumps to the
-# front, displacing the newest names here to r14. (Counts are
-# narrative; the asserts below are authoritative.)
+# R13 WINDOW — the 50 names the driver's correctness harness records THIS
+# round: the staged r13 plan with the changed-first rule applied.
+# Changed-first block (3 slots): the r13 DEBUTS ``contamination_semantic``
+# (embedding-cosine benchmark contamination — the full-rewording case
+# both lexical channels miss, VERDICT r12 #4), ``decontaminated_semantic``
+# (the three-channel remediation), and ``holdout_repair_stats`` (the
+# eval-absorption accounting for the leakage repair, VERDICT r12 #5)
+# need their FIRST driver rows; they displace the three newest staged
+# names (``training_filter``, ``dedup_representatives``,
+# ``dedup_segments``) to the front of the r14 plan. No other registered
+# query's plan changed in r13: ``holdout_split_repaired`` gained an
+# opt-in ``max_moved_frac`` guard (default None = registered plan
+# unchanged), and the round's other work was bench-harness pricing (the
+# iterative warm-up rep, bench.py only), pipeline machinery (resume
+# param stamping, the leakage audit/repair arms, the semantic gate arm —
+# non-registered paths, pytest-pinned), and the minhash legacy-repair
+# divergence fix. Oldest-green-first: the staged r13 plan order — the 4
+# names the r12 debuts displaced, then the r9 rows, then the oldest r10
+# rows. (Counts are narrative; the asserts below are authoritative.)
 # =============================================================================
 
-R13_WINDOW_PLAN = [
+R13_WINDOW = [
+    # r13 DEBUTS (first driver rows)
+    "contamination_semantic",
+    "decontaminated_semantic",
+    "holdout_repair_stats",
     # displaced from the r12 window by the four r12 debuts (4)
     "events_anomaly", "corpus_drift", "bigram_logprob", "quality_gate",
     # last driver row r9, R9_STEADY source order (36)
@@ -1572,21 +1584,73 @@ R13_WINDOW_PLAN = [
     "decontaminated", "domain_stats", "repetition_scores",
     "holdout_split", "unigram_logprob", "funnel_counts",
     "retention_cohorts",
-    # oldest r10 rows, R10_WINDOW source order (10; stratified_sample /
-    # semantic_dedup / events_quantiles / top_parts_per_nation — the
-    # newest — open the r14 pool, displaced by the carried names)
+    # oldest r10 rows, R10_WINDOW source order (7; training_filter /
+    # dedup_representatives / dedup_segments — the newest — lead the
+    # r14 plan, displaced by the three r13 debuts)
     "dedup_span_removal", "dedup_span_removal_incremental", "token_cms",
     "bpe_encode_fixed", "dedup_simhash", "winnowing_fingerprint",
-    "dedup_components", "training_filter", "dedup_representatives",
-    "dedup_segments",
+    "dedup_components",
 ]
 
-if len(R13_WINDOW_PLAN) != 50:
-    raise RuntimeError(f"R13_WINDOW_PLAN must name 50 queries, got {len(R13_WINDOW_PLAN)}")
-if len(set(R13_WINDOW_PLAN)) != 50:
-    raise RuntimeError("R13_WINDOW_PLAN contains duplicates")
-if set(R13_WINDOW_PLAN) & (set(R12_WINDOW) | set(R11_WINDOW)):
-    raise RuntimeError("r13 plan overlaps a recent window (steady-state = oldest first)")
-_undefined = [n for n in R13_WINDOW_PLAN if n not in _registry_dict]
+if len(R13_WINDOW) != 50:
+    raise RuntimeError(f"R13_WINDOW must name 50 queries, got {len(R13_WINDOW)}")
+if len(set(R13_WINDOW)) != 50:
+    raise RuntimeError("R13_WINDOW contains duplicates")
+if set(R13_WINDOW) & (set(R12_WINDOW) | set(R11_WINDOW)):
+    raise RuntimeError("r13 window overlaps a recent window (steady-state = oldest first)")
+_missing = [n for n in R13_WINDOW if n not in _PENDING]
+if _missing:
+    raise RuntimeError(f"R13_WINDOW names not defined: {_missing}")
+
+for _name in R13_WINDOW:
+    _rq = _PENDING.pop(_name)
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+for _name, _rq in _PENDING.items():
+    _registry_register(_name, _rq.fn, _rq.oracle, bench=_rq.bench)
+_PENDING.clear()
+
+# =============================================================================
+# R14 WINDOW PLAN — staged so next round's rotation is a one-line swap
+# (rename to R14_WINDOW, flush on it, move R13's names into history).
+# Oldest-green-first: the three names the r13 debuts displaced from the
+# r13 window lead (their last driver row is r10), then the four r10
+# names that didn't fit the r13 plan (`stratified_sample`,
+# `semantic_dedup`, `events_quantiles`, `top_parts_per_nation`), then
+# the remaining r10 rows (R10_WINDOW source order, 36 names), then the
+# oldest r11 rows (R11_WINDOW source order; 7 fit). Any query
+# materially changed in r14 jumps to the front, displacing the newest
+# names here to r15. (Counts are narrative; the asserts below are
+# authoritative.)
+# =============================================================================
+
+R14_WINDOW_PLAN = [
+    # displaced from the r13 window by the three r13 debuts (3)
+    "training_filter", "dedup_representatives", "dedup_segments",
+    # r10 rows that didn't fit the r13 plan (4)
+    "stratified_sample", "semantic_dedup", "events_quantiles",
+    "top_parts_per_nation",
+    # remaining r10 rows, R10_WINDOW source order (36)
+    "triangle_counts", "ppmi_topk", "training_order", "interval_join",
+    "forecast_revenue", "source_scorecard", "group_sample",
+    "integrity_check", "value_histogram", "asof_forward", "user_profile",
+    "mix_plan", "knn_join", "dedup_spans", "dedup_snm", "pagerank_ppr",
+    "label_propagation", "embedding_quantize", "dsir_weights",
+    "events_ohlc", "cdc_apply", "basket_affinity", "pareto_revenue",
+    "top_supplier", "ship_latency", "sequence_match", "stream_ohlc",
+    "conversion_lag", "bfs_unbounded", "events_hopping", "stream_hopping",
+    "temporal_join", "stream_enrich", "volume_shipping", "dedup_exact",
+    "dedup_jaccard",
+    # oldest r11 rows, R11_WINDOW source order (7)
+    "gram_novelty", "dup_source_matrix", "recommend_people",
+    "product_profit", "market_share", "knn_anchor", "degree_stats",
+]
+
+if len(R14_WINDOW_PLAN) != 50:
+    raise RuntimeError(f"R14_WINDOW_PLAN must name 50 queries, got {len(R14_WINDOW_PLAN)}")
+if len(set(R14_WINDOW_PLAN)) != 50:
+    raise RuntimeError("R14_WINDOW_PLAN contains duplicates")
+if set(R14_WINDOW_PLAN) & (set(R13_WINDOW) | set(R12_WINDOW)):
+    raise RuntimeError("r14 plan overlaps a recent window (steady-state = oldest first)")
+_undefined = [n for n in R14_WINDOW_PLAN if n not in _registry_dict]
 if _undefined:
-    raise RuntimeError(f"R13_WINDOW_PLAN names not registered: {_undefined}")
+    raise RuntimeError(f"R14_WINDOW_PLAN names not registered: {_undefined}")

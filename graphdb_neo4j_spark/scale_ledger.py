@@ -381,7 +381,23 @@ _EXPLICIT: dict[str, Disposition] = {
         "staged components.parquet — the incremental cost over the "
         "split itself is then one broadcast join; 10× sweep (checksum): "
         "8.30 -> 13.76 s (1.66×), moved output 18 -> 21,675 "
-        "(id-shifted copies scatter across splits — adversarial)",
+        "(id-shifted copies scatter across splits — adversarial). "
+        "FAILURE MODE (r13, VERDICT r12 #5): any-eval absorption drains "
+        "train at high dup rates — the 10× replica's mega-components "
+        "already move moved_frac 0.456 of the original train set; the "
+        "``max_moved_frac`` knob raises above a caller bound (switch to "
+        "a component-size cap / drop-both policy or dedup harder "
+        "upstream), and ``holdout_repair_stats`` is the registered "
+        "accounting report",
+    ),
+    "holdout_repair_stats": _d(
+        "linear",
+        "r13 debut: one-row absorption accounting over the repair plan — "
+        "a single mergeable 4-sum aggregate on top of "
+        "holdout_split_repaired (no extra join/shuffle); 10× sweep "
+        "(checksum): 9.45 -> 11.30 s (1.20×); the 10× row ITSELF "
+        "documents the failure mode the guard exists for (moved_frac "
+        "0.004 -> 0.456 on the duplicate-heavy replica)",
     ),
     "split_leakage": _d(
         "linear",
