@@ -223,6 +223,12 @@ def main() -> None:
         "pagerank_factored",
         "pagerank_ppr",
     }
+    # Queries with a measured multi-rep warm-in beyond the iterative
+    # JIT effect: stream_asof's first execution in a session is ~2.9×
+    # its steady state (5.9 s → 2.0 s over 4 reps, r13 adjudication —
+    # streaming micro-batch machinery + memory-sink init), so the same
+    # unpriced warm-up applies.
+    warm_up = iterative | {"stream_asof"}
 
     def record() -> dict:
         """One full recording pass over every bench query; returns the
@@ -252,9 +258,10 @@ def main() -> None:
             # driver recording priced exactly that first-rep ramp and
             # flagged a phantom regression two rounds running. One
             # discarded execution moves every priced rep to steady
-            # state; non-iterative queries skip it (their construct is
-            # one plan analysis, not a JIT-sensitive job loop).
-            if name in iterative:
+            # state; queries outside the warm_up set skip it (their
+            # construct is one plan analysis, not a JIT-sensitive job
+            # loop or streaming-machinery init).
+            if name in warm_up:
                 try:
                     _consume(fn(spark, sf_dir))
                 except Exception:
