@@ -33,6 +33,17 @@ CONTRACTS = [
     # big-big joins are SMJ by design, so broadcast-only is off; the
     # split/any-eval joins themselves broadcast
     ("holdout_split_repaired", 23, False, True),
+    # r13 debuts
+    # bench side BROADCAST into one nested-loop (cartesian-by-design
+    # with a tiny build side), ZERO shuffles, both vec_id predicates
+    # pushed to the parquet scans (audited)
+    ("contamination_semantic", 0, True, False),
+    # decontaminated_full's 10 + the semantic flag-set distinct; all 16
+    # equi-joins broadcast, the one NLJ is the broadcast bench side
+    ("decontaminated_semantic", 11, True, False),
+    # holdout_split_repaired's plan + one mergeable 4-sum final agg
+    # (single-partition by contract: one output row)
+    ("holdout_repair_stats", 23, False, True),
     ("quality_classifier", 1, True, True),
     ("quality_classifier_hashed", 1, True, True),
     ("events_anomaly", 2, True, True),
