@@ -407,6 +407,76 @@ WHERE list_dot_product(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= {thres
 """
 
 
+def q_contamination_semantic_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+    bench_max_id: int = BENCH_MAX_ID,
+) -> DataFrame:
+    """SCALE twin of :func:`q_contamination_semantic` (r13): identical
+    output schema (bench_id, corpus_id, cosine), but candidates come
+    from the LSH hyperplane tables (`lsh_neardup`'s near-dup geometry —
+    NEARDUP_PLANES=4 / NEARDUP_TABLES=16, the weak-AND/wide-OR setting
+    that keeps recall ≈0.9 even in this corpus's near-orthogonal θ≈69°
+    regime; the b=6/L=8 top-k geometry would sit at ≈0.36 here) instead
+    of the exhaustive bench×corpus product: a corpus vector is checked
+    only against bench vectors sharing a (table_idx, bucket) in some
+    table, then exact-verified — every emitted cosine is exact, recall
+    is the LSH parameters' (identical embeddings collide in EVERY
+    table, so a verbatim-embedding evader cannot be missed at any
+    parameters; pytest pins both invariants).
+
+    When to prefer which: the exact form is |corpus|·|bench| dot
+    products — fine while the benchmark side is thousands of items; at
+    a large |bench| (union of many eval suites × paraphrase
+    augmentation) this form cuts the per-corpus-vector work to the
+    bucket-collision set. Plan shape: the bench bucket table is tiny →
+    broadcast hash join on (table_idx, bucket); the only shuffle is the
+    candidate-pair dedup, sized by collisions, never by the corpus.
+    rows-only registration (hyperplane bucketing is RNG-seeded;
+    ledgered) — the exact twin stays the oracle-checked baseline.
+    """
+    from graphdb_neo4j_spark.llmdata.simsearch import (
+        NEARDUP_PLANES,
+        NEARDUP_TABLES,
+        _dot,
+        _make_buckets_udf,
+    )
+
+    emb = widen_scan(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    udf = _make_buckets_udf(NEARDUP_TABLES, NEARDUP_PLANES)
+    idx = emb.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(udf(F.col("embedding"))).alias("table_idx", "bucket"),
+    )
+    bench = idx.filter(F.col("vec_id") < bench_max_id).select(
+        "table_idx",
+        "bucket",
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").alias("eb"),
+    )
+    corpus = idx.filter(F.col("vec_id") >= bench_max_id).select(
+        "table_idx",
+        "bucket",
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("ec"),
+    )
+    cand = (
+        corpus.join(F.broadcast(bench), ["table_idx", "bucket"])
+        .dropDuplicates(["bench_id", "corpus_id"])
+    )
+    return (
+        cand.select(
+            "bench_id",
+            "corpus_id",
+            _dot(F.col("ec"), F.col("eb")).alias("cosine_raw"),
+        )
+        .filter(F.col("cosine_raw") >= threshold)
+        .select("bench_id", "corpus_id", F.round("cosine_raw", 4).alias("cosine"))
+    )
+
+
 def q_decontaminated_semantic(
     spark: SparkSession,
     sf_dir: str,

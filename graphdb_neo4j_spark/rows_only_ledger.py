@@ -146,6 +146,13 @@ ROWS_ONLY: dict[str, RowsOnlyEntry] = {
         "so candidates) depend on float centroid placement",
         "tests/test_llmdata.py::test_ivf_recall_vs_bruteforce",
     ),
+    "contamination_semantic_lsh": _e(
+        "seeded-rng",
+        "hyperplane-bucketed twin of the oracle-backed "
+        "contamination_semantic; bucketing RNG decides which bench×corpus "
+        "candidates exist (emitted cosines are exact-verified)",
+        "tests/test_scrub.py::test_contamination_semantic_lsh_refines_exact",
+    ),
     "lsh_neardup": _e(
         "seeded-rng",
         "random-hyperplane signatures from a seeded NumPy draw; bucket "

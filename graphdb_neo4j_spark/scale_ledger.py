@@ -362,6 +362,18 @@ _EXPLICIT: dict[str, Disposition] = {
         "match output 141 -> 1698 (id-shifted embedding copies read as "
         "semantically contaminated — the adversarial direction)",
     ),
+    "contamination_semantic_lsh": _d(
+        "linear",
+        "r13 debut: the bucketed scale twin — bench bucket table "
+        "broadcast into a (table_idx, bucket) hash join over the "
+        "corpus's L=16 bucket rows; per-corpus-vector work is the "
+        "bucket-collision set, not |bench|, so this is the sub-linear "
+        "path when the benchmark side grows; candidate-pair dedup is "
+        "the only shuffle (collision-sized); recall 0.85/0.97 at "
+        "sf0.01/0.1 vs the exact twin (pytest floor 0.8), emitted "
+        "cosines exact; 10× sweep (checksum): 2.16 -> 3.16 s (1.46×) "
+        "with output 137 -> 1658",
+    ),
     "decontaminated_semantic": _d(
         "linear",
         "r13 debut: the three-channel remediation — exact ∪ paraphrase "

@@ -246,3 +246,52 @@ def test_contamination_semantic_catches_rewording_lexical_misses(spark, tmp_path
     assert full_clean == {100, 101}
     assert sem_clean == {101}
     assert sem_clean <= full_clean  # always a subset, by construction
+
+
+def test_contamination_semantic_lsh_refines_exact(spark, sf_correct):
+    """The bucketed scale twin (r13): every emitted pair must be an
+    exact-channel pair with the identical cosine (precision 1.0 —
+    candidates are exact-verified), and recall vs the exhaustive
+    bench×corpus form must clear the documented floor in this corpus's
+    near-orthogonal hard regime."""
+    exact = {
+        (r.bench_id, r.corpus_id): r.cosine
+        for r in scrub.q_contamination_semantic(spark, sf_correct).collect()
+    }
+    got = {
+        (r.bench_id, r.corpus_id): r.cosine
+        for r in scrub.q_contamination_semantic_lsh(spark, sf_correct).collect()
+    }
+    assert set(got) <= set(exact)
+    for pair, cos in got.items():
+        assert cos == exact[pair]
+    recall = len(got) / len(exact)
+    assert recall >= 0.8, f"LSH contamination recall {recall} below 0.8"
+
+
+def test_contamination_semantic_lsh_never_misses_identical_embedding(spark, tmp_path):
+    """Identical embeddings agree on every hyperplane, so a
+    verbatim-embedding contamination (the semantic channel's canonical
+    target) collides in EVERY table — it cannot be missed at any LSH
+    parameters."""
+    import random
+
+    from graphdb_neo4j_spark.llmdata import simsearch
+
+    rnd = random.Random(11)
+    base = [rnd.gauss(0, 1) for _ in range(simsearch.DIM)]
+    n = sum(x * x for x in base) ** 0.5
+    unit = [x / n for x in base]
+    other = [rnd.gauss(0, 1) for _ in range(simsearch.DIM)]
+    m = sum(x * x for x in other) ** 0.5
+    rows = [(0, unit, 0), (100, unit, 1), (101, [x / m for x in other], 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {
+        (r.bench_id, r.corpus_id)
+        for r in scrub.q_contamination_semantic_lsh(
+            spark, str(tmp_path), threshold=0.99
+        ).collect()
+    }
+    assert (0, 100) in got
