@@ -356,7 +356,8 @@ def run_corpus_pipeline(
 class CurationReport:
     batch_docs: int
     kept_docs: int
-    # near_dup_history / low_quality / span_emptied
+    # near_dup_history / low_quality / contaminated (opt-in, r13) /
+    # memorized (opt-in, r12) / span_emptied
     dropped_by_reason: dict[str, int]
     drift_kl: float
     drift_new_token_rate: float
@@ -396,6 +397,8 @@ def run_curation_pipeline(
     memorized_gate_max: float | None = None,
     leakage_audit_threshold: float | None = None,
     repair_leakage: bool = False,
+    decontaminate_bench_max_id: int | None = None,
+    decontaminate_embeddings_dir: str | None = None,
 ) -> CurationReport:
     """The CONTINUOUS-ingest curation stack — what runs on every new batch
     once the corpus already exists (``run_corpus_pipeline`` is the cold-
@@ -410,6 +413,20 @@ def run_curation_pipeline(
        duplicate regardless of its quality score).
     3. quality gate    — ``q_quality_gate``: survivors keep only the top
        ``keep_frac`` by classifier score (budgeted, corpus-relative).
+    3b. decontamination (r13, opt-in) — the per-batch form of the corpus
+       pipeline's gate: with ``decontaminate_bench_max_id`` set, kept
+       batch docs that are benchmark docs themselves, exact-13-gram
+       contaminated (``q_contamination``), or paraphrase-contaminated
+       (``q_contamination_neardup``) drop with reason ``contaminated``
+       BEFORE the novelty profile and span removal see them; with
+       ``decontaminate_embeddings_dir`` also set, the SEMANTIC channel
+       (``q_contamination_semantic``, embedding sidecar keyed vec_id =
+       doc_id) joins the union. Precedence sits after dedup/quality
+       (attribution only — a contaminated doc never trains either way)
+       and the benchmark-vs-history overlap is natural: a batch doc
+       verbatim-copying a HISTORY benchmark doc already dropped at
+       stage 2; this gate catches the partial/paraphrase/semantic
+       pulls dedup's 0.8 bar admits. Accounting stays closed.
     4. novelty profile — ``gram_novelty_with_store``: mean gram-novelty
        of the kept batch vs the history store + count of docs at/below
        the memorization threshold, measured BEFORE the batch's own
@@ -528,6 +545,51 @@ def run_curation_pipeline(
 
     keep_ids = verdicts.filter(F.col("verdict") == "keep").select("doc_id")
     kept_batch = docs.join(keep_ids, "doc_id", "left_semi")
+
+    # stage 3b (r13, opt-in): per-batch decontamination — the union of
+    # the benchmark ids themselves and every contamination channel's
+    # flagged ids, broadcast into one LEFT ANTI over the kept batch
+    # (same shape as the corpus pipeline's gate)
+    if decontaminate_bench_max_id is not None:
+        from graphdb_neo4j_spark.llmdata.scrub import (
+            q_contamination,
+            q_contamination_neardup,
+        )
+
+        flagged = (
+            q_contamination(spark, sf_dir, bench_max_id=decontaminate_bench_max_id)
+            .select("doc_id")
+            .unionByName(
+                q_contamination_neardup(
+                    spark, sf_dir, bench_max_id=decontaminate_bench_max_id
+                ).select(F.col("corpus_id").alias("doc_id"))
+            )
+            .unionByName(
+                docs.filter(
+                    F.col("doc_id") < decontaminate_bench_max_id
+                ).select("doc_id")
+            )
+        )
+        if decontaminate_embeddings_dir is not None:
+            from graphdb_neo4j_spark.llmdata.scrub import (
+                q_contamination_semantic,
+            )
+
+            flagged = flagged.unionByName(
+                q_contamination_semantic(
+                    spark,
+                    decontaminate_embeddings_dir,
+                    bench_max_id=decontaminate_bench_max_id,
+                ).select(F.col("corpus_id").alias("doc_id"))
+            )
+        n_before = kept_batch.count()
+        kept_batch = kept_batch.join(
+            F.broadcast(flagged.distinct()), "doc_id", "left_anti"
+        )
+        n_contaminated = n_before - kept_batch.count()
+        if n_contaminated:
+            reasons["contaminated"] = n_contaminated
+            kept -= n_contaminated
 
     # span removal vs the history gram store (staged: the accounting agg
     # and the curated write both read the materialization). Cold-start

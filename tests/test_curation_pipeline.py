@@ -360,3 +360,71 @@ def test_leakage_audit_and_repair_in_curation(spark, tmp_path):
     )
     assert rep3.leakage_pairs is None
     assert rep3.leakage_moved == 0
+
+
+def test_curation_decontamination_gate(spark, tmp_path):
+    """Per-batch decontamination (r13, opt-in): a batch doc carrying a
+    verbatim 13-gram pull from a benchmark doc (below the 0.8 near-dup
+    bar, so incremental dedup keeps it), a batch doc that IS a benchmark
+    doc, and a semantic evader (unique text, benchmark-identical
+    embedding) must drop with the `contaminated` reason under the
+    respective gate arms; the default run keeps all of them and the
+    accounting always closes."""
+    bench_toks = [f"b{i:02d}" for i in range(60)]
+    pull = " ".join(bench_toks[:13]) + " " + " ".join(
+        f"fresh{i:02d}" for i in range(47)
+    )
+    rows = [
+        (0, " ".join(bench_toks), "en", "s", 0),              # history + benchmark
+        (2, " ".join(f"h{i:02d}" for i in range(60)), "en", "s", 0),  # history
+        (1, pull, "en", "s", 0),               # batch: exact-channel contamination
+        (11, " ".join(f"m{i:02d}" for i in range(60)), "en", "s", 0),  # batch: IS a benchmark doc (id < 32)
+        (33, " ".join(f"u{i:02d}" for i in range(60)), "en", "s", 0),  # batch: clean
+        (35, " ".join(f"v{i:02d}" for i in range(60)), "en", "s", 0),  # batch: semantic evader
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    e = [1.0, 0.0, 0.0, 0.0]
+    emb_dir = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(0, e, 0), (35, e, 1)],
+        schema="vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{emb_dir}/embeddings.parquet")
+
+    def curated_ids(out):
+        return {
+            r.doc_id
+            for r in spark.read.parquet(
+                f"{out}/curated/documents.parquet"
+            ).collect()
+        }
+
+    # default: no gate — everything batch-side survives
+    off = pipeline.run_curation_pipeline(
+        spark, str(tmp_path), str(tmp_path / "off"), keep_frac=1.0,
+        max_drift_kl=1e9,
+    )
+    assert "contaminated" not in off.dropped_by_reason
+    assert curated_ids(str(tmp_path / "off")) == {1, 11, 33, 35}
+    assert off.batch_docs == off.kept_docs + off.dropped_docs
+
+    # lexical gate: the 13-gram pull and the benchmark member drop
+    lex = pipeline.run_curation_pipeline(
+        spark, str(tmp_path), str(tmp_path / "lex"), keep_frac=1.0,
+        max_drift_kl=1e9, decontaminate_bench_max_id=32,
+    )
+    assert lex.dropped_by_reason["contaminated"] == 2
+    assert curated_ids(str(tmp_path / "lex")) == {33, 35}
+    assert lex.batch_docs == lex.kept_docs + lex.dropped_docs
+
+    # + semantic arm: the embedding-identical evader drops too
+    sem = pipeline.run_curation_pipeline(
+        spark, str(tmp_path), str(tmp_path / "sem"), keep_frac=1.0,
+        max_drift_kl=1e9, decontaminate_bench_max_id=32,
+        decontaminate_embeddings_dir=emb_dir,
+    )
+    assert sem.dropped_by_reason["contaminated"] == 3
+    assert curated_ids(str(tmp_path / "sem")) == {33}
+    assert sem.batch_docs == sem.kept_docs + sem.dropped_docs
