@@ -17,3 +17,15 @@ def test_registry_shape(spark):
     assert set(oracles) <= set(qs)
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_current_window_leads_queries_order(spark):
+    """The driver's 50-row correctness gate records the FIRST 50 entries
+    of queries() (dict insertion order), so the catalog's registration
+    flush must put the current round's window first — pin it so a
+    refactor of the flush loop can't silently starve the window's debut
+    rows of their driver check."""
+    from graphdb_neo4j_spark.catalog import R13_WINDOW
+
+    first50 = list(entry_mod.queries())[:50]
+    assert first50 == R13_WINDOW
