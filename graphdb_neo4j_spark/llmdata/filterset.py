@@ -274,6 +274,7 @@ def q_holdout_split_repaired(
     threshold: float = 0.8,
     holdout_pct: int = HOLDOUT_PCT,
     max_moved_frac: float | None = None,
+    policy: str = "absorb",
 ) -> DataFrame:
     """(doc_id, split, moved) — the holdout split with near-dup leakage
     REPAIRED (r12): every near-dup COMPONENT containing at least one
@@ -310,9 +311,30 @@ def q_holdout_split_repaired(
     The check is a 2-scalar aggregate over the already-built plan
     (:func:`q_holdout_repair_stats` is the registered report form).
     Default None keeps the output contract unchanged.
+
+    ``policy`` (r13): what to do with an any-eval component.
+
+    - ``"absorb"`` (default, the registered contract): the component
+      moves entirely to eval — eval keeps its content, train loses the
+      members. Right while components are small.
+    - ``"drop_both"``: the component is EXCLUDED from both splits (its
+      docs do not appear in the output) — the remedy when a
+      mega-component would drain train into eval: train keeps its
+      non-component text, eval gives up content it can no longer hold
+      leakage-free. Still a fixpoint (every leakage pair is
+      within-component, and whole components vanish); the caller
+      accounts the loss as output-vs-input row count. The guard +
+      stats report are how an operator DECIDES between the two
+      (moved_frac small → absorb; large → drop_both or dedup harder
+      upstream).
     """
     from graphdb_neo4j_spark.llmdata.dedup import q_dedup_components
 
+    if policy not in ("absorb", "drop_both"):
+        raise ValueError(
+            f"unknown repair policy {policy!r}: expected 'absorb' or "
+            f"'drop_both'"
+        )
     if max_moved_frac is not None:
         stats = q_holdout_repair_stats(
             spark, sf_dir, threshold, holdout_pct
@@ -341,9 +363,14 @@ def q_holdout_split_repaired(
             F.max((F.col("split") == "eval").cast("int")).alias("any_eval")
         )
     )
+    joined = labeled.join(comp_eval, "canonical_id", "left")
+    if policy == "drop_both":
+        return (
+            joined.filter(F.coalesce(F.col("any_eval"), F.lit(0)) == 0)
+            .select("doc_id", "split", F.lit(False).alias("moved"))
+        )
     return (
-        labeled.join(comp_eval, "canonical_id", "left")
-        .select(
+        joined.select(
             "doc_id",
             F.when(F.col("any_eval") == 1, F.lit("eval"))
             .otherwise(F.col("split"))

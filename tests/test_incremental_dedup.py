@@ -731,3 +731,53 @@ def test_holdout_repair_absorption_guard_and_stats(spark, tmp_path):
     # a loose bound admits it, and the default stays guard-free
     q_holdout_split_repaired(spark, str(tmp_path), max_moved_frac=0.99).count()
     q_holdout_split_repaired(spark, str(tmp_path)).count()
+
+
+def test_holdout_repair_drop_both_policy(spark, tmp_path):
+    """drop_both (r13): the remedy the absorption guard points at — an
+    any-eval mega-component is EXCLUDED from both splits instead of
+    draining train into eval. Still a leakage fixpoint (whole components
+    vanish), untouched docs keep their LCG split, and train keeps its
+    non-component text."""
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.llmdata.filterset import (
+        q_holdout_split,
+        q_holdout_split_repaired,
+        q_split_leakage,
+    )
+
+    mega_text = " ".join(f"tok{i}" for i in range(40))
+    rows = [(i, mega_text, "en", "s", 0) for i in range(60)] + [
+        (100 + i, " ".join(f"u{100 + i}w{j}" for j in range(40)), "en", "s", 0)
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    base = {r.doc_id: r.split for r in q_holdout_split(spark, str(tmp_path)).collect()}
+    dropped = {
+        r.doc_id: (r.split, r.moved)
+        for r in q_holdout_split_repaired(
+            spark, str(tmp_path), policy="drop_both"
+        ).collect()
+    }
+    # the whole mega-component (ids 0..59) is gone from BOTH splits
+    assert set(dropped) == set(range(100, 140))
+    for doc_id, (split, moved) in dropped.items():
+        assert split == base[doc_id]  # survivors keep the LCG split
+        assert moved is False
+    # train text outside the component is fully preserved
+    assert {d for d, (s, _) in dropped.items() if s == "train"} == {
+        d for d in range(100, 140) if base[d] == "train"
+    }
+    # fixpoint: no leakage pair survives among the remaining docs (every
+    # near-dup pair was within the dropped component)
+    leaks = q_split_leakage(spark, str(tmp_path)).collect()
+    leak_ids = {r.train_id for r in leaks} | {r.eval_id for r in leaks}
+    assert leak_ids.isdisjoint(set(dropped))
+
+    with _pytest.raises(ValueError, match="unknown repair policy"):
+        q_holdout_split_repaired(spark, str(tmp_path), policy="bogus")
