@@ -397,10 +397,11 @@ _EXPLICIT: dict[str, Disposition] = {
         "FAILURE MODE (r13, VERDICT r12 #5): any-eval absorption drains "
         "train at high dup rates — the 10× replica's mega-components "
         "already move moved_frac 0.456 of the original train set; the "
-        "``max_moved_frac`` knob raises above a caller bound (switch to "
-        "a component-size cap / drop-both policy or dedup harder "
-        "upstream), and ``holdout_repair_stats`` is the registered "
-        "accounting report",
+        "``max_moved_frac`` knob raises above a caller bound, "
+        "``policy='drop_both'`` is the implemented remedy (any-eval "
+        "components excluded from BOTH splits — train keeps its "
+        "non-component text; still a fixpoint, pytest-pinned), and "
+        "``holdout_repair_stats`` is the registered accounting report",
     ),
     "holdout_repair_stats": _d(
         "linear",
