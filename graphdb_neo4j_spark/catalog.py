@@ -616,6 +616,13 @@ register(
 register(
     "contamination_semantic_lsh", scrub.q_contamination_semantic_lsh, None
 )
+# r13 debut: per-channel contamination dashboard — flagged-doc counts for
+# exact / paraphrase / semantic + the union, one pass per channel
+register(
+    "contamination_report",
+    scrub.q_contamination_report,
+    scrub.contamination_report_sql(),
+)
 register(
     "stream_anomaly",
     rollup_maintain.q_stream_anomaly,
@@ -1550,16 +1557,17 @@ if _missing:
 # =============================================================================
 # R13 WINDOW — the 50 names the driver's correctness harness records THIS
 # round: the staged r13 plan with the changed-first rule applied.
-# Changed-first block (4 slots): the r13 DEBUTS ``contamination_semantic``
+# Changed-first block (5 slots): the r13 DEBUTS ``contamination_semantic``
 # (embedding-cosine benchmark contamination — the full-rewording case
 # both lexical channels miss, VERDICT r12 #4), ``decontaminated_semantic``
 # (the three-channel remediation), ``contamination_semantic_lsh`` (the
-# rows-only bucketed scale twin), and ``holdout_repair_stats`` (the
-# eval-absorption accounting for the leakage repair, VERDICT r12 #5)
-# need their FIRST driver rows; they displace the four newest staged
-# names (``training_filter``, ``dedup_representatives``,
-# ``dedup_segments``, ``dedup_components``) to the front of the r14
-# plan. No other registered
+# rows-only bucketed scale twin), ``contamination_report`` (the
+# per-channel flagged-count dashboard), and ``holdout_repair_stats``
+# (the eval-absorption accounting for the leakage repair, VERDICT r12
+# #5) need their FIRST driver rows; they displace the five newest
+# staged names (``training_filter``, ``dedup_representatives``,
+# ``dedup_segments``, ``dedup_components``,
+# ``winnowing_fingerprint``) to the front of the r14 plan. No other registered
 # query's plan changed in r13: ``holdout_split_repaired`` gained an
 # opt-in ``max_moved_frac`` guard (default None = registered plan
 # unchanged), and the round's other work was bench-harness pricing (the
@@ -1578,6 +1586,7 @@ R13_WINDOW = [
     "contamination_semantic",
     "decontaminated_semantic",
     "contamination_semantic_lsh",
+    "contamination_report",
     "holdout_repair_stats",
     # displaced from the r12 window by the four r12 debuts (4)
     "events_anomaly", "corpus_drift", "bigram_logprob", "quality_gate",
@@ -1595,11 +1604,12 @@ R13_WINDOW = [
     "decontaminated", "domain_stats", "repetition_scores",
     "holdout_split", "unigram_logprob", "funnel_counts",
     "retention_cohorts",
-    # oldest r10 rows, R10_WINDOW source order (6; training_filter /
-    # dedup_representatives / dedup_segments / dedup_components — the
-    # newest — lead the r14 plan, displaced by the four r13 debuts)
+    # oldest r10 rows, R10_WINDOW source order (5; training_filter /
+    # dedup_representatives / dedup_segments / dedup_components /
+    # winnowing_fingerprint — the newest — lead the r14 plan, displaced
+    # by the five r13 debuts)
     "dedup_span_removal", "dedup_span_removal_incremental", "token_cms",
-    "bpe_encode_fixed", "dedup_simhash", "winnowing_fingerprint",
+    "bpe_encode_fixed", "dedup_simhash",
 ]
 
 if len(R13_WINDOW) != 50:
@@ -1622,21 +1632,21 @@ _PENDING.clear()
 # =============================================================================
 # R14 WINDOW PLAN — staged so next round's rotation is a one-line swap
 # (rename to R14_WINDOW, flush on it, move R13's names into history).
-# Oldest-green-first: the four names the r13 debuts displaced from the
+# Oldest-green-first: the five names the r13 debuts displaced from the
 # r13 window lead (their last driver row is r10), then the four r10
 # names that didn't fit the r13 plan (`stratified_sample`,
 # `semantic_dedup`, `events_quantiles`, `top_parts_per_nation`), then
 # the remaining r10 rows (R10_WINDOW source order, 36 names), then the
-# oldest r11 rows (R11_WINDOW source order; 6 fit). Any query
+# oldest r11 rows (R11_WINDOW source order; 5 fit). Any query
 # materially changed in r14 jumps to the front, displacing the newest
 # names here to r15. (Counts are narrative; the asserts below are
 # authoritative.)
 # =============================================================================
 
 R14_WINDOW_PLAN = [
-    # displaced from the r13 window by the four r13 debuts (4)
+    # displaced from the r13 window by the five r13 debuts (5)
     "training_filter", "dedup_representatives", "dedup_segments",
-    "dedup_components",
+    "dedup_components", "winnowing_fingerprint",
     # r10 rows that didn't fit the r13 plan (4)
     "stratified_sample", "semantic_dedup", "events_quantiles",
     "top_parts_per_nation",
@@ -1651,10 +1661,11 @@ R14_WINDOW_PLAN = [
     "conversion_lag", "bfs_unbounded", "events_hopping", "stream_hopping",
     "temporal_join", "stream_enrich", "volume_shipping", "dedup_exact",
     "dedup_jaccard",
-    # oldest r11 rows, R11_WINDOW source order (6; degree_stats — the
-    # newest taken — opens the r15 pool, displaced by dedup_components)
+    # oldest r11 rows, R11_WINDOW source order (5; knn_anchor and
+    # degree_stats — the newest taken — open the r15 pool, displaced by
+    # the carried r10 names)
     "gram_novelty", "dup_source_matrix", "recommend_people",
-    "product_profit", "market_share", "knn_anchor",
+    "product_profit", "market_share",
 ]
 
 if len(R14_WINDOW_PLAN) != 50:

@@ -549,6 +549,101 @@ WHERE doc_id >= {bench_max_id}
 """
 
 
+def q_contamination_report(
+    spark: SparkSession,
+    sf_dir: str,
+    width: int = NGRAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+    neardup_threshold: float = NEARDUP_CONTAM_THRESHOLD,
+    neardup_width: int = NEARDUP_CONTAM_WIDTH,
+    semantic_threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+) -> DataFrame:
+    """(channel, n_flagged) — the per-channel contamination dashboard
+    (r13): how many corpus docs each decontamination channel flags
+    (exact 13-gram / paraphrase shingle / semantic embedding) plus the
+    union row — the audit an operator reads BEFORE running the
+    remediation, to see which channel is doing the work and whether the
+    union is dominated by one of them (a semantic-only spike means the
+    benchmark leaked as paraphrase; an exact-only one means verbatim
+    dumps).
+
+    Shape: the three flagged-id sets are each benchmark-bound (see the
+    channel queries) and tiny by construction; they roll up through ONE
+    pass — per-doc channel sets, then explode(+'union') into the final
+    count — so each channel's subtree renders exactly once in the plan
+    (a naive per-channel-count ∪ union-count form re-computes all three
+    channels for the union row: measured 2× the work). Output is
+    ordered by channel name so the row order is deterministic.
+    """
+    exact = q_contamination(spark, sf_dir, width, bench_max_id).select("doc_id")
+    fuzzy = (
+        q_contamination_neardup(
+            spark, sf_dir, neardup_threshold, neardup_width, bench_max_id
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    semantic = (
+        q_contamination_semantic(
+            spark, sf_dir, semantic_threshold, bench_max_id
+        )
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    tagged = (
+        exact.withColumn("channel", F.lit("exact"))
+        .unionByName(fuzzy.withColumn("channel", F.lit("paraphrase")))
+        .unionByName(semantic.withColumn("channel", F.lit("semantic")))
+    )
+    per_doc = tagged.groupBy("doc_id").agg(
+        F.collect_set("channel").alias("chs")
+    )
+    return (
+        per_doc.select(
+            F.explode(
+                F.concat(F.col("chs"), F.array(F.lit("union")))
+            ).alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count("*").alias("n_flagged"))
+        .orderBy("channel")
+    )
+
+
+def contamination_report_sql(
+    width: int = NGRAM_WIDTH,
+    bench_max_id: int = BENCH_MAX_ID,
+    neardup_threshold: float = NEARDUP_CONTAM_THRESHOLD,
+    neardup_width: int = NEARDUP_CONTAM_WIDTH,
+    semantic_threshold: float = SEMANTIC_CONTAM_THRESHOLD,
+) -> str:
+    return f"""
+WITH exact_ids AS (
+    SELECT DISTINCT doc_id FROM ({contamination_sql(width, bench_max_id).strip()}) e
+),
+fuzzy_ids AS (
+    SELECT DISTINCT corpus_id AS doc_id FROM (
+        {contamination_neardup_sql(neardup_threshold, neardup_width, bench_max_id).strip()}
+    ) f
+),
+sem_ids AS (
+    SELECT DISTINCT corpus_id AS doc_id FROM (
+        {contamination_semantic_sql(semantic_threshold, bench_max_id).strip()}
+    ) s
+),
+tagged AS (
+    SELECT 'exact' AS channel, doc_id FROM exact_ids
+    UNION ALL SELECT 'paraphrase', doc_id FROM fuzzy_ids
+    UNION ALL SELECT 'semantic', doc_id FROM sem_ids
+)
+SELECT channel, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_flagged
+FROM tagged GROUP BY channel
+UNION ALL
+SELECT 'union', CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM tagged
+ORDER BY channel
+"""
+
+
 DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
 
 

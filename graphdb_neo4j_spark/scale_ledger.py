@@ -374,6 +374,17 @@ _EXPLICIT: dict[str, Disposition] = {
         "cosines exact; 10× sweep (checksum): 2.16 -> 3.16 s (1.46×) "
         "with output 137 -> 1658",
     ),
+    "contamination_report": _d(
+        "linear",
+        "r13 debut: per-channel flagged-count dashboard — the three "
+        "benchmark-bound channel id-sets roll up through ONE pass "
+        "(per-doc channel sets → explode(+'union') → count), so each "
+        "channel's subtree renders exactly once (the naive per-channel ∪ "
+        "union-count form re-rendered all three for the union row: "
+        "plan-audited 8 scans → 4, 24 shuffles → 13); cost ≈ the sum of "
+        "the three channels; 10× sweep (checksum): 6.15 -> 15.30 s "
+        "(2.49×, tracks decontaminated_full's 2.47× channel-sum term)",
+    ),
     "decontaminated_semantic": _d(
         "linear",
         "r13 debut: the three-channel remediation — exact ∪ paraphrase "

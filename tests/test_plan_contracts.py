@@ -44,6 +44,10 @@ CONTRACTS = [
     # holdout_split_repaired's plan + one mergeable 4-sum final agg
     # (single-partition by contract: one output row)
     ("holdout_repair_stats", 23, False, True),
+    # one-pass rollup of the three channels (each subtree renders once —
+    # the audited fix vs the naive union form's 24 shuffles / 8 scans);
+    # the one NLJ is the semantic channel's broadcast bench side
+    ("contamination_report", 13, True, False),
     ("quality_classifier", 1, True, True),
     ("quality_classifier_hashed", 1, True, True),
     ("events_anomaly", 2, True, True),

@@ -295,3 +295,44 @@ def test_contamination_semantic_lsh_never_misses_identical_embedding(spark, tmp_
         ).collect()
     }
     assert (0, 100) in got
+
+
+def test_contamination_report_channel_attribution(spark, tmp_path):
+    """The dashboard rollup (r13): one crafted doc per channel — a
+    verbatim copy (exact + paraphrase), a light paraphrase (paraphrase
+    only), a semantic evader (semantic only), and a clean doc — must
+    produce exactly the per-channel flagged counts plus the distinct
+    union."""
+    from graphdb_neo4j_spark.llmdata.scrub import q_contamination_report
+
+    bench_toks = [f"alpha{i}" for i in range(30)]
+    para_toks = list(bench_toks)
+    para_toks[6], para_toks[18] = "xxxx6", "xxxx18"  # kills every 13-gram
+    rows = [
+        (0, " ".join(bench_toks), "en", "bench", 0),
+        (100, " ".join(bench_toks), "en", "s", 0),   # verbatim copy
+        (101, " ".join(para_toks), "en", "s", 0),    # paraphrase only
+        (102, " ".join(f"omega{i}" for i in range(30)), "en", "s", 0),  # semantic only
+        (103, " ".join(f"zeta{i}" for i in range(30)), "en", "s", 0),   # clean
+    ]
+    spark.createDataFrame(
+        rows,
+        schema="doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+    e_bench = [1.0, 0.0, 0.0, 0.0]
+    e_other = [0.0, 1.0, 0.0, 0.0]
+    spark.createDataFrame(
+        [(0, e_bench, 0), (102, e_bench, 1), (103, e_other, 1)],
+        schema="vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+
+    got = {
+        r.channel: r.n_flagged
+        for r in q_contamination_report(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "exact": 1,       # 100
+        "paraphrase": 2,  # 100 (jaccard 1.0) + 101
+        "semantic": 1,    # 102
+        "union": 3,       # distinct {100, 101, 102}
+    }
