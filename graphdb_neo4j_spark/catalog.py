@@ -1568,15 +1568,24 @@ if _missing:
 # staged names (``training_filter``, ``dedup_representatives``,
 # ``dedup_segments``, ``dedup_components``,
 # ``winnowing_fingerprint``) to the front of the r14 plan. No other registered
-# query's plan changed in r13: ``holdout_split_repaired`` gained an
-# opt-in ``max_moved_frac`` guard (default None = registered plan
-# unchanged), and the round's other work was bench-harness pricing (the
-# iterative warm-up rep, bench.py only), pipeline machinery (resume
+# query's plan changed in the r13 BUILD phase: ``holdout_split_repaired``
+# gained an opt-in ``max_moved_frac`` guard (default None = registered
+# plan unchanged), and the round's other work was bench-harness pricing
+# (the iterative warm-up rep, bench.py only), pipeline machinery (resume
 # param stamping, the leakage audit/repair arms, the semantic gate arm —
 # non-registered paths, pytest-pinned), and the minhash legacy-repair
-# divergence fix. Oldest-green-first: the staged r13 plan order — the 4
-# names the r12 debuts displaced, then the r9 rows, then the oldest r10
-# rows. (Counts are narrative; the asserts below are authoritative.)
+# divergence fix. The r13 OPTIMIZATION phase then changed the PLANS (not
+# the results — oracle rows re-proven in-repo, OPTIMIZATION_r13.md) of
+# six queries: ``training_filter`` (fused row-local gates),
+# ``degree_stats`` (broadcast size dims + union/groupBy assembly + pairs
+# checkpoint), ``edge_counts_by_type``, ``node_similarity``,
+# ``edges_shares_interest``, ``weighted_distances`` (shared-input
+# checkpoints). ``node_similarity`` is already in this window;
+# ``training_filter`` leads the staged r14 plan; the rest follow the
+# changed-first rule at the r14 rotation. Oldest-green-first: the staged
+# r13 plan order — the 4 names the r12 debuts displaced, then the r9
+# rows, then the oldest r10 rows. (Counts are narrative; the asserts
+# below are authoritative.)
 # =============================================================================
 
 R13_WINDOW = [

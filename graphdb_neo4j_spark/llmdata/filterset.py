@@ -15,12 +15,20 @@ output doubles as a per-gate attrition report:
 
     SELECT drop_reason, COUNT(*) FROM training_filter GROUP BY 1
 
-Plan shape: three single-scan branches (quality, lang, fingerprint) joined
-on doc_id, plus the near-dup component labels (pair-graph work happens
-only on docs with ≥0.8-Jaccard partners — a tiny fraction of the corpus).
-All joins are on the same key; at 100 TB the three scan branches
-column-prune to (doc_id, text, n_chars) and the join is co-partitioned by
-doc_id end-to-end.
+Plan shape (r13 optimization): quality, lang, and the exact-dup
+fingerprint are all ROW-LOCAL functions of (doc_id, text, n_chars), so
+they fuse into ONE projection over a single documents scan — the r1–r12
+form ran them as three independent single-scan branches joined on doc_id,
+i.e. 3 full text scans + 2 corpus-sized doc_id shuffles whose only job
+was to reunite columns that never left the row (guide §2.3 "project
+before the exchange" / §2.4 "remove shuffles outright"). What remains is
+exactly the non-row-local work: the exact-dup min-per-fingerprint
+aggregation + join-back (unchanged from q_dedup_exact's de-windowed
+shape) and the near-dup component labels (pair-graph work happens only
+on docs with ≥0.8-Jaccard partners — a tiny fraction of the corpus).
+At 100 TB the fused scan column-prunes to (doc_id, text, n_chars) and
+the corpus crosses the network twice (fingerprint agg, components join)
+instead of four times.
 """
 
 from __future__ import annotations
@@ -32,14 +40,16 @@ from graphdb_neo4j_spark.llmdata.dedup import (
     DEDUP_EXACT_SQL,
     dedup_components_sql,
     q_dedup_components,
-    q_dedup_exact,
 )
 from graphdb_neo4j_spark.llmdata.textstats import (
     LANG_ID_SQL,
+    LANG_MARKERS,
     QUALITY_SCORES_SQL,
-    q_lang_id,
-    q_quality_scores,
+    STOPWORDS,
+    _DEFAULT_LANG,
+    _tokens,
 )
+from graphdb_neo4j_spark.session import widen_scan
 
 MIN_QUALITY = 0.7
 KEEP_LANG = "en"
@@ -58,12 +68,64 @@ def q_training_filter(
     propagation) is NOT recomputed inline — at 100 TB the components
     table is built once and every downstream consumer reads the
     materialization. Default (None) keeps the self-contained form the
-    registered query uses."""
-    quality = q_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
-    lang = q_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
-    exact = q_dedup_exact(spark, sf_dir).select(
-        "doc_id", F.col("is_duplicate").alias("is_exact_dup")
+    registered query uses.
+
+    The three row-local gates are computed with the EXACT expressions of
+    :func:`~graphdb_neo4j_spark.llmdata.textstats.q_quality_scores`,
+    :func:`~graphdb_neo4j_spark.llmdata.textstats.q_lang_id` and
+    :func:`~graphdb_neo4j_spark.llmdata.dedup.q_dedup_exact` (pytest pins
+    column-level equality against all three), fused into one projection
+    so the corpus is scanned once instead of three times."""
+    docs = widen_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+    # quality gate — verbatim q_quality_scores expressions
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[\w\s]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct_ratio = n_punct.cast("double") / F.col("n_chars")
+    stop_ratio = stop_hits.cast("double") / n_tokens
+    quality_score = F.round(
+        0.4 * F.when(n_tokens >= 20, 1).otherwise(0)
+        + 0.3 * F.when(punct_ratio <= 0.1, 1).otherwise(0)
+        + 0.3 * F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.6), 1).otherwise(0),
+        2,
     )
+
+    # language gate — verbatim q_lang_id expressions
+    low_toks = _tokens(F.lower(F.col("text")))
+
+    def _hits(markers: tuple[str, ...]) -> F.Column:
+        # NB: unary lambda — F.filter treats a 2-arg lambda as
+        # (element, index), the q_lang_id footgun
+        return F.size(F.filter(low_toks, lambda t: t.isin(*markers)))
+
+    hit_cols = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*hit_cols.values())
+    pred = F.when(best <= 0, F.lit(_DEFAULT_LANG))
+    for lang in LANG_MARKERS:  # insertion order = precedence
+        pred = pred.when(hit_cols[lang] == best, F.lit(lang))
+
+    # exact-dup fingerprint — verbatim q_dedup_exact normalization
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+    # checkpointed: consumed by BOTH the fingerprint agg and the join-back
+    # (the q_dedup_exact discipline — without it each side re-scans and
+    # re-hashes the text)
+    base = docs.select(
+        "doc_id",
+        quality_score.alias("quality_score"),
+        pred.alias("predicted_lang"),
+        F.md5(normalized).alias("fingerprint"),
+    ).localCheckpoint(eager=False)
+    canon = base.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    flags = base.join(canon, "fingerprint").select(
+        "doc_id",
+        "quality_score",
+        "predicted_lang",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_exact_dup"),
+    )
+
     if components is None:
         components = q_dedup_components(spark, sf_dir)
     comp = components.select(
@@ -71,9 +133,7 @@ def q_training_filter(
     )
 
     joined = (
-        quality.join(lang, "doc_id")
-        .join(exact, "doc_id")
-        .join(comp, "doc_id", "left")
+        flags.join(comp, "doc_id", "left")
         .withColumn("near_dup_drop", F.coalesce("near_dup_drop", F.lit(False)))
     )
     reason = (

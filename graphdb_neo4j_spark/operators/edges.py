@@ -165,8 +165,16 @@ def q_edge_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       same shape as the registered edge query, so partial aggregation
       collapses duplicate pairs before the shuffle instead of shipping
       every token-match row.
+    - r13: the node table feeds FOUR aggregation branches and the
+      interest-pair table feeds BOTH self-join sides; un-materialized,
+      the plan re-ran the customer⋈nation⋈region normalize pipeline per
+      branch (4× = 12 source scans) and the orders⋈lineitem fact join +
+      distinct twice (r13 plan audit). Two lazy localCheckpoints cut
+      that to one pass over each input — the degree_stats r11 precedent
+      (guide §2.4: share one exchange / one materialization between
+      consumers keyed the same way).
     """
-    nodes = customer_nodes(spark, sf_dir)
+    nodes = customer_nodes(spark, sf_dir).localCheckpoint(eager=False)
 
     def attr_count(attr: str, etype: str) -> DataFrame:
         return (
@@ -184,7 +192,7 @@ def q_edge_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = [attr_count(attr, etype) for etype, attr in ATTRIBUTE_EDGE_TYPES.items()]
 
-    pairs = customer_interest_pairs(spark, sf_dir)
+    pairs = customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
     a = pairs.select(F.col("id").alias("src"), "interest")
     b = pairs.select(F.col("id").alias("dst"), "interest")
     interest_count = (
@@ -239,7 +247,9 @@ def q_edges_shares_interest(
 ) -> DataFrame:
     """SHARES_INTEREST pairs with ≥ min_common shared tokens; emits the
     intersection size (scalar) so the oracle hash is representation-stable."""
-    pairs = customer_interest_pairs(spark, sf_dir)
+    # lazy checkpoint: the token self-join consumes the fact-join+distinct
+    # on both sides (the edge_counts/node_similarity r13 pattern)
+    pairs = customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
     a = pairs.select(F.col("id").alias("src"), "interest")
     b = pairs.select(F.col("id").alias("dst"), "interest")
     return (

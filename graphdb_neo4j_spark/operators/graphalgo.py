@@ -42,12 +42,20 @@ from graphdb_neo4j_spark.sources.tpch import (
 
 def _attr_degrees(nodes: DataFrame, attr: str, out: str) -> DataFrame:
     """degree over one attribute edge type WITHOUT pair materialization:
-    every node in a key group of size n has degree n − 1."""
+    every node in a key group of size n has degree n − 1.
+
+    The per-key sizes table is DIMENSION-bounded (college = 25 nations,
+    board = 5 regions, stream = 5 segments, address = ~20 acctbal/500
+    buckets — attribute cardinality, not corpus size), so the join-back
+    is an explicit broadcast: without the hint the lazy-checkpointed
+    node table has no size statistics and Catalyst planned a full
+    sort-merge join (2 exchanges + 2 sorts of node-sized data) per
+    attribute (r13 plan audit; guide §3.1)."""
     valid = nodes.filter(F.col(attr).isNotNull() & (F.col(attr) != "")).select(
         "id", F.col(attr).alias("k")
     )
     sizes = valid.groupBy("k").agg((F.count("*") - 1).alias(out))
-    return valid.join(sizes, "k").select("id", out)
+    return valid.join(F.broadcast(sizes), "k").select("id", out)
 
 
 def _interest_degrees(pairs: DataFrame, out: str = "shares_interest_deg") -> DataFrame:
@@ -92,18 +100,43 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_bucketed structural-win-at-parity precedent."""
     nodes = customer_nodes(spark, sf_dir).localCheckpoint(eager=False)
     cols = {etype.lower() + "_deg": attr for etype, attr in ATTRIBUTE_EDGE_TYPES.items()}
+    deg_cols = list(cols) + ["shares_interest_deg"]
+    # pairs lazily checkpointed: the token equi-join consumes it on BOTH
+    # sides — un-materialized, the orders⋈lineitem fact join + distinct
+    # ran twice (the node_similarity r13 fix, guide §2.4)
     parts = [
         _attr_degrees(nodes, attr, out) for out, attr in cols.items()
-    ] + [_interest_degrees(customer_interest_pairs(spark, sf_dir))]
-    joined = reduce(
-        lambda acc, d: acc.join(d, "id", "left"), parts, nodes.select("id")
+    ] + [
+        _interest_degrees(
+            customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
+        )
+    ]
+    # r13: assemble via union + ONE groupBy(id) instead of five successive
+    # LEFT joins on id — the join form moved node-sized data through ~13
+    # exchanges+sorts (every join side shuffled; the checkpointed spine
+    # has no stats, so Catalyst chose SMJ each time); the stacked form
+    # moves the same skinny (id, tag, deg) rows through ONE exchange with
+    # map-side partial aggregation (guide §2.3 "aggregate before you
+    # shuffle", §2.4 "remove shuffles outright"). The spine branch keeps
+    # every node present (zero degrees) exactly like the old left joins.
+    tagged = [
+        p.select("id", F.lit(c).alias("t"), F.col(c).cast("long").alias("deg"))
+        for p, c in zip(parts, deg_cols)
+    ]
+    spine = nodes.select(
+        "id", F.lit("spine").alias("t"), F.lit(0).cast("long").alias("deg")
     )
-    deg_cols = list(cols) + ["shares_interest_deg"]
-    filled = joined.select(
-        "id", *[F.coalesce(c, F.lit(0)).cast("long").alias(c) for c in deg_cols]
+    stacked = reduce(DataFrame.unionByName, tagged + [spine])
+    wide = stacked.groupBy("id").agg(
+        *[
+            F.coalesce(F.sum(F.when(F.col("t") == c, F.col("deg"))), F.lit(0))
+            .cast("long")
+            .alias(c)
+            for c in deg_cols
+        ]
     )
     total = reduce(lambda x, y: x + y, [F.col(c) for c in deg_cols])
-    return filled.withColumn("total_deg", total.cast("long"))
+    return wide.withColumn("total_deg", total.cast("long"))
 
 
 DEGREE_STATS_SQL = f"""
@@ -868,7 +901,12 @@ def q_node_similarity(
     """
     from pyspark.sql.window import Window
 
-    pairs = customer_interest_pairs(spark, sf_dir)
+    # r13: lazy checkpoint — `pairs` (the orders⋈lineitem fact join +
+    # distinct) feeds BOTH the hot-token aggregate and the anti-join
+    # probe; un-materialized, the toks checkpoint job ran the fact join
+    # twice (measured 1.15 s/pass at sf0.1, one redundant full fact pass
+    # at scale; guide §2.4 — share one materialization between consumers)
+    pairs = customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
     hot = pairs.groupBy("interest").agg(F.count("*").alias("df")).filter(
         F.col("df") > max_df
     )

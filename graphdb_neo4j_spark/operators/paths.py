@@ -368,7 +368,9 @@ def q_weighted_distances(
     """
     from graphdb_neo4j_spark.sources.tpch import customer_interest_pairs
 
-    pairs = customer_interest_pairs(spark, sf_dir)
+    # lazy checkpoint: the token self-join consumes the fact-join+distinct
+    # on both sides (the edge_counts/node_similarity r13 pattern)
+    pairs = customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
     a = pairs.select(F.col("id").alias("src"), "interest")
     b = pairs.select(F.col("id").alias("dst"), "interest")
     edges = (

@@ -332,3 +332,62 @@ def test_pipeline_semantic_decontamination_arm(spark, sf_dir, tmp_path):
         base.dropped_by_reason["contaminated"] + 1
     )
     assert sem.kept_docs + sem.dropped_docs == sem.ingested_rows
+
+
+def test_training_filter_fused_scan_matches_component_operators(spark, sf_dir):
+    """r13 fusion: the filter's three row-local gates (quality, lang,
+    exact-dup) are computed in ONE documents projection instead of three
+    scans + two doc_id joins. The fused columns must equal the standalone
+    operators' values doc-for-doc, and the serving plan must scan
+    documents exactly once outside the components subtree (which has its
+    own shingle scan)."""
+    from pyspark.sql import functions as F
+
+    from graphdb_neo4j_spark.llmdata.dedup import q_dedup_components, q_dedup_exact
+    from graphdb_neo4j_spark.llmdata.filterset import q_training_filter
+    from graphdb_neo4j_spark.llmdata.textstats import q_lang_id, q_quality_scores
+
+    fused = q_training_filter(spark, sf_dir)
+    got = {
+        r["doc_id"]: (
+            r["quality_score"],
+            r["predicted_lang"],
+            r["is_exact_dup"],
+            r["near_dup_drop"],
+        )
+        for r in fused.collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in q_quality_scores(spark, sf_dir).collect()
+    }
+    lang = {
+        r["doc_id"]: r["predicted_lang"] for r in q_lang_id(spark, sf_dir).collect()
+    }
+    exact = {
+        r["doc_id"]: r["is_duplicate"] for r in q_dedup_exact(spark, sf_dir).collect()
+    }
+    near = {
+        r["doc_id"]: r["doc_id"] != r["canonical_id"]
+        for r in q_dedup_components(spark, sf_dir).collect()
+    }
+    assert set(got) == set(quality)
+    for doc_id, (q, lg, ex, nd) in got.items():
+        assert q == quality[doc_id], doc_id
+        assert lg == lang[doc_id], doc_id
+        assert ex == exact[doc_id], doc_id
+        assert nd == near.get(doc_id, False), doc_id
+
+    # plan contract: one documents scan feeds all three row-local gates.
+    # components is passed pre-materialized so the pair pipeline's own
+    # scans don't obscure the count.
+    comp = q_dedup_components(spark, sf_dir).localCheckpoint()
+    serving = q_training_filter(spark, sf_dir, components=comp)
+    serving.count()
+    plan = serving._jdf.queryExecution().executedPlan().toString()
+    n_doc_scans = sum(
+        1
+        for line in plan.splitlines()
+        if "Scan parquet" in line or "FileScan" in line
+    )
+    assert n_doc_scans <= 1, f"fused filter re-scans documents:\n{plan[:4000]}"
