@@ -59,6 +59,15 @@ re-run, up to 3 attempts total. The shipped JSON is the FIRST clean
 attempt (or, if all are tainted, the attempt with the LOWEST drift plus
 an explicit ``all_attempts_tainted: true`` marker), and every attempt's
 drift/total is recorded under ``attempts`` so the selection is auditable.
+
+Host-scale bar (round-14, additive): within-run drift cannot see a
+UNIFORMLY slow host (every canary slot slow, ratio flat) — the r13 driver
+recording ran at canary_min 0.121 vs its committed reference's 0.105 and
+its per-query channel flagged 27 "regressions", ~25 on byte-identical
+code. A drift-clean attempt whose ``canary_min`` exceeds 1.25× the newest
+committed reference's ``canary_min`` now re-records under the same budget
+rules; if every drift-clean attempt is host-slow, the fastest-host one
+ships with ``all_attempts_host_tainted: true``. No shipped key changed.
 """
 
 from __future__ import annotations
@@ -372,6 +381,35 @@ def main() -> None:
     walls: list[float] = []
     chosen: dict | None = None
     bench_t0 = time.perf_counter()
+    # Host-scale taint bar (r14, VERDICT r13 #3/#8): within-run drift
+    # misses a UNIFORMLY slow host (every canary slot slow, ratio flat) —
+    # the r13 driver recording ran at canary_min 0.121 vs its reference's
+    # 0.105 and its per-query channel flagged 27 "regressions", ~25 of
+    # them on byte-identical code. The canary is the same JVM-only job in
+    # every recording, so canary_min(now)/canary_min(reference) IS the
+    # host-speed ratio; an attempt slower than HOST_SCALE_BAR re-records
+    # exactly like a drift-tainted one (same budget rules). Additive: the
+    # drift bar, attempt list, and all shipped keys are unchanged; a run
+    # whose every attempt is merely host-slow ships the fastest-host one
+    # with an explicit ``all_attempts_host_tainted`` marker.
+    HOST_SCALE_BAR = 1.25
+    _ref_canary_min = None
+    try:
+        import glob as _g
+
+        _reffiles = sorted(
+            _g.glob(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_r*_reference.json",
+                )
+            )
+        )
+        if _reffiles:
+            with open(_reffiles[-1]) as _f:
+                _ref_canary_min = json.load(_f).get("canary_min")
+    except (OSError, ValueError):
+        _ref_canary_min = None
     for _ in range(MAX_ATTEMPTS):
         att_t0 = time.perf_counter()
         rec = record()
@@ -388,7 +426,25 @@ def main() -> None:
             chosen = rec
             break
         if rec["canary_drift"] <= TAINT_BAR:
-            chosen = rec
+            _hs = (
+                rec["canary_min"] / _ref_canary_min
+                if _ref_canary_min
+                else None
+            )
+            if _hs is None or _hs <= HOST_SCALE_BAR:
+                chosen = rec
+                break
+            rec["host_tainted"] = round(_hs, 3)
+            if len(attempts) < MAX_ATTEMPTS and (
+                time.perf_counter() - bench_t0 + att_wall <= TIME_BUDGET_S
+            ):
+                print(
+                    f"BENCH HOST-TAINTED attempt {len(attempts)}: canary_min "
+                    f"{rec['canary_min']} is {_hs:.2f}x the reference's "
+                    f"{_ref_canary_min} (> {HOST_SCALE_BAR}), re-recording",
+                    file=sys.stderr,
+                )
+                continue
             break
         # Budget check BEFORE announcing a re-record: the old order printed
         # "re-recording" and then immediately shipped when the budget was
@@ -409,8 +465,15 @@ def main() -> None:
                 file=sys.stderr,
             )
     if chosen is None:
-        chosen = min(attempts, key=lambda r: r["canary_drift"])
-        chosen["all_attempts_tainted"] = True
+        drift_clean = [r for r in attempts if r["canary_drift"] <= TAINT_BAR]
+        if drift_clean:
+            # every drift-clean attempt ran on a uniformly slow host:
+            # ship the fastest-host one (lowest canary_min), marked
+            chosen = min(drift_clean, key=lambda r: r["canary_min"])
+            chosen["all_attempts_host_tainted"] = True
+        else:
+            chosen = min(attempts, key=lambda r: r["canary_drift"])
+            chosen["all_attempts_tainted"] = True
     chosen["attempts"] = [
         {
             "canary_drift": r["canary_drift"],
@@ -584,6 +647,7 @@ def main() -> None:
     }
     for flag in (
         "all_attempts_tainted",
+        "all_attempts_host_tainted",
         "tainted",
         "errors",
         "consumer_mismatch_vs_reference",

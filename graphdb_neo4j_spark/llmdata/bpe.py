@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.session import widen_scan
+from graphdb_neo4j_spark.session import materialize, widen_scan
 
 N_MERGES = 20
 
@@ -103,7 +103,7 @@ def train_bpe_merges(
         .select(
             F.expr("transform(split(word, ''), x -> x)").alias("syms"), "freq"
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     merges: list[tuple[str, str, int]] = []
     for i in range(n_merges):
@@ -119,7 +119,7 @@ def train_bpe_merges(
         merges.append((left, right, n))
         words = _apply_merge(words, left, right)
         if (i + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=False)
+            words = words.transform(materialize)
     return merges
 
 
@@ -162,7 +162,7 @@ def encode_word_types(
     for i, (left, right, _) in enumerate(merges):
         syms = _apply_merge(syms, left, right)
         if (i + 1) % checkpoint_every == 0:
-            syms = syms.localCheckpoint(eager=False)
+            syms = syms.transform(materialize)
     return syms.select("word", "freq", F.size("syms").alias("n_tokens"))
 
 

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.session import widen_scan
+from graphdb_neo4j_spark.session import materialize, widen_scan
 
 # Milli-weights: function words vote "natural prose", web-noise tokens vote
 # junk. A real pipeline would train these; the MODEL FORM (token → weight →
@@ -204,7 +204,7 @@ def q_quality_gate(
     `approx_percentile` (mergeable GK sketch, same plan shape) and keep
     the oracle on sampled slices — the sketch_profile precedent.
     """
-    scored = q_quality_classifier(spark, sf_dir).localCheckpoint(eager=False)
+    scored = q_quality_classifier(spark, sf_dir).transform(materialize)
     thr = scored.agg(
         F.round(
             F.expr(f"percentile(quality_score, {1.0 - keep_frac})"), 6
@@ -419,7 +419,7 @@ def q_dsir_weights(
         "source",
         F.explode(_word_tokens(F.col("text"))).alias("token"),
     ).select("doc_id", "source", bucket.alias("bucket"))
-    toks = toks.localCheckpoint(eager=False)  # fit + score share one tokenize
+    toks = toks.transform(materialize)  # fit + score share one tokenize
 
     tgt = toks.filter(F.col("source") == target_source).groupBy("bucket").agg(
         F.count("*").alias("c_t")

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.llmdata import repcompress as rc
-from graphdb_neo4j_spark.session import widen_scan
+from graphdb_neo4j_spark.session import materialize, widen_scan
 
 # --- exact dedup ------------------------------------------------------------
 
@@ -58,9 +58,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed: consumed by BOTH the agg and the join-back — without
     # it each side would re-scan documents and re-hash the text (the
     # window form's one-pass advantage, kept)
-    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint")).localCheckpoint(
-        eager=False
-    )
+    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint")).transform(materialize)
     canon = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
     return fp.join(canon, "fingerprint").select(
         "doc_id",
@@ -259,6 +257,7 @@ def _jaccard_rep_level(
     threshold: float,
     width: int,
     max_df: int,
+    member: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The shared rep-level core of the jaccard family: returns
     ``(toks, member, rep_pairs)`` where ``rep_pairs`` are the
@@ -278,10 +277,9 @@ def _jaccard_rep_level(
     max_df), and only THEN do exact duplicates collapse to a
     representative (r6 measurement: 10× dup-heavy stand-in 28 s → 5.7 s).
     """
-    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
-        eager=False
-    )
-    member = rc.exact_dup_members(docs, rc.text_fingerprint("text"), "doc_id")
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).transform(materialize)
+    if member is None:
+        member = rc.exact_dup_members(docs, rc.text_fingerprint("text"), "doc_id")
     rtoks = toks.join(rc.representatives(member, "doc_id"), "doc_id", "left_semi")
     a = rtoks.select(F.col("doc_id").alias("a"), "tok")
     b = rtoks.select(F.col("doc_id").alias("b"), "tok")
@@ -490,7 +488,7 @@ def q_dedup_minhash(
     th = (
         prune_hot_tokens(doc_shingles(docs, width), max_df)
         .select("doc_id", F.xxhash64("tok").alias("h"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )  # reused by signatures, verification a/b sides, and sizes
     # Signatures are tiny (one row per doc, 17 longs) but their lineage is
     # the whole shingle pipeline, and they feed BOTH the band self-join
@@ -498,7 +496,7 @@ def q_dedup_minhash(
     # per consumer — measured 110 s → 17 s at sf0.1. localCheckpoint
     # materializes them once and truncates lineage (same technique as the
     # BFS operator); at 100 TB this is N_docs × 136 B of executor storage.
-    sigs = minhash_signatures(th).localCheckpoint(eager=False)
+    sigs = minhash_signatures(th).transform(materialize)
     cands = lsh_candidate_pairs(sigs)
 
     # EXACT-duplicate short-circuit (r6): identical normalized text ⇒
@@ -514,7 +512,7 @@ def q_dedup_minhash(
     cands_fp = (
         cands.join(fp.select(F.col("doc_id").alias("a"), F.col("fp").alias("fp_a")), "a")
         .join(fp.select(F.col("doc_id").alias("b"), F.col("fp").alias("fp_b")), "b")
-        .localCheckpoint(eager=False)  # consumed by both branches
+        .transform(materialize)  # consumed by both branches
     )
     exact_pairs = cands_fp.filter(F.col("fp_a") == F.col("fp_b")).select(
         "a", "b", F.lit(1.0).alias("jaccard")
@@ -611,7 +609,7 @@ def q_dedup_simhash(
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = prune_hot_tokens(doc_shingles(docs))
     # One row per doc; lineage-truncated for the same reason as MinHash.
-    sigs = simhash_signatures(toks, portable=True).localCheckpoint(eager=False)
+    sigs = simhash_signatures(toks, portable=True).transform(materialize)
 
     bands = sigs.select(
         "doc_id",
@@ -730,13 +728,13 @@ def connected_components(
     edges = (
         pairs.select(F.col("a").alias("x"), F.col("b").alias("y"))
         .unionByName(pairs.select(F.col("b").alias("x"), F.col("a").alias("y")))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("x").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     for _ in range(max_iterations):
         # join on distinct column names so the lineage-sharing frames can't
@@ -763,7 +761,7 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
@@ -795,9 +793,29 @@ def q_dedup_components(
     Σ C(g, 2) in-group clique edges EVERY iteration — the same
     duplicate-quadratic r6 killed in the pair family, but multiplied by
     the iteration count."""
-    _validate_threshold(threshold)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks, member, rep_pairs = _jaccard_rep_level(docs, threshold, width, max_df)
+    return dedup_components_from(docs, threshold, width, max_df)
+
+
+def dedup_components_from(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    width: int = SHINGLE_WIDTH,
+    max_df: int = MAX_TOKEN_DF,
+    member: DataFrame | None = None,
+) -> DataFrame:
+    """DataFrame-level body of :func:`q_dedup_components`. ``member`` —
+    optional precomputed (doc_id, rep) exact-dup membership built from the
+    SAME :func:`repcompress.text_fingerprint` normalization (r14: the
+    fused training filter already md5s every document once in its base
+    projection, so passing its membership here removes one full corpus
+    text scan + hash pass from the inline components subtree; guide §2.4
+    — share one materialization between consumers). Rows are identical
+    either way; the DuckDB oracle pins it."""
+    _validate_threshold(threshold)
+    toks, member, rep_pairs = _jaccard_rep_level(
+        docs, threshold, width, max_df, member=member
+    )
     rep_comp = connected_components(rep_pairs.select("a", "b"))
     # shingle-bearing membership (zero-shingle docs are outside the
     # near-dup universe, as the oracle has it)
@@ -1034,9 +1052,7 @@ def cross_split_jaccard_pairs(
     cross-boundary pairs are exactly 1.0).
     """
     _validate_threshold(threshold)
-    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
-        eager=False
-    )
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).transform(materialize)
     member = rc.exact_dup_members(docs, rc.text_fingerprint("text"), "doc_id")
     # no second checkpoint: toks is already materialized, and the rep
     # semi-join is cheap to re-derive per consumer (a checkpoint here
@@ -1361,7 +1377,7 @@ def write_minhash_store(
     th = prune_hot_tokens(doc_shingles(docs, width), max_df).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
-    sigs = minhash_signatures(th).localCheckpoint(eager=False)
+    sigs = minhash_signatures(th).transform(materialize)
     sigs.write.mode("overwrite").parquet(f"{path}/sigs/generation={generation}")
     (
         sigs.select(
@@ -1434,7 +1450,7 @@ def probe_minhash_store(
     th = prune_hot_tokens(doc_shingles(new_docs, width), max_df).select(
         "doc_id", F.xxhash64("tok").alias("h")
     )
-    sigs = minhash_signatures(th).localCheckpoint(eager=False)
+    sigs = minhash_signatures(th).transform(materialize)
     new_buckets = sigs.select(
         F.col("doc_id").alias("new_id"),
         F.posexplode(_band_sig_expr()).alias("band_idx", "band_sig"),
@@ -1499,9 +1515,7 @@ def q_dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bloom build, probe, candidate join, verify join) share ONE
     # normalize+hash pass instead of re-scanning the text four times
     # (production persists exactly this table next to the MinHash store)
-    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint")).localCheckpoint(
-        eager=False
-    )
+    fp = docs.select("doc_id", F.md5(normalized).alias("fingerprint")).transform(materialize)
     hist = fp.filter(F.col("doc_id") % 2 == 0)
     batch = fp.filter(F.col("doc_id") % 2 == 1)
 
@@ -1572,9 +1586,7 @@ def q_dedup_components_incremental(
     """
     _validate_threshold(threshold)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).localCheckpoint(
-        eager=False
-    )
+    toks = prune_hot_tokens(doc_shingles(docs, width), max_df).transform(materialize)
     # r7: the three parity-pair token self-joins run over exact-duplicate
     # REPRESENTATIVES (same compression as the pair family — full-corpus
     # df pruning first, then identical-fingerprint docs collapse); each
@@ -2869,7 +2881,7 @@ def q_dedup_representatives(
     quality = q_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     # checkpointed: the argmax and the join-back both consume it, and
     # the upstream includes the full components computation
-    member = comp.join(quality, "doc_id").localCheckpoint(eager=False)
+    member = comp.join(quality, "doc_id").transform(materialize)
     # argmax by (quality DESC, doc_id ASC) == max of (quality, -doc_id)
     rep = member.groupBy("component_id").agg(
         F.expr("max_by(doc_id, struct(quality_score, -doc_id))").alias("rep_id")

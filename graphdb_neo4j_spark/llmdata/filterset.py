@@ -49,7 +49,7 @@ from graphdb_neo4j_spark.llmdata.textstats import (
     _DEFAULT_LANG,
     _tokens,
 )
-from graphdb_neo4j_spark.session import widen_scan
+from graphdb_neo4j_spark.session import materialize, widen_scan
 
 MIN_QUALITY = 0.7
 KEEP_LANG = "en"
@@ -117,7 +117,7 @@ def q_training_filter(
         quality_score.alias("quality_score"),
         pred.alias("predicted_lang"),
         F.md5(normalized).alias("fingerprint"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     canon = base.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
     flags = base.join(canon, "fingerprint").select(
         "doc_id",
@@ -127,7 +127,17 @@ def q_training_filter(
     )
 
     if components is None:
-        components = q_dedup_components(spark, sf_dir)
+        # r14: the base projection above already md5s every document once
+        # (the SAME text_fingerprint normalization, pinned by the fused-
+        # scan pytest), so the inline components subtree reuses base's
+        # membership instead of re-scanning + re-hashing the corpus —
+        # one fewer full text pass (guide §2.4); rows identical, the
+        # DuckDB oracle pins it.
+        from graphdb_neo4j_spark.llmdata import repcompress as rc
+        from graphdb_neo4j_spark.llmdata.dedup import dedup_components_from
+
+        member = rc.exact_dup_members(base, F.col("fingerprint"), "doc_id")
+        components = dedup_components_from(docs, member=member)
     comp = components.select(
         "doc_id", (F.col("doc_id") != F.col("canonical_id")).alias("near_dup_drop")
     )

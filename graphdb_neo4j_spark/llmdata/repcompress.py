@@ -44,6 +44,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from graphdb_neo4j_spark.session import materialize
 
 
 def text_fingerprint(text_col: str | Column = "text") -> Column:
@@ -68,12 +69,12 @@ def exact_dup_members(df: DataFrame, key: Column, id_col: str) -> DataFrame:
     # keyed is checkpointed too: the agg and the join-back both consume
     # it, and without materialization each would recompute the upstream
     # fingerprint scan (the window form's one-pass advantage, kept)
-    keyed = df.select(id_col, key.alias("__dup_key")).localCheckpoint(eager=False)
+    keyed = df.select(id_col, key.alias("__dup_key")).transform(materialize)
     reps = keyed.groupBy("__dup_key").agg(F.min(id_col).alias("rep"))
     return (
         keyed.join(reps, "__dup_key")
         .select(id_col, "rep")
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
 

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.llmdata import repcompress as rc
-from graphdb_neo4j_spark.session import widen_scan
+from graphdb_neo4j_spark.session import materialize, widen_scan
 from pyspark.sql.types import ArrayType, IntegerType
 
 DIM = 64
@@ -521,7 +521,7 @@ def _lsh_neardup_rep_level(
     # runs once, not once per side
     index = remb.select(
         "vec_id", F.posexplode(udf(F.col("embedding"))).alias("table_idx", "bucket")
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     a = index.select(F.col("vec_id").alias("a"), "table_idx", "bucket")
     b = index.select(F.col("vec_id").alias("b"), "table_idx", "bucket")
     cand = (

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.session import widen_scan
+from graphdb_neo4j_spark.session import materialize, widen_scan
 
 HLL_RSD = 0.05  # HLL++ target relative standard deviation
 QUANTILE_ACCURACY = 1000  # GK: error <= 1/accuracy of rank
@@ -264,7 +264,7 @@ def q_token_cms(spark: SparkSession, sf_dir: str, k: int = 30) -> DataFrame:
     toks = docs.select(
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok")
     )
-    cms = cms_build(toks, portable=True).localCheckpoint(eager=False)
+    cms = cms_build(toks, portable=True).transform(materialize)
     top = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("exact"))

@@ -32,7 +32,7 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.session import widen_scan
+from graphdb_neo4j_spark.session import materialize, widen_scan
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -84,7 +84,7 @@ def q_bm25_search(
         .drop("arr")
         # query-pruned sliver consumed twice (df build + scoring):
         # checkpoint so the corpus tokenize+match runs once, not twice
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     dfreq = hits.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     scored = (

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from graphdb_neo4j_spark.session import widen_scan
+from graphdb_neo4j_spark.session import materialize, widen_scan
 
 # Whitespace tokenization of trimmed text — mirrored in SQL as
 # regexp_split_to_array(trim(text), '\s+').
@@ -184,7 +184,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("tok_n"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     total = vocab.agg(F.sum("tok_n").alias("total"))
     scored = (
@@ -523,7 +523,7 @@ def q_tfidf_top_terms(
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.groupBy().agg(F.count("*").alias("n_docs"))
@@ -780,7 +780,7 @@ def q_ppmi_topk(
     # vocab re-run), so the double subtree stays the default
     tok_counts = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
     if vocab_checkpoint:
-        tok_counts = tok_counts.localCheckpoint(eager=False)
+        tok_counts = tok_counts.transform(materialize)
     total_pairs = pairs.count()
     total_toks = toks.count()
     scored = (
@@ -918,7 +918,7 @@ def q_bigram_logprob(
     # run_corpus_pipeline discipline).
     uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
     if vocab_checkpoint:
-        uni = uni.localCheckpoint(eager=False)
+        uni = uni.transform(materialize)
     total = uni.agg(F.sum("c_tok").cast("double").alias("total"))
     bic = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_bi"))
     u1 = uni.select(F.col("tok").alias("w1"), F.col("c_tok").alias("c1"))
@@ -1053,7 +1053,7 @@ def q_corpus_drift(
         )
     )
     if vocab_checkpoint:
-        counts = counts.localCheckpoint(eager=False)
+        counts = counts.transform(materialize)
     vocab_tot = counts.groupBy().agg(
         F.sum("ch").alias("nh"),
         F.sum("cb").alias("nb"),

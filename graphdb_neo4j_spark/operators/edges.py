@@ -36,6 +36,7 @@ from graphdb_neo4j_spark.sources.tpch import (
     customer_interest_pairs,
     customer_nodes,
 )
+from graphdb_neo4j_spark.session import materialize
 
 
 def derive_attribute_edges(nodes: DataFrame, attr: str, edge_type: str) -> DataFrame:
@@ -174,7 +175,7 @@ def q_edge_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
       (guide §2.4: share one exchange / one materialization between
       consumers keyed the same way).
     """
-    nodes = customer_nodes(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = customer_nodes(spark, sf_dir).transform(materialize)
 
     def attr_count(attr: str, etype: str) -> DataFrame:
         return (
@@ -192,7 +193,7 @@ def q_edge_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     counts = [attr_count(attr, etype) for etype, attr in ATTRIBUTE_EDGE_TYPES.items()]
 
-    pairs = customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = customer_interest_pairs(spark, sf_dir).transform(materialize)
     a = pairs.select(F.col("id").alias("src"), "interest")
     b = pairs.select(F.col("id").alias("dst"), "interest")
     interest_count = (
@@ -249,7 +250,7 @@ def q_edges_shares_interest(
     intersection size (scalar) so the oracle hash is representation-stable."""
     # lazy checkpoint: the token self-join consumes the fact-join+distinct
     # on both sides (the edge_counts/node_similarity r13 pattern)
-    pairs = customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = customer_interest_pairs(spark, sf_dir).transform(materialize)
     a = pairs.select(F.col("id").alias("src"), "interest")
     b = pairs.select(F.col("id").alias("dst"), "interest")
     return (
@@ -287,7 +288,7 @@ def q_edges_with_common(
     its distinct shuffle (audit: 4 fact scans) — checkpointing the small
     post-distinct table runs that pipeline once."""
     edges = derive_shared_interest_edges(
-        customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False),
+        customer_interest_pairs(spark, sf_dir).transform(materialize),
         min_common=min_common,
         with_common=True,
     )

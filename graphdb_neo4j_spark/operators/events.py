@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from graphdb_neo4j_spark.session import materialize
 
 SESSION_GAP_MIN = 30
 
@@ -374,9 +375,7 @@ def q_hourly_rollup_serve(
             )
         )
 
-    materialized = hourly(ev.filter(F.col("ts") < cut_hour)).localCheckpoint(
-        eager=False
-    )
+    materialized = hourly(ev.filter(F.col("ts") < cut_hour)).transform(materialize)
     fresh = hourly(ev.filter(F.col("ts") >= cut_hour))
     return materialized.unionByName(fresh)
 

@@ -38,6 +38,7 @@ from graphdb_neo4j_spark.sources.tpch import (
     customer_interest_pairs,
     customer_nodes,
 )
+from graphdb_neo4j_spark.session import materialize
 
 
 def _attr_degrees(nodes: DataFrame, attr: str, out: str) -> DataFrame:
@@ -98,7 +99,7 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     6.82 vs 6.52 s min — the scans are cheap at 15k rows) but at scale
     30 redundant passes over the node pipeline is the difference, the
     merge_bucketed structural-win-at-parity precedent."""
-    nodes = customer_nodes(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = customer_nodes(spark, sf_dir).transform(materialize)
     cols = {etype.lower() + "_deg": attr for etype, attr in ATTRIBUTE_EDGE_TYPES.items()}
     deg_cols = list(cols) + ["shares_interest_deg"]
     # pairs lazily checkpointed: the token equi-join consumes it on BOTH
@@ -108,7 +109,7 @@ def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _attr_degrees(nodes, attr, out) for out, attr in cols.items()
     ] + [
         _interest_degrees(
-            customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
+            customer_interest_pairs(spark, sf_dir).transform(materialize)
         )
     ]
     # r13: assemble via union + ONE groupBy(id) instead of five successive
@@ -200,10 +201,8 @@ def pagerank(
     degrees = both.groupBy("u").agg(F.count("*").alias("deg"))
     # degree-annotated edge list is loop-INVARIANT: join it once and
     # checkpoint, so each iteration pays one join (ranks), not two
-    with_deg = both.join(degrees, "u").localCheckpoint(eager=False)
-    ranks = nodes.select("id", F.lit(1.0).alias("rank")).localCheckpoint(
-        eager=False
-    )
+    with_deg = both.join(degrees, "u").transform(materialize)
+    ranks = nodes.select("id", F.lit(1.0).alias("rank")).transform(materialize)
     for _ in range(iterations):
         contribs = (
             with_deg.join(ranks.select(F.col("id").alias("u"), "rank"), "u")
@@ -220,7 +219,7 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return ranks
 
@@ -276,7 +275,7 @@ def pagerank_clique_factored(
     base = (
         _clique_attrs_nullsafe(nodes, attrs)
         .select("id", a, b)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     na = base.groupBy(a).agg(F.count("*").alias("n_a"))
     nb = base.groupBy(b).agg(F.count("*").alias("n_b"))
@@ -289,7 +288,7 @@ def pagerank_clique_factored(
             "id", a, b,
             (F.col("n_a") + F.col("n_b") - F.col("n_ab") - 1).alias("deg"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     ranks = deg.select("id", F.lit(1.0).alias("rank"))
     for _ in range(iterations):
@@ -301,26 +300,32 @@ def pagerank_clique_factored(
                 F.lit(0.0)
             ),
         )
-        sa = contrib.groupBy(a).agg(F.sum("c").alias("s_a"))
-        sb = contrib.groupBy(b).agg(F.sum("c").alias("s_b"))
+        # r14: ONE node-sized aggregation per round instead of three —
+        # S_A(a) = Σ_b S_AB(a, b) and S_B(b) = Σ_a S_AB(a, b), so the per-
+        # group sums roll up from the (a, b) pair table (|A×B| + sentinel
+        # rows), and the three join-backs collapse to one join against the
+        # pair-level enrichment (guide §2.3 "aggregate before you shuffle",
+        # §2.4 "remove shuffles outright": 3 exchanges + 3 joins over N
+        # rows → 1 exchange over N + tiny pair-table work per round).
+        # No broadcast hint on the join-back: on null-heavy corpora the
+        # sentinel pairs make `enr` O(N) — AQE broadcasts it when small
+        # (the label_propagation discipline).
         sab = contrib.groupBy(a, b).agg(F.sum("c").alias("s_ab"))
-        recv = (
-            contrib.join(sa, a)
-            .join(sb, b)
-            .join(sab, [a, b])
+        sa = sab.groupBy(a).agg(F.sum("s_ab").alias("s_a"))
+        sb = sab.groupBy(b).agg(F.sum("s_ab").alias("s_b"))
+        enr = sab.join(sa, a).join(sb, b)
+        ranks = (
+            contrib.join(enr, [a, b])
             .select(
                 "id",
                 (
-                    F.col("s_a") + F.col("s_b") - F.col("s_ab") - F.col("c")
-                ).alias("recv"),
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.col("s_a") + F.col("s_b") - F.col("s_ab") - F.col("c"))
+                ).alias("rank"),
             )
+            .transform(materialize)
         )
-        ranks = recv.select(
-            "id",
-            (F.lit(1.0 - damping) + F.lit(damping) * F.col("recv")).alias(
-                "rank"
-            ),
-        ).localCheckpoint(eager=False)
     return ranks
 
 
@@ -432,13 +437,13 @@ def pagerank_personalized(
         .distinct()
     )
     degrees = both.groupBy("u").agg(F.count("*").alias("deg"))
-    with_deg = both.join(degrees, "u").localCheckpoint(eager=False)
+    with_deg = both.join(degrees, "u").transform(materialize)
     base = nodes.select(
         "id",
         F.when(F.col("id").isin(seed_ids), F.lit(share))
         .otherwise(F.lit(0.0))
         .alias("e"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     ranks = base.select("id", F.col("e").alias("rank"))
     for _ in range(iterations):
         contribs = (
@@ -455,7 +460,7 @@ def pagerank_personalized(
                     + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return ranks
 
@@ -487,7 +492,7 @@ def pagerank_ppr_clique_factored(
             .otherwise(F.lit(0.0))
             .alias("e"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     na = base.groupBy(a).agg(F.count("*").alias("n_a"))
     nb = base.groupBy(b).agg(F.count("*").alias("n_b"))
@@ -500,7 +505,7 @@ def pagerank_ppr_clique_factored(
             "id", a, b, "e",
             (F.col("n_a") + F.col("n_b") - F.col("n_ab") - 1).alias("deg"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     ranks = deg.select("id", F.col("e").alias("rank"))
     for _ in range(iterations):
@@ -512,13 +517,18 @@ def pagerank_ppr_clique_factored(
                 F.lit(0.0)
             ),
         )
-        sa = contrib.groupBy(a).agg(F.sum("c").alias("s_a"))
-        sb = contrib.groupBy(b).agg(F.sum("c").alias("s_b"))
+        # r14: same one-aggregation round as pagerank_clique_factored —
+        # S_A/S_B roll up from the (a, b) pair sums (S_A(a) = Σ_b S_AB),
+        # one node-sized exchange per round instead of three, one pair-
+        # level join-back instead of three (guide §2.3/§2.4). No broadcast
+        # hint: sentinel pairs make `enr` O(N) on null-heavy corpora — AQE
+        # broadcasts it when it measures small.
         sab = contrib.groupBy(a, b).agg(F.sum("c").alias("s_ab"))
+        sa = sab.groupBy(a).agg(F.sum("s_ab").alias("s_a"))
+        sb = sab.groupBy(b).agg(F.sum("s_ab").alias("s_b"))
+        enr = sab.join(sa, a).join(sb, b)
         ranks = (
-            contrib.join(sa, a)
-            .join(sb, b)
-            .join(sab, [a, b])
+            contrib.join(enr, [a, b])
             .select(
                 "id",
                 (
@@ -527,7 +537,7 @@ def pagerank_ppr_clique_factored(
                     * (F.col("s_a") + F.col("s_b") - F.col("s_ab") - F.col("c"))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return ranks
 
@@ -622,11 +632,9 @@ def label_propagation(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionByName(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
-    labels = nodes.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=False
-    )
+    labels = nodes.select("id", F.col("id").alias("label")).transform(materialize)
     for _ in range(iterations):
         cnt = (
             both.join(labels.select(F.col("id").alias("u"), "label"), "u")
@@ -647,7 +655,7 @@ def label_propagation(
         labels = (
             labels.join(best, "id", "left")
             .select("id", F.coalesce("best", "label").alias("label"))
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return labels
 
@@ -684,19 +692,26 @@ def label_propagation_clique_factored(
     base = (
         _clique_attrs_nullsafe(nodes, attrs)
         .select("id", a, b)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
-    pairs = base.select(a, b).distinct().localCheckpoint(eager=False)
+    pairs = base.select(a, b).distinct().transform(materialize)
     labels = base.withColumn("label", F.col("id"))
     for _ in range(iterations):
-        ca = labels.groupBy(a, "label").agg(F.count("*").alias("c"))
-        cb = labels.groupBy(b, "label").agg(F.count("*").alias("c"))
-        cab = labels.groupBy(a, b, "label").agg((-F.count("*")).alias("c"))
+        # r14: ONE node-sized aggregation per round instead of three —
+        # C_A(a, ℓ) = Σ_b C_AB(a, b, ℓ) and C_B(b, ℓ) = Σ_a C_AB, so the
+        # per-attribute label counts roll up from the pair-level count
+        # table (integer-exact; guide §2.3 "aggregate before you shuffle").
+        # The downstream union/argmax algebra is unchanged.
+        cab_pos = labels.groupBy(a, b, "label").agg(F.count("*").alias("n"))
+        ca = cab_pos.groupBy(a, "label").agg(F.sum("n").alias("c"))
+        cb = cab_pos.groupBy(b, "label").agg(F.sum("n").alias("c"))
         cnt = (
             pairs.join(ca, a)
             .select(a, b, "label", "c")
             .unionByName(pairs.join(cb, b).select(a, b, "label", "c"))
-            .unionByName(cab.select(a, b, "label", "c"))
+            .unionByName(
+                cab_pos.select(a, b, "label", (-F.col("n")).alias("c"))
+            )
             .groupBy(a, b, "label")
             .agg(F.sum("c").alias("cnt"))
         )
@@ -745,7 +760,7 @@ def label_propagation_clique_factored(
                 "id", a, b,
                 F.coalesce(new_label, F.col("label")).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
     return labels.select("id", "label")
 
@@ -906,11 +921,11 @@ def q_node_similarity(
     # probe; un-materialized, the toks checkpoint job ran the fact join
     # twice (measured 1.15 s/pass at sf0.1, one redundant full fact pass
     # at scale; guide §2.4 — share one materialization between consumers)
-    pairs = customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = customer_interest_pairs(spark, sf_dir).transform(materialize)
     hot = pairs.groupBy("interest").agg(F.count("*").alias("df")).filter(
         F.col("df") > max_df
     )
-    toks = pairs.join(F.broadcast(hot), "interest", "left_anti").localCheckpoint()
+    toks = pairs.join(F.broadcast(hot), "interest", "left_anti").transform(materialize, eager=True)
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     a = toks.select(F.col("id").alias("a"), "interest")
     b = toks.select(F.col("id").alias("b"), "interest")
@@ -949,7 +964,7 @@ def q_node_similarity(
     )
     # materialize the sliver: a union's branches are planned independently,
     # so without this the mirror branch re-runs the whole pair pipeline
-    sim = sim.select("a", "b", "j").localCheckpoint()
+    sim = sim.select("a", "b", "j").transform(materialize, eager=True)
     both = sim.unionByName(
         sim.select(F.col("b").alias("a"), F.col("a").alias("b"), "j")
     )
@@ -1024,16 +1039,29 @@ def q_graph_components(
     stay their own component.
     """
     nodes = customer_nodes(spark, sf_dir)
-    attr_inc = [
-        nodes.filter(F.col(attr).isNotNull() & (F.col(attr) != "")).select(
-            "id", F.concat(F.lit(f"{attr}:"), F.col(attr)).alias("gk")
-        )
-        for attr in ATTRIBUTE_EDGE_TYPES.values()
-    ]
+    # r14: all four attribute incidences from ONE pass over the node
+    # table via an in-row explode instead of four union branches that
+    # each re-rendered the customer⋈nation⋈region normalize pipeline
+    # (4 source scans → 1 in the materialized incidence; guide §2.4 —
+    # the ingest derive_edges_for_batch kv() discipline). Same rows:
+    # gk = '<attr>:<value>' for every non-NULL/'' attribute value.
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(f"{attr}:").alias("p"), F.col(attr).alias("v")
+            )
+            for attr in ATTRIBUTE_EDGE_TYPES.values()
+        ]
+    )
+    attr_inc = (
+        nodes.select("id", F.explode(cells).alias("s"))
+        .filter(F.col("s.v").isNotNull() & (F.col("s.v") != ""))
+        .select("id", F.concat(F.col("s.p"), F.col("s.v")).alias("gk"))
+    )
     interest_inc = customer_interest_pairs(spark, sf_dir).select(
         "id", F.concat(F.lit("i:"), F.col("interest")).alias("gk")
     )
-    inc = reduce(lambda a, b: a.unionByName(b), attr_inc + [interest_inc])
+    inc = attr_inc.unionByName(interest_inc)
     return min_label_components(nodes.select("id"), inc, max_iterations)
 
 
@@ -1045,7 +1073,7 @@ def min_label_components(
     Extracted from :func:`q_graph_components` (r9) so degenerate
     incidences — all-singleton groups, empty incidence, multiple
     components — are directly pytest-pinnable."""
-    inc = inc.localCheckpoint(eager=False)
+    inc = inc.transform(materialize)
 
     # Round 1 fused (r9 construct-time work, VERDICT r8 #3): the initial
     # label IS the id, so the first group-min needs no labels join
@@ -1062,7 +1090,7 @@ def min_label_components(
     labels = (
         node_ids.join(node_min1, "id", "left")
         .select("id", F.least("id", F.coalesce("gmin", F.col("id"))).alias("label"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     for _ in range(max_iterations - 1):
         glabel = (
@@ -1090,7 +1118,7 @@ def min_label_components(
                     "chg"
                 ),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         changed = tmp.filter("chg").count()
         labels = tmp.select("id", "label")

@@ -47,6 +47,7 @@ from graphdb_neo4j_spark.sources.tpch import (
     customer_interest_pairs_raw,
     customer_nodes,
 )
+from graphdb_neo4j_spark.session import materialize
 
 # Deterministic demo ingest batch (mixed case / stray whitespace on purpose
 # — the route-level lowercase invariant must normalize it). Interests are
@@ -213,12 +214,21 @@ def ingest_students(
     head = allocated.take(_ROUNDTRIP_CEILING + 1)
     if len(head) <= _ROUNDTRIP_CEILING:
         batch = spark.createDataFrame(head, allocated.schema)
+        # r14: the batch is ON THE DRIVER, so its interest-token universe
+        # is known before any plan is built — push it into the lineitem
+        # SCAN as an integer In() predicate (guide §6: the downstream
+        # semi join on the derived string column filters after the fact
+        # join; this prunes before it). Tokens that are not integer part
+        # keys can never equal cast(l_partkey as string), so dropping
+        # them reads nothing the semi join would have kept.
+        toks = sorted({t for r in head for t in (r["interests"] or [])})
+        pk = [int(t) for t in toks if t.isdigit()]
+        existing_pairs = customer_interest_pairs_raw(spark, sf_dir, part_keys=pk)
     else:
-        batch = allocated.localCheckpoint(eager=True)
+        batch = allocated.transform(materialize, eager=True)
+        existing_pairs = customer_interest_pairs_raw(spark, sf_dir)
     nodes_after = nodes.unionByName(batch.drop("interests"))
-    new_edges = derive_edges_for_batch(
-        nodes, customer_interest_pairs_raw(spark, sf_dir), batch
-    )
+    new_edges = derive_edges_for_batch(nodes, existing_pairs, batch)
     return nodes_after, new_edges
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from graphdb_neo4j_spark.session import materialize
 
 
 def _dec(col: str, prec: int = 15, scale: int = 2) -> F.Column:
@@ -1200,7 +1201,7 @@ def q_basket_affinity(
     # four consumers (two join sides, marginals, order count) — materialize
     # the distinct baskets once instead of re-scanning the fact table
     baskets = (
-        li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+        li.select("l_orderkey", "l_partkey").distinct().transform(materialize, eager=True)
     )
     n_orders = baskets.select("l_orderkey").distinct().count()
     a = baskets.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
@@ -1294,7 +1295,7 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = (
         per_cust.repartitionByRange(n_parts, F.desc("rev"), F.asc("o_custkey"))
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+        .transform(materialize, eager=True)
     )
     # per-range stats: n_parts rows — the single-task windows below are
     # over THIS frame, never the per-customer aggregate

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.sources.tpch import NODES_CTE, customer_nodes
+from graphdb_neo4j_spark.session import materialize
 
 DEFAULT_MAX_DEPTH = 3
 
@@ -53,7 +54,7 @@ def bfs_distances(
             .join(visited.select("id"), "id", "left_anti")
         )
         # Truncate lineage: without this the logical plan doubles per hop.
-        next_frontier = next_frontier.localCheckpoint(eager=True)
+        next_frontier = next_frontier.transform(materialize, eager=True)
         if not next_frontier.take(1):
             break
         visited = visited.unionByName(
@@ -139,37 +140,51 @@ def bfs_clique_factored(
     visited), so the per-attr visited-group sets also bound total work
     by |groups| across ALL hops, not per hop."""
     spark = nodes.sparkSession
-    member = None
-    for attr in attrs:
-        m = nodes.filter(
-            F.col(attr).isNotNull() & (F.col(attr) != "")
-        ).select(
-            "id", F.lit(attr).alias("g_attr"), F.col(attr).alias("g_val")
-        )
-        member = m if member is None else member.unionByName(m)
-    member = member.localCheckpoint(eager=False)
+    # r14: one pass over the node table via an in-row explode instead of
+    # one union branch per attribute (each branch re-rendered the node
+    # pipeline in the materialized plan; guide §2.4). Same rows.
+    cells = F.array(
+        *[
+            F.struct(F.lit(attr).alias("g_attr"), F.col(attr).alias("g_val"))
+            for attr in attrs
+        ]
+    )
+    member = (
+        nodes.select("id", F.explode(cells).alias("s"))
+        .filter(F.col("s.g_val").isNotNull() & (F.col("s.g_val") != ""))
+        .select("id", "s.g_attr", "s.g_val")
+        .transform(materialize)
+    )
     visited = spark.createDataFrame([(source_id, 0)], "id long, dist int")
     frontier = visited.select("id")
     seen_groups = spark.createDataFrame([], "g_attr string, g_val string")
     for depth in range(1, max_depth + 1):
+        # r14: ONE materialization per hop instead of two eager
+        # checkpoints + two take(1) probes — both frontier frames are
+        # LAZY checkpoints and the single count() job at the end of the
+        # hop computes the whole chain (fr_groups persists as a side
+        # effect of feeding next_frontier, so the seen_groups anti-join
+        # next hop reads its cached blocks). An empty fr_groups makes
+        # next_frontier empty, so count == 0 still breaks at the same
+        # hop; per-hop driver overhead halves (guide §1.2/§4 — the
+        # construct cost of the loop IS the fixed per-round job count).
         fr_groups = (
             member.join(frontier, "id")
             .select("g_attr", "g_val")
             .distinct()
             .join(seen_groups, ["g_attr", "g_val"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
-        if not fr_groups.take(1):
-            break
         next_frontier = (
             member.join(fr_groups, ["g_attr", "g_val"])
             .select("id")
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
+        n_new = next_frontier.count()
         seen_groups = seen_groups.unionByName(fr_groups)
-        if not next_frontier.take(1):
+        if n_new == 0:
             break
         visited = visited.unionByName(
             next_frontier.withColumn("dist", F.lit(depth))
@@ -256,7 +271,7 @@ def shortest_path(
             .select(F.col("dst").alias("id"), F.lit(depth).alias("dist"), "parent")
             .join(visited.select("id"), "id", "left_anti")
         )
-        next_frontier = next_frontier.localCheckpoint(eager=True)
+        next_frontier = next_frontier.transform(materialize, eager=True)
         if not next_frontier.take(1):
             break
         visited = visited.unionByName(next_frontier)
@@ -310,10 +325,10 @@ def weighted_distances(
         edges.select(
             F.col("v").alias("u"), F.col("u").alias("v"), weight_col
         )
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     dist = spark.createDataFrame(
         [(source_id, 0.0)], "id long, dist double"
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     for _ in range(max_rounds):
         candidates = (
             both.join(dist.select(F.col("id").alias("u"), "dist"), "u")
@@ -344,7 +359,7 @@ def weighted_distances(
                     < F.coalesce("dist", F.lit(float("inf")))
                 ).alias("chg"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         improved = tmp.filter("chg").count()
         dist = tmp.select("id", "dist")
@@ -370,7 +385,7 @@ def q_weighted_distances(
 
     # lazy checkpoint: the token self-join consumes the fact-join+distinct
     # on both sides (the edge_counts/node_similarity r13 pattern)
-    pairs = customer_interest_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    pairs = customer_interest_pairs(spark, sf_dir).transform(materialize)
     a = pairs.select(F.col("id").alias("src"), "interest")
     b = pairs.select(F.col("id").alias("dst"), "interest")
     edges = (

@@ -38,6 +38,7 @@ from graphdb_neo4j_spark.sources.tpch import (
     customer_nodes,
     interest_pairs_for,
 )
+from graphdb_neo4j_spark.session import materialize
 
 DEFAULT_A = "Customer#000000042"
 DEFAULT_B = "Customer#000000043"
@@ -73,9 +74,7 @@ def two_name_relationship(
     # interest probes, the final projection) — un-materialized, each
     # consumer re-ran both name-lookup scans (audit: 14 customer scans);
     # checkpointing one row makes it 2
-    pair = side(name_a, "a").crossJoin(side(name_b, "b")).localCheckpoint(
-        eager=False
-    )
+    pair = side(name_a, "a").crossJoin(side(name_b, "b")).transform(materialize)
 
     # Interest intersection of exactly this pair: the token lists come from
     # interest_pairs_for (fact tables scanned, never shuffled — the ids are
@@ -87,9 +86,7 @@ def two_name_relationship(
     )
     # ≤|interests-of-two-nodes| rows, consumed by both probe sides:
     # checkpoint so the fact tables are scanned once, not twice
-    pairs = interest_pairs_for(spark, sf_dir, both_ids).localCheckpoint(
-        eager=False
-    )
+    pairs = interest_pairs_for(spark, sf_dir, both_ids).transform(materialize)
     pa = pairs.join(pair.select("a_id"), pairs.id == F.col("a_id")).select("interest")
     pb = pairs.join(pair.select("b_id"), pairs.id == F.col("b_id")).select("interest")
     common = pa.join(pb, "interest").groupBy().agg(

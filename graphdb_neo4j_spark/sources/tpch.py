@@ -93,15 +93,26 @@ nodes AS (
 """
 
 
-def customer_interest_pairs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def customer_interest_pairs_raw(
+    spark: SparkSession, sf_dir: str, part_keys: list[int] | None = None
+) -> DataFrame:
     """(id, interest) pairs straight off the fact join — NOT deduplicated.
 
     Callers that only need distinct-counts after further filtering should use
     this and ``countDistinct`` so the expensive global dedup shuffle happens
     on the *reduced* data, not on the full fact table.
+
+    ``part_keys`` (r14) — when the caller already knows the exact part-key
+    universe it cares about (e.g. the ingest batch's interest tokens), the
+    integer list lands as an ``In(l_partkey, ...)`` predicate ON THE SCAN
+    (PushedFilters; guide §6 — a post-join semi filter on the derived
+    string column cannot reach parquet), so the fact join runs over the
+    matching sliver instead of the whole lineitem table.
     """
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if part_keys is not None:
+        lineitem = lineitem.filter(F.col("l_partkey").isin(part_keys))
     return orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey).select(
         F.col("o_custkey").cast("long").alias("id"),
         F.col("l_partkey").cast("string").alias("interest"),

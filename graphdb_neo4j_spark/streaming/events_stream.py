@@ -42,8 +42,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from graphdb_neo4j_spark.operators.events import normalize_ts
+from graphdb_neo4j_spark.session import adaptive_stream_shuffle_partitions
 
 SESSION_GAP = "30 minutes"
+
+
+def events_stream_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Micro-batch shuffle width for runs over the events fixture —
+    derived from the source's scan splits (footer/metadata only; the
+    batch frame is the same one the schema read uses). See
+    :func:`~graphdb_neo4j_spark.session.adaptive_stream_shuffle_partitions`."""
+    return adaptive_stream_shuffle_partitions(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,7 +128,8 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     dim = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return run_available_now(
-        spark, enrich_stream(ev, dim), "stream_enrich_sink"
+        spark, enrich_stream(ev, dim), "stream_enrich_sink",
+        shuffle_partitions=events_stream_partitions(spark, sf_dir),
     )
 
 
@@ -159,7 +171,10 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow run of the streaming hopping windows — must equal the
     batch q_events_hopping exactly on the bounded fixture (same oracle)."""
     ev = stream_events(spark, sf_dir)
-    return run_available_now(spark, hopping_stream(ev), "stream_hopping_sink")
+    return run_available_now(
+        spark, hopping_stream(ev), "stream_hopping_sink",
+        shuffle_partitions=events_stream_partitions(spark, sf_dir),
+    )
 
 
 def session_window_stream(
@@ -436,21 +451,37 @@ def run_available_now(
     query_name: str,
     output_mode: str = "complete",
     timeout_s: int = 120,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming transform over the bounded fixture with
     ``trigger(availableNow=True)`` into a memory sink and return the final
-    table — the batch-equivalence harness for every operator above."""
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    table — the batch-equivalence harness for every operator above.
+
+    ``shuffle_partitions`` — micro-batch shuffle width for THIS run (r14):
+    streaming shuffles get no AQE coalescing and each stateful operator
+    keeps one state-store instance per shuffle partition per micro-batch,
+    so bounded runs over narrow sources pass the source-derived width
+    (:func:`~graphdb_neo4j_spark.session.adaptive_stream_shuffle_partitions`);
+    the session conf is restored after the drain."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if shuffle_partitions:
+        spark.conf.set(key, str(shuffle_partitions))
     try:
-        finished = q.awaitTermination(timeout_s)
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_s)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if shuffle_partitions:
+            spark.conf.set(key, prev)
     if not finished:
         # a partial memory table would be silently wrong — fail loudly
         raise TimeoutError(
@@ -471,7 +502,10 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window agg, run to completion and compared
     against the batch oracle (twin of operators/events.q_events_hourly)."""
     ev = stream_events(spark, sf_dir)
-    return run_available_now(spark, hourly_stream(ev), "stream_hourly_sink")
+    return run_available_now(
+        spark, hourly_stream(ev), "stream_hourly_sink",
+        shuffle_partitions=events_stream_partitions(spark, sf_dir),
+    )
 
 
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,7 +515,10 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions on ``diff >= gap`` (the batch gaps-and-islands form uses
     ``> gap`` — equivalent unless an exact-gap pair exists)."""
     ev = stream_events(spark, sf_dir)
-    return run_available_now(spark, session_window_stream(ev), "stream_sessions_sink")
+    return run_available_now(
+        spark, session_window_stream(ev), "stream_sessions_sink",
+        shuffle_partitions=events_stream_partitions(spark, sf_dir),
+    )
 
 
 STREAM_SESSIONS_SQL = f"""
@@ -556,6 +593,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream(doubled),
         "stream_dedup_sink",
         output_mode="append",
+        shuffle_partitions=events_stream_partitions(spark, sf_dir),
     )
 
 
@@ -584,7 +622,10 @@ def json_stats_stream(events: DataFrame) -> DataFrame:
 
 def q_stream_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
-    return run_available_now(spark, json_stats_stream(ev), "stream_json_sink")
+    return run_available_now(
+        spark, json_stats_stream(ev), "stream_json_sink",
+        shuffle_partitions=events_stream_partitions(spark, sf_dir),
+    )
 
 
 def q_stream_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -778,6 +819,7 @@ def q_stream_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval_join_stream(clicks, purchases),
         "stream_interval_sink",
         output_mode="append",
+        shuffle_partitions=events_stream_partitions(spark, sf_dir),
     )
 
 
@@ -911,4 +953,7 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """availableNow run of the streaming OHLC — must equal the batch
     q_events_ohlc exactly on the bounded fixture (same oracle)."""
     ev = stream_events(spark, sf_dir)
-    return run_available_now(spark, ohlc_stream(ev), "stream_ohlc_sink")
+    return run_available_now(
+        spark, ohlc_stream(ev), "stream_ohlc_sink",
+        shuffle_partitions=events_stream_partitions(spark, sf_dir),
+    )

@@ -25,8 +25,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from graphdb_neo4j_spark.streaming.events_stream import stream_events
+from graphdb_neo4j_spark.session import materialize
 
 _KEY = ("window_start", "event_type")
+
+
+class _stream_width:
+    """Set the micro-batch shuffle width for one maintenance run and
+    restore the session conf after the drain (r14 — the
+    ``run_available_now`` discipline: streaming shuffles get no AQE
+    coalescing, and the foreachBatch merge work inherits the same conf;
+    the width is source-derived, so production backlogs keep full
+    parallelism)."""
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get(self.KEY)
+        if self.n:
+            self.spark.conf.set(self.KEY, str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n:
+            self.spark.conf.set(self.KEY, self.prev)
+        return False
 
 
 def _hourly_partials(batch: DataFrame) -> DataFrame:
@@ -84,7 +109,7 @@ def merge_rollup_batch(store_path: str):
                     # normalize to the partials' string form for the union
                     F.col("d").cast("string").alias("d"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(materialize, eager=True)
             )
             merged_in = partial.unionByName(existing)
         except AnalysisException:  # first batch: store does not exist yet
@@ -111,23 +136,27 @@ def maintain_hourly_rollup(
     events_stream_df: DataFrame,
     store_path: str,
     timeout_s: int = 120,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain the (bounded) event stream into the rollup store with
     ``availableNow`` — the backfill/catch-up invocation of the continuous
     job; in production the same call runs unbounded with a processing-time
     trigger."""
-    q = (
-        events_stream_df.writeStream.foreachBatch(merge_rollup_batch(store_path))
-        .option(
-            "checkpointLocation", f"{store_path}/_checkpoint"
+    with _stream_width(spark, shuffle_partitions):
+        q = (
+            events_stream_df.writeStream.foreachBatch(
+                merge_rollup_batch(store_path)
+            )
+            .option(
+                "checkpointLocation", f"{store_path}/_checkpoint"
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+        try:
+            finished = q.awaitTermination(timeout_s)
+        finally:
+            q.stop()
     if not finished:
         raise TimeoutError(f"rollup maintenance did not drain within {timeout_s}s")
 
@@ -190,7 +219,7 @@ def merge_daily_batch(store_path: str):
                 .select(
                     "event_type", "n", F.col("d").cast("string").alias("d")
                 )
-                .localCheckpoint(eager=True)  # cut lineage before self-overwrite
+                .transform(materialize, eager=True)  # cut lineage before self-overwrite
             )
             merged_in = partial.unionByName(existing)
         except AnalysisException:
@@ -212,18 +241,22 @@ def maintain_daily_counts(
     events_stream_df: DataFrame,
     store_path: str,
     timeout_s: int = 120,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain the (bounded) event stream into the daily-count store."""
-    q = (
-        events_stream_df.writeStream.foreachBatch(merge_daily_batch(store_path))
-        .option("checkpointLocation", f"{store_path}/_checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+    with _stream_width(spark, shuffle_partitions):
+        q = (
+            events_stream_df.writeStream.foreachBatch(
+                merge_daily_batch(store_path)
+            )
+            .option("checkpointLocation", f"{store_path}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_s)
+        finally:
+            q.stop()
     if not finished:
         raise TimeoutError(f"daily maintenance did not drain within {timeout_s}s")
 
@@ -323,7 +356,7 @@ def merge_sessions_batch(store_path: str, gap_minutes: int):
                 spark.read.parquet(store_path)
                 .filter(F.col("bucket").isin(buckets))
                 .select("user_id", "start_ms", "end_ms", "n_events", "bucket")
-                .localCheckpoint(eager=True)  # cut lineage before self-overwrite
+                .transform(materialize, eager=True)  # cut lineage before self-overwrite
             )
             merged_in = mini.unionByName(existing)
         except AnalysisException:
@@ -347,23 +380,25 @@ def maintain_sessions(
     store_path: str,
     gap_minutes: int | None = None,
     timeout_s: int = 120,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain the (bounded) event stream into the session store."""
     from graphdb_neo4j_spark.operators.events import SESSION_GAP_MIN
 
     gap = SESSION_GAP_MIN if gap_minutes is None else gap_minutes
-    q = (
-        events_stream_df.writeStream.foreachBatch(
-            merge_sessions_batch(store_path, gap)
+    with _stream_width(spark, shuffle_partitions):
+        q = (
+            events_stream_df.writeStream.foreachBatch(
+                merge_sessions_batch(store_path, gap)
+            )
+            .option("checkpointLocation", f"{store_path}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", f"{store_path}/_checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_s)
-    finally:
-        q.stop()
+        try:
+            finished = q.awaitTermination(timeout_s)
+        finally:
+            q.stop()
     if not finished:
         raise TimeoutError(f"session maintenance did not drain within {timeout_s}s")
 

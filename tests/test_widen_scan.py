@@ -46,3 +46,56 @@ def test_widen_scan_preserves_rows(spark, sf_dir):
     assert widen_scan(df).count() == df.count()
     # keyed variant too
     assert widen_scan(df, "doc_id").count() == df.count()
+
+
+# --- materialize(): the parameterized lineage-cut helper (r14) ---------------
+
+
+def test_materialize_local_default_truncates_lineage(spark):
+    from graphdb_neo4j_spark.session import materialize
+
+    df = spark.range(100).select((F.col("id") * 2).alias("v"))
+    out = df.transform(materialize)
+    # logical plan collapses to a scan of the checkpointed RDD
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan
+    assert out.count() == 100
+
+
+def test_materialize_reliable_requires_dir(spark, monkeypatch):
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.session import materialize
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    # only fires when the session has no checkpoint dir yet — reset it
+    if not spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        _pytest.skip("session already has a checkpoint dir")
+    with _pytest.raises(ValueError, match="SPARK_GRAFT_CHECKPOINT_DIR"):
+        spark.range(1).transform(materialize)
+
+
+def test_materialize_reliable_mode(spark, tmp_path, monkeypatch):
+    from graphdb_neo4j_spark.session import materialize
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "reliable")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ck"))
+    df = spark.range(50).select((F.col("id") + 1).alias("v"))
+    out = df.transform(materialize, eager=True)
+    assert out.count() == 50
+    # a reliable checkpoint actually landed in the configured directory
+    import os
+
+    ckroot = str(tmp_path / "ck")
+    assert os.path.isdir(ckroot) and os.listdir(ckroot)
+
+
+def test_materialize_rejects_unknown_mode(spark, monkeypatch):
+    import pytest as _pytest
+
+    from graphdb_neo4j_spark.session import materialize
+
+    monkeypatch.setenv("SPARK_GRAFT_MATERIALIZE", "bogus")
+    with _pytest.raises(ValueError, match="bogus"):
+        spark.range(1).transform(materialize)
