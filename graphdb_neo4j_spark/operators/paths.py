@@ -158,33 +158,30 @@ def bfs_clique_factored(
     visited = spark.createDataFrame([(source_id, 0)], "id long, dist int")
     frontier = visited.select("id")
     seen_groups = spark.createDataFrame([], "g_attr string, g_val string")
+    # NOTE (r14): a fused per-hop variant (both frames lazy + one count)
+    # was built and interleaved-A/B'd at 1.21× — under AQE a lazy
+    # checkpoint's toRdd still executes its query stages at call time,
+    # so the fusion saved no job launches and lengthened the critical
+    # path. The eager two-probe loop below is the measured-faster form.
     for depth in range(1, max_depth + 1):
-        # r14: ONE materialization per hop instead of two eager
-        # checkpoints + two take(1) probes — both frontier frames are
-        # LAZY checkpoints and the single count() job at the end of the
-        # hop computes the whole chain (fr_groups persists as a side
-        # effect of feeding next_frontier, so the seen_groups anti-join
-        # next hop reads its cached blocks). An empty fr_groups makes
-        # next_frontier empty, so count == 0 still breaks at the same
-        # hop; per-hop driver overhead halves (guide §1.2/§4 — the
-        # construct cost of the loop IS the fixed per-round job count).
         fr_groups = (
             member.join(frontier, "id")
             .select("g_attr", "g_val")
             .distinct()
             .join(seen_groups, ["g_attr", "g_val"], "left_anti")
-            .transform(materialize)
+            .transform(materialize, eager=True)
         )
+        if not fr_groups.take(1):
+            break
         next_frontier = (
             member.join(fr_groups, ["g_attr", "g_val"])
             .select("id")
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
-            .transform(materialize)
+            .transform(materialize, eager=True)
         )
-        n_new = next_frontier.count()
         seen_groups = seen_groups.unionByName(fr_groups)
-        if n_new == 0:
+        if not next_frontier.take(1):
             break
         visited = visited.unionByName(
             next_frontier.withColumn("dist", F.lit(depth))

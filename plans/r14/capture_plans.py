@@ -29,6 +29,11 @@ def main() -> None:
     from graphdb_neo4j_spark.session import get_spark
 
     spark = get_spark(app_name="plan_capture_r14")
+    # optional runtime-conf overrides, e.g. capturing the pre-r14
+    # sort-merge regime: SPARK_GRAFT_CAPTURE_CONF="spark.sql.join.preferSortMergeJoin=true"
+    for kv in filter(None, os.environ.get("SPARK_GRAFT_CAPTURE_CONF", "").split(",")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
     jvm = spark.sparkContext._jvm
     mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
