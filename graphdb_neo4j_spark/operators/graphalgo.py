@@ -697,21 +697,23 @@ def label_propagation_clique_factored(
     pairs = base.select(a, b).distinct().transform(materialize)
     labels = base.withColumn("label", F.col("id"))
     for _ in range(iterations):
-        # r14: ONE node-sized aggregation per round instead of three —
-        # C_A(a, ℓ) = Σ_b C_AB(a, b, ℓ) and C_B(b, ℓ) = Σ_a C_AB, so the
-        # per-attribute label counts roll up from the pair-level count
-        # table (integer-exact; guide §2.3 "aggregate before you shuffle").
-        # The downstream union/argmax algebra is unchanged.
-        cab_pos = labels.groupBy(a, b, "label").agg(F.count("*").alias("n"))
-        ca = cab_pos.groupBy(a, "label").agg(F.sum("n").alias("c"))
-        cb = cab_pos.groupBy(b, "label").agg(F.sum("n").alias("c"))
+        # NOTE (r14): a rolled-up variant (C_A = Σ_b C_AB from one
+        # groupBy(a, b, label) pass — the pagerank_clique_factored r14
+        # regroup) was built and ABBA-A/B'd at 1.20×: unlike pagerank's
+        # (a, b) pair sums, the LPA intermediate carries the LABEL
+        # dimension, so the pair-level count table is ~N rows until the
+        # labels converge and the rollup ADDS a node-sized pass instead
+        # of removing one. The three direct aggregations (smaller key
+        # spaces, effective map-side partials) are the measured-faster
+        # form at every scale where labels ≫ |A×B|.
+        ca = labels.groupBy(a, "label").agg(F.count("*").alias("c"))
+        cb = labels.groupBy(b, "label").agg(F.count("*").alias("c"))
+        cab = labels.groupBy(a, b, "label").agg((-F.count("*")).alias("c"))
         cnt = (
             pairs.join(ca, a)
             .select(a, b, "label", "c")
             .unionByName(pairs.join(cb, b).select(a, b, "label", "c"))
-            .unionByName(
-                cab_pos.select(a, b, "label", (-F.col("n")).alias("c"))
-            )
+            .unionByName(cab.select(a, b, "label", "c"))
             .groupBy(a, b, "label")
             .agg(F.sum("c").alias("cnt"))
         )

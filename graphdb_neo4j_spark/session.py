@@ -41,18 +41,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Let the planner pick shuffled-hash join where its size conditions
-        # hold instead of defaulting to sort-merge (guide §3.1/§9): the
-        # token/shingle equi-join family sorts corpus-sized exchanges for
-        # no ordering benefit. Measured r14, same-session conf-flip A/B,
-        # min of 3 interleaved reps at sf0.1: dedup_jaccard 0.63×,
-        # recommend_people 0.61×, ppmi_topk 0.72×, edge_counts 0.72×,
-        # dedup_minhash 0.73×, temporal_join 0.76×, node_similarity 0.80×,
-        # training_filter 0.89×; worst observed 1.03× (pricing_summary,
-        # noise band). Scale-safe: the planner still requires the build
-        # side to fit its per-partition hash-map bound, AQE skew-split
-        # applies to SHJ, and sort-merge remains available wherever the
-        # size gate fails — this is the documented production baseline,
-        # not a local[32] tune.
+        # hold instead of defaulting to sort-merge — the optimization
+        # guide's §9 production baseline. Measured r14: at the test SFs
+        # this is a NO-OP (executed AQE final plans verified byte-identical
+        # under both settings — every affected join converts to broadcast
+        # at runtime; an apparent conf-flip timing win was exposed as
+        # host-trend ordering bias by a same-conf null A/B and is
+        # disclaimed in OPTIMIZATION_r14.md §11). Kept for the regime the
+        # bench cannot reach: joins whose runtime size exceeds the
+        # broadcast threshold but fits the per-partition hash-map bound
+        # hash instead of paying two corpus-sized sorts (§3.1); the
+        # planner's size gate and AQE skew-split still govern, and
+        # sort-merge remains wherever the gate fails.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # local mode = driver-only JVM. 16g is the sweet spot here: measured
         # on this host, a 64g heap runs the same workload ~3x slower (cold
